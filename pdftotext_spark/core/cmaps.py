@@ -1,0 +1,190 @@
+"""Character maps: ToUnicode CMaps and /Encoding+/Differences maps
+(SURVEY.md §2.4 F4–F10).
+
+- bfchar / bfrange parsing keeps ranges as *intervals* and looks them
+  up via binary search with promote-to-direct-map memoization — the
+  reference's explicit memory/speed strategy
+  (PdfToText.php:6763–6788, 6968–7006).
+- codespacerange determines the code byte-width (PdfToText.php:6814–6819).
+- /Differences maps glyph names through the public AGL table
+  (PdfToText.php:7061–7182 → :mod:`pdftotext_spark.core.glyphs`).
+- WinAnsi/MacRoman base encodings use Python's public cp1252 /
+  mac_roman codecs instead of the reference's literal tables
+  (PdfToText.php:7310–7578) — same mappings, public source.
+"""
+
+from __future__ import annotations
+
+import re
+from bisect import bisect_right
+
+from pdftotext_spark.core.glyphs import UNKNOWN_GLYPH, glyph_to_char
+
+_CODESPACE_RE = re.compile(
+    rb"begincodespacerange\s*(.*?)\s*endcodespacerange", re.S
+)
+_BFCHAR_RE = re.compile(rb"beginbfchar\s*(.*?)\s*endbfchar", re.S)
+_BFRANGE_RE = re.compile(rb"beginbfrange\s*(.*?)\s*endbfrange", re.S)
+_HEX_RE = re.compile(rb"<([0-9A-Fa-f\s]*)>")
+_BFRANGE_ITEM_RE = re.compile(
+    rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*(\[[^\]]*\]|<[0-9A-Fa-f]*>)", re.S
+)
+_DIFFS_RE = re.compile(rb"/Differences\s*\[(.*?)\]", re.S)
+_DIFF_TOKEN_RE = re.compile(rb"(\d+)|/([^\s/\[\]<>()]+)")
+
+
+def _hex_to_text(h: bytes) -> str:
+    """A bf target hex value is UTF-16BE text (possibly multi-char)."""
+    h = re.sub(rb"\s+", b"", h)
+    if not h:
+        return ""
+    if len(h) % 2:
+        h += b"0"
+    raw = bytes.fromhex(h.decode("ascii"))
+    if len(raw) % 2:
+        raw += b"\x00"
+    try:
+        return raw.decode("utf-16-be")
+    except UnicodeDecodeError:
+        return "".join(chr(b) for b in raw)
+
+
+def is_character_map(body: bytes) -> bool:
+    """Mirror of ``IsCharacterMap`` (PdfToText.php:516–520)."""
+    return (
+        b"begincmap" in body
+        or b"beginbfrange" in body
+        or b"beginbfchar" in body
+        or b"/Differences" in body
+    )
+
+
+class ToUnicodeCMap:
+    """Parsed ToUnicode CMap (PdfToText.php:6800–7006)."""
+
+    __slots__ = ("code_width", "direct", "ranges", "_range_los")
+
+    def __init__(self) -> None:
+        self.code_width = 1  # bytes per code
+        self.direct: dict[int, str] = {}
+        self.ranges: list[tuple[int, int, str | list[str]]] = []
+        self._range_los: list[int] = []
+
+    @classmethod
+    def parse(cls, body: bytes) -> "ToUnicodeCMap":
+        cmap = cls()
+        m = _CODESPACE_RE.search(body)
+        if m:
+            los = [re.sub(rb"\s+", b"", h) for h in _HEX_RE.findall(m.group(1))]
+            if los and los[0]:
+                cmap.code_width = max(1, len(los[0]) // 2)
+        for sec in _BFCHAR_RE.finditer(body):
+            # bfchar entries are line-structured: first hex token on a
+            # line is the code, the rest are targets — the undocumented
+            # multi-target form concatenates them (PdfToText.php:6824–6860)
+            for line in sec.group(1).splitlines():
+                toks = _HEX_RE.findall(line)
+                if len(toks) < 2:
+                    continue
+                code_hex = re.sub(rb"\s+", b"", toks[0])
+                if not code_hex:
+                    continue
+                code = int(code_hex, 16)
+                cmap.direct[code] = "".join(_hex_to_text(t) for t in toks[1:])
+        for sec in _BFRANGE_RE.finditer(body):
+            for rm in _BFRANGE_ITEM_RE.finditer(sec.group(1)):
+                lo = int(rm.group(1), 16)
+                hi = int(rm.group(2), 16)
+                tgt = rm.group(3)
+                if tgt.startswith(b"["):
+                    # <lo> <hi> [<a> <b> ...] enumerated form
+                    vals = [_hex_to_text(h) for h in _HEX_RE.findall(tgt)]
+                    cmap.ranges.append((lo, hi, vals))
+                else:
+                    base = tgt[1:-1]
+                    cmap.ranges.append((lo, hi, _hex_to_text(base)))
+        cmap.ranges.sort(key=lambda r: r[0])
+        cmap._range_los = [r[0] for r in cmap.ranges]
+        return cmap
+
+    def lookup(self, code: int) -> str | None:
+        """Direct hit, else bisect over intervals then memoize the hit
+        into the direct map (PdfToText.php:6968–7006)."""
+        hit = self.direct.get(code)
+        if hit is not None:
+            return hit
+        i = bisect_right(self._range_los, code) - 1
+        if i >= 0:
+            lo, hi, base = self.ranges[i]
+            if lo <= code <= hi:
+                if isinstance(base, list):
+                    idx = code - lo
+                    val = base[idx] if idx < len(base) else UNKNOWN_GLYPH
+                elif base:
+                    # increment the LAST UTF-16 code unit per spec
+                    val = base[:-1] + chr(ord(base[-1]) + (code - lo))
+                else:
+                    val = ""
+                self.direct[code] = val
+                return val
+        return None
+
+
+class EncodingMap:
+    """/Encoding with /BaseEncoding + /Differences
+    (PdfToText.php:7061–7231)."""
+
+    __slots__ = ("base", "diffs")
+
+    def __init__(self, base: str = "standard") -> None:
+        self.base = base  # 'winansi' | 'macroman' | 'standard'
+        self.diffs: dict[int, str] = {}
+
+    @classmethod
+    def parse(cls, body: bytes) -> "EncodingMap":
+        base = "standard"
+        if b"/WinAnsiEncoding" in body:
+            base = "winansi"
+        elif b"/MacRomanEncoding" in body:
+            base = "macroman"
+        enc = cls(base)
+        dm = _DIFFS_RE.search(body)
+        if dm:
+            code = 0
+            for tok in _DIFF_TOKEN_RE.finditer(dm.group(1)):
+                if tok.group(1) is not None:
+                    code = int(tok.group(1))
+                else:
+                    from pdftotext_spark.core.strings import decode_name
+
+                    name = decode_name(tok.group(2))
+                    enc.diffs[code] = glyph_to_char(name)
+                    code += 1
+        return enc
+
+    def lookup(self, code: int) -> str | None:
+        hit = self.diffs.get(code)
+        if hit is not None:
+            return hit
+        return None
+
+
+def base_encoding_char(base: str, code: int) -> str:
+    """Map a single byte through a named base encoding.
+
+    WinAnsi ≈ cp1252 (incl. the 0x80–0x9F fixups the reference tables
+    at PdfToText.php:7315–7418); MacRoman via the mac_roman codec
+    (PdfToText.php:7438–7571); 'standard' falls back to latin-1.
+    """
+    b = bytes([code])
+    if base == "winansi":
+        try:
+            return b.decode("cp1252")
+        except UnicodeDecodeError:
+            return chr(code)
+    if base == "macroman":
+        try:
+            return b.decode("mac_roman")
+        except UnicodeDecodeError:
+            return chr(code)
+    return chr(code)

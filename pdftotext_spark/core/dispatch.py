@@ -1,0 +1,76 @@
+"""Payload sniffing + unified extraction entry point.
+
+A transcripts row's ``text`` column carries one of four payload kinds
+(FIXTURES.md §1): an ASCII-safe PDF stored verbatim, a binary PDF
+base64-wrapped behind the ``%B64%`` sentinel (SURVEY.md §7.5 — Spark
+strings are UTF-8; raw Flate bytes are not), templated HTML, or plain
+text. :func:`extract_payload` sniffs, routes and never raises.
+"""
+
+from __future__ import annotations
+
+import base64
+import binascii
+import re
+
+from pdftotext_spark.core.document import (
+    ExtractOptions,
+    ExtractResult,
+    extract_document,
+)
+from pdftotext_spark.core.objects import NotAPdfError
+from pdftotext_spark.html import extract_main_content
+
+B64_SENTINEL = "%B64%"
+_HTML_RE = re.compile(r"^\s*(?:<!doctype\s+html|<html\b|<head\b|<body\b)", re.I)
+_HTML_LOOSE_RE = re.compile(r"<(p|div|section|article|h[1-6]|a|span)\b", re.I)
+
+
+def sniff_kind(payload: str) -> str:
+    """Classify a payload: ``pdf-b64`` | ``pdf`` | ``html`` | ``plain``."""
+    if payload.startswith(B64_SENTINEL):
+        return "pdf-b64"
+    head = payload[:1024]
+    if "%PDF-" in head:
+        return "pdf"
+    if _HTML_RE.search(head) or len(_HTML_LOOSE_RE.findall(head)) >= 2:
+        return "html"
+    return "plain"
+
+
+def extract_payload(
+    payload: str, options: ExtractOptions | None = None
+) -> ExtractResult:
+    """Extract one turn's payload; failures become metrics, not raises."""
+    kind = sniff_kind(payload)
+    if kind == "pdf-b64":
+        try:
+            buf = base64.b64decode(payload[len(B64_SENTINEL) :], validate=False)
+        except (binascii.Error, ValueError):
+            res = ExtractResult(kind="pdf-b64", decode_failures=1)
+            res.failure_reasons.append("bad base64")
+            return res
+        res = _extract_pdf(buf, options)
+        res.kind = "pdf-b64"
+        return res
+    if kind == "pdf":
+        return _extract_pdf(payload.encode("latin-1", errors="replace"), options)
+    if kind == "html":
+        text = extract_main_content(payload)
+        res = ExtractResult(text=text, pages=[text], n_pages=1, kind="html")
+        return res
+    res = ExtractResult(text=payload, pages=[payload], n_pages=1, kind="plain")
+    return res
+
+
+def _extract_pdf(buf: bytes, options: ExtractOptions | None) -> ExtractResult:
+    try:
+        return extract_document(buf, options)
+    except NotAPdfError:
+        res = ExtractResult(kind="pdf", decode_failures=1)
+        res.failure_reasons.append("no %PDF header")
+        return res
+    except Exception as exc:  # malformed payloads must never kill a task
+        res = ExtractResult(kind="pdf", decode_failures=1)
+        res.failure_reasons.append(f"{type(exc).__name__}: {exc}")
+        return res

@@ -1,0 +1,215 @@
+"""Per-document extraction driver — the §3.1 pipeline trace as one
+pure-Python function.
+
+Pipeline (mirrors ``__load``, PdfToText.php:1614–2050):
+header scan → object scan (+ObjStm splice) → trailer (/Encrypt ⇒
+undecodable) → classification loop (fonts / cmaps / font maps /
+images / stream decode, header-footer strip) → cmap attach → page map
+→ per-page interpretation (raw or layout mode) → post-process
+(de-hyphenation, page offsets) → pages joined with the page separator.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pdftotext_spark.core import filters, objects
+from pdftotext_spark.core.fonts import FontTable, is_font, is_font_map
+from pdftotext_spark.core.interpreter import (
+    Fragment,
+    assemble_fragments,
+    extract_fragments,
+    extract_text_raw,
+)
+from pdftotext_spark.core.cmaps import is_character_map, ToUnicodeCMap
+from pdftotext_spark.core.pagemap import (
+    PageMap,
+    is_form_xobject,
+    is_image,
+    is_page_header_or_footer,
+)
+from pdftotext_spark.core.postprocess import (
+    dehyphenate,
+    has_author_information,
+    page_offsets,
+    retrieve_metadata,
+    rtl_reorder,
+)
+
+PAGE_SEPARATOR = "\n"  # reference default PageSeparator
+_TEXT_OP_RE = re.compile(rb"\b(BT|Tf|Td|TJ|Tj|Tm|Do|cm)\b")
+_XOBJ_DO_RE = re.compile(rb"/([A-Za-z0-9.#_+-]+)\s+Do\b")
+
+
+def is_text_stream(decoded: bytes) -> bool:
+    """``IsText`` (PdfToText.php:661–672)."""
+    return bool(_TEXT_OP_RE.search(decoded))
+
+
+_HEADER_FOOTER_SPAN_RE = re.compile(
+    rb"/(?:Artifact|[A-Za-z0-9]+)\s*<<[^>]*?/(?:Top|Bottom|Header|Footer)[^>]*?>>\s*BDC.*?EMC",
+    re.S,
+)
+
+
+def strip_header_footer_spans(decoded: bytes) -> bytes:
+    """Remove ``<<…/Top|/Bottom…>> BDC … EMC`` pagination spans
+    (P10, PdfToText.php:3228–3266)."""
+    return _HEADER_FOOTER_SPAN_RE.sub(b" ", decoded)
+
+
+@dataclass
+class ExtractOptions:
+    layout: bool = False  # PDFOPT_BASIC_LAYOUT analog
+    no_hyphenated_words: bool = False  # PDFOPT_NO_HYPHENATED_WORDS
+    ignore_headers_and_footers: bool = True  # reference default ON
+    max_pages: int = 0  # >0 first N, <0 last N (P11)
+    page_separator: str = PAGE_SEPARATOR
+    want_fragments: bool = False
+    want_images: bool = True
+    rtl: bool = True
+
+
+@dataclass
+class ExtractResult:
+    text: str = ""
+    pages: list[str] = field(default_factory=list)
+    n_pages: int = 0
+    n_images: int = 0
+    decode_failures: int = 0
+    kind: str = "pdf"
+    encrypted: bool = False
+    metadata: dict[str, str] = field(default_factory=dict)
+    page_offsets: list[tuple[int, int]] = field(default_factory=list)
+    fragments: list[Fragment] = field(default_factory=list)
+    image_bytes: list[bytes] = field(default_factory=list)
+    failure_reasons: list[str] = field(default_factory=list)
+
+
+def extract_document(buf: bytes, options: ExtractOptions | None = None) -> ExtractResult:
+    """Extract one PDF byte payload. Never raises on malformed input
+    (failures become metrics, per S5 — PdfToText.php:1777–1812
+    maps engine errors to typed exceptions; our per-payload contract
+    is try/except → ``decode_failures``)."""
+    opts = options or ExtractOptions()
+    res = ExtractResult()
+
+    pf = objects.scan(buf)  # raises NotAPdfError for non-PDF payloads
+    res.decode_failures += pf.decode_failures
+    res.failure_reasons.extend(pf.failure_reasons)
+    if pf.encrypted:
+        # reference: encrypted files unsupported — Decrypt() hardcoded
+        # to false (PdfToText.php:9511–9520); mark undecodable.
+        res.encrypted = True
+        res.decode_failures += 1
+        res.failure_reasons.append("encrypted")
+        return res
+
+    fonts = FontTable()
+    pagemap = PageMap()
+    decoded: dict[int, bytes] = {}
+    text_ids: list[int] = []
+    header_footer_ids: set[int] = set()
+    form_xobject_streams: dict[int, bytes] = {}
+
+    # classification loop (PdfToText.php:1826–1969)
+    for oid, obj in pf.objects.items():
+        body = obj.dict_part
+        pagemap.peek(obj)
+        if has_author_information(body) and not obj.stream:
+            res.metadata.update(retrieve_metadata(body, pf.objects))
+        if is_image(body):
+            res.n_images += 1
+            if opts.want_images and obj.stream is not None:
+                try:
+                    res.image_bytes.append(filters.decode_stream(body, obj.stream))
+                except filters.DecodeError:
+                    res.decode_failures += 1
+                    res.failure_reasons.append(f"image {oid}")
+            continue
+        if obj.stream is None:
+            if is_font(body):
+                fonts.add_font(oid, body)
+            elif is_character_map(body):
+                decoded[oid] = body
+            elif is_font_map(body):
+                fonts.add_alias_map(body)
+            continue
+        if not obj.stream.strip():
+            continue  # empty-stream skip (PdfToText.php:1884–1893)
+        try:
+            data = filters.decode_stream(body, obj.stream)
+        except filters.DecodeError as exc:
+            res.decode_failures += 1
+            res.failure_reasons.append(f"obj {oid}: {exc}")
+            continue
+        decoded[oid] = data
+        if is_font(body):
+            fonts.add_font(oid, body)
+        if is_page_header_or_footer(body):
+            header_footer_ids.add(oid)
+        if is_form_xobject(body):
+            form_xobject_streams[oid] = data
+        if is_text_stream(data):
+            text_ids.append(oid)
+
+    fonts.attach_cmaps(decoded)
+    pagemap.map_objects(pf.objects, [i for i in text_ids if i not in header_footer_ids])
+
+    # per-page extraction (PdfToText.php:1991–2028)
+    page_numbers = sorted(pagemap.pages)
+    if opts.max_pages > 0:
+        page_numbers = page_numbers[: opts.max_pages]
+    elif opts.max_pages < 0:
+        page_numbers = page_numbers[opts.max_pages :]
+
+    seq = 0
+    for pno in page_numbers:
+        pi = pagemap.pages[pno]
+        for alias, foid in pi.font_aliases.items():
+            fonts.alias_map[f"{pno}:{alias}"] = foid
+            fonts.alias_map.setdefault(alias, foid)
+            if foid not in fonts.fonts and foid in pf.objects:
+                fonts.add_font(foid, pf.objects[foid].dict_part)
+        fonts.attach_cmaps(decoded)
+
+        chunks: list[bytes] = []
+        for cid in pi.content_ids:
+            if cid in header_footer_ids and opts.ignore_headers_and_footers:
+                continue
+            data = decoded.get(cid)
+            if data is None:
+                continue
+            if opts.ignore_headers_and_footers:
+                data = strip_header_footer_spans(data)
+            # template inlining: /TPLx Do → splice the form XObject's
+            # stream (G5, PdfToText.php:8293–8331), one level + cycle-safe
+            def splice(m: re.Match[bytes], _seen=frozenset()) -> bytes:
+                alias = m.group(1).decode("latin-1")
+                xid = pi.xobject_aliases.get(alias)
+                if xid is not None and xid in form_xobject_streams:
+                    return b" " + form_xobject_streams[xid] + b" "
+                return m.group(0)
+
+            data = _XOBJ_DO_RE.sub(splice, data)
+            chunks.append(data)
+        stream = b"\n".join(chunks)
+        if opts.layout or opts.want_fragments:
+            frags = extract_fragments(stream, fonts, pno, seq_start=seq)
+            seq += len(frags)
+            res.fragments.extend(frags)
+            page_text = assemble_fragments(frags)
+        else:
+            page_text = extract_text_raw(stream, fonts, page=pno)
+        if opts.rtl:
+            page_text = rtl_reorder(page_text)
+        res.pages.append(page_text)
+
+    res.n_pages = len(res.pages)
+    text = opts.page_separator.join(res.pages)
+    if opts.no_hyphenated_words:
+        text = dehyphenate(text)
+    res.page_offsets = page_offsets(res.pages, opts.page_separator)
+    res.text = text
+    return res

@@ -1,0 +1,271 @@
+"""PDF stream filter decoders (SURVEY.md §2.3, D1–D7).
+
+Reference parity notes (all citations ``PdfToText.php:LINE``):
+
+- filter detection enum        -> :func:`detect_filters`   (328–373)
+- FlateDecode                  -> :func:`flate_decode`     (2763–2780)
+- LZWDecode                    -> :func:`lzw_decode`       (2812–2908)
+- ASCIIHexDecode               -> :func:`ascii_hex_decode` (2913–2965)
+- ASCII85Decode                -> :func:`ascii85_decode`   (2970–3035)
+- post-A85 gzip sniff          -> handled in :func:`decode_stream` (2793–2796)
+- RLE/CCITT/JBIG2/JPX          -> unsupported, reported as decode
+  failures, matching the reference's warn-and-skip (358–369). We *do*
+  implement RunLengthDecode (it is trivial and lossless) but still flag
+  CCITT/JBIG2/JPX as unsupported.
+- RC4/encryption               -> never decrypted; `/Encrypt` presence
+  marks the document undecodable, matching the reference's hardcoded
+  ``return false`` in ``Decrypt()`` (9511–9520).
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+FILTER_NONE = 0
+FILTER_FLATE = 1
+FILTER_ASCIIHEX = 2
+FILTER_ASCII85 = 3
+FILTER_LZW = 4
+FILTER_RUNLENGTH = 5
+FILTER_DCT = 6  # JPEG passthrough (image data, not text)
+FILTER_UNSUPPORTED = 99
+
+_FILTER_ALIASES = {
+    b"FlateDecode": FILTER_FLATE,
+    b"Fl": FILTER_FLATE,
+    b"ASCIIHexDecode": FILTER_ASCIIHEX,
+    b"AHx": FILTER_ASCIIHEX,
+    b"ASCII85Decode": FILTER_ASCII85,
+    b"A85": FILTER_ASCII85,
+    b"LZWDecode": FILTER_LZW,
+    b"LZW": FILTER_LZW,
+    b"RunLengthDecode": FILTER_RUNLENGTH,
+    b"RL": FILTER_RUNLENGTH,
+    b"DCTDecode": FILTER_DCT,
+    b"DCT": FILTER_DCT,
+    b"CCITTFaxDecode": FILTER_UNSUPPORTED,
+    b"CCF": FILTER_UNSUPPORTED,
+    b"JBIG2Decode": FILTER_UNSUPPORTED,
+    b"JPXDecode": FILTER_UNSUPPORTED,
+}
+
+# /Filter /Name  or  /Filter [/N1 /N2]
+_FILTER_RE = re.compile(rb"/Filter\s*(?:\[([^\]]*)\]|/([A-Za-z0-9]+))")
+_NAME_RE = re.compile(rb"/([A-Za-z0-9]+)")
+
+
+class DecodeError(Exception):
+    """A stream body could not be decoded."""
+
+
+def detect_filters(object_dict: bytes) -> list[int]:
+    """Return the ordered filter chain declared in an object dictionary.
+
+    Mirrors ``GetEncodingType`` (PdfToText.php:328–373) but supports
+    filter *arrays* (chained filters), which the reference handles by
+    scanning filter names in order.
+    """
+    m = _FILTER_RE.search(object_dict)
+    if not m:
+        return [FILTER_NONE]
+    if m.group(2) is not None:
+        names = [m.group(2)]
+    else:
+        names = _NAME_RE.findall(m.group(1))
+    return [_FILTER_ALIASES.get(n, FILTER_UNSUPPORTED) for n in names]
+
+
+def flate_decode(data: bytes) -> bytes:
+    """Inflate a FlateDecode stream (PdfToText.php:2763–2780).
+
+    Tries zlib-wrapped first, then raw deflate, then gzip wrapping,
+    then a truncated-tail salvage via decompressobj — the reference
+    similarly retries before declaring failure.
+    """
+    for wbits in (15, -15, 47):
+        try:
+            return zlib.decompress(data, wbits)
+        except zlib.error:
+            pass
+    # salvage a truncated stream: decompress as much as possible
+    try:
+        d = zlib.decompressobj()
+        out = d.decompress(data)
+        if out:
+            return out
+    except zlib.error:
+        pass
+    raise DecodeError("FlateDecode failed")
+
+
+def ascii_hex_decode(data: bytes) -> bytes:
+    """ASCIIHexDecode (PdfToText.php:2913–2965).
+
+    Whitespace is ignored, ``>`` terminates, an odd trailing nibble is
+    padded with 0 per the PDF spec (and the reference).
+    """
+    end = data.find(b">")
+    if end != -1:
+        data = data[:end]
+    hexdigits = re.sub(rb"\s+", b"", data)
+    if re.search(rb"[^0-9A-Fa-f]", hexdigits):
+        raise DecodeError("ASCIIHexDecode: invalid character")
+    if len(hexdigits) % 2:
+        hexdigits += b"0"
+    return bytes.fromhex(hexdigits.decode("ascii"))
+
+
+def ascii85_decode(data: bytes) -> bytes:
+    """ASCII85Decode (PdfToText.php:2970–3035).
+
+    Handles optional ``<~ ~>`` guards, the ``z`` shorthand for four NUL
+    bytes and partial trailing groups.
+    """
+    data = data.strip()
+    if data.startswith(b"<~"):
+        data = data[2:]
+    end = data.find(b"~>")
+    if end != -1:
+        data = data[:end]
+    data = re.sub(rb"\s+", b"", data)
+    out = bytearray()
+    group: list[int] = []
+    for ch in data:
+        if ch == 0x7A:  # 'z'
+            if group:
+                raise DecodeError("ASCII85Decode: z inside group")
+            out.extend(b"\x00\x00\x00\x00")
+            continue
+        if not (0x21 <= ch <= 0x75):
+            raise DecodeError("ASCII85Decode: invalid character")
+        group.append(ch - 0x21)
+        if len(group) == 5:
+            n = 0
+            for g in group:
+                n = n * 85 + g
+            out.extend(n.to_bytes(4, "big"))
+            group = []
+    if group:
+        # partial group: pad with 'u' (84), emit len-1 bytes
+        k = len(group)
+        if k == 1:
+            raise DecodeError("ASCII85Decode: single trailing digit")
+        padded = group + [84] * (5 - k)
+        n = 0
+        for g in padded:
+            n = n * 85 + g
+        out.extend(n.to_bytes(4, "big")[: k - 1])
+    return bytes(out)
+
+
+def lzw_decode(data: bytes) -> bytes:
+    """LZWDecode: variable 9→12-bit codes, clear=256, EOD=257
+    (PdfToText.php:2812–2908, same dictionary-growth thresholds).
+    """
+    out = bytearray()
+    # dictionary: code -> bytes
+    table: dict[int, bytes] = {i: bytes([i]) for i in range(256)}
+    next_code = 258
+    code_len = 9
+    prev: bytes | None = None
+
+    bitbuf = 0
+    nbits = 0
+    for byte in data:
+        bitbuf = (bitbuf << 8) | byte
+        nbits += 8
+        while nbits >= code_len:
+            nbits -= code_len
+            code = (bitbuf >> nbits) & ((1 << code_len) - 1)
+            if code == 256:  # clear table
+                table = {i: bytes([i]) for i in range(256)}
+                next_code = 258
+                code_len = 9
+                prev = None
+                continue
+            if code == 257:  # EOD
+                return bytes(out)
+            if prev is None:
+                entry = table.get(code)
+                if entry is None:
+                    raise DecodeError("LZWDecode: bad first code")
+            elif code in table:
+                entry = table[code]
+            elif code == next_code:
+                entry = prev + prev[:1]
+            else:
+                raise DecodeError("LZWDecode: code out of range")
+            out.extend(entry)
+            if prev is not None:
+                table[next_code] = prev + entry[:1]
+                next_code += 1
+                # grow width at 511/1023/2047 thresholds
+                # (PdfToText.php:2836–2841). EarlyChange=1 semantics:
+                # the decoder lags the encoder by one pending entry, so
+                # it must widen at 2^len - 2.
+                if next_code == (1 << code_len) - 2 and code_len < 12:
+                    code_len += 1
+            prev = entry
+    return bytes(out)
+
+
+def run_length_decode(data: bytes) -> bytes:
+    """RunLengthDecode per PDF spec §7.4.5.
+
+    The reference declines to implement this (PdfToText.php:358–369);
+    we support it because it costs ~15 lines and is lossless, and note
+    the divergence here for the parity audit.
+    """
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        length = data[i]
+        if length == 128:
+            break
+        if length < 128:
+            out.extend(data[i + 1 : i + 2 + length])
+            i += 2 + length
+        else:
+            if i + 1 >= n:
+                raise DecodeError("RunLengthDecode: truncated run")
+            out.extend(data[i + 1 : i + 2] * (257 - length))
+            i += 2
+    return bytes(out)
+
+
+def decode_stream(object_dict: bytes, body: bytes) -> bytes:
+    """Decode a stream body through its declared filter chain.
+
+    Mirrors ``DecodeData`` (PdfToText.php:2757–2808) including the
+    opportunistic inflate after ASCII85 (2793–2796).
+    Raises :class:`DecodeError` for unsupported/broken filters.
+    """
+    out = body
+    filters = detect_filters(object_dict)
+    for i, f in enumerate(filters):
+        if f == FILTER_NONE:
+            continue
+        if f == FILTER_FLATE:
+            out = flate_decode(out)
+        elif f == FILTER_ASCIIHEX:
+            out = ascii_hex_decode(out)
+        elif f == FILTER_ASCII85:
+            out = ascii85_decode(out)
+            # lone A85 wrapping a deflate payload: sniff and inflate
+            if i == len(filters) - 1 and out[:2] in (b"\x78\x9c", b"\x78\x01", b"\x78\xda"):
+                try:
+                    out = flate_decode(out)
+                except DecodeError:
+                    pass
+        elif f == FILTER_LZW:
+            out = lzw_decode(out)
+        elif f == FILTER_RUNLENGTH:
+            out = run_length_decode(out)
+        elif f == FILTER_DCT:
+            # JPEG image data passes through untouched (PdfToText.php:8793–8805)
+            return out
+        else:
+            raise DecodeError("unsupported filter")
+    return out

@@ -1,0 +1,215 @@
+"""Font table + per-font character decoding (SURVEY.md §2.4 F1–F15).
+
+Per document this is a dimension-table build plus a hash join
+``(font_id, char_code) → unicode`` — kept as plain dicts inside the
+pandas UDF, with per-(font,char) memo buffers mirroring the
+reference's caches (PdfToText.php:6116–6121, 6326–6353).
+
+Encoding classification order follows ``AddFont``
+(PdfToText.php:6135–6198): Identity-H CID, /ToUnicode n 0 R,
+/Encoding (inline dict or indirect), /WinAnsiEncoding,
+/MacRomanEncoding, else standard.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pdftotext_spark.core.cmaps import (
+    EncodingMap,
+    ToUnicodeCMap,
+    base_encoding_char,
+)
+
+_BASEFONT_RE = re.compile(rb"/BaseFont\s*/([^\s/<>\[\]()]+)")
+_TOUNICODE_RE = re.compile(rb"/ToUnicode\s+(\d+)\s+\d+\s+R")
+_ENCODING_REF_RE = re.compile(rb"/Encoding\s+(\d+)\s+\d+\s+R")
+_ENCODING_INLINE_RE = re.compile(rb"/Encoding\s*<<(.*?)>>", re.S)
+_IDENTITY_H_RE = re.compile(rb"/Encoding\s*/Identity-H")
+_FIRSTCHAR_RE = re.compile(rb"/FirstChar\s+(\d+)")
+_WIDTHS_RE = re.compile(rb"/Widths\s*\[([^\]]*)\]")
+_MISSING_WIDTH_RE = re.compile(rb"/MissingWidth\s+(\d+(?:\.\d+)?)")
+# <</F1 26 0 R /F2 27 0 R>> style alias maps (PdfToText.php:169–180)
+FONT_ALIAS_RE = re.compile(rb"/([A-Za-z0-9.#_+-]+)\s+(\d+)\s+\d+\s+R")
+
+DEFAULT_CHAR_WIDTH = 500.0  # 1/1000 em units when no /Widths present
+# placeholder for unmappable codes (reference: configurable, default '')
+UNKNOWN_CHAR = ""
+
+
+def is_font(body: bytes) -> bool:
+    """``IsFont`` (PdfToText.php:529–537): /Type/Font or /BaseFont,
+    excluding FontDescriptors."""
+    if b"/FontDescriptor" in body and b"/Type/Font" not in re.sub(rb"\s+", b"", body):
+        return False
+    compact = re.sub(rb"\s+", b"", body)
+    return b"/Type/Font" in compact or b"/BaseFont" in compact
+
+
+def is_font_map(body: bytes) -> bool:
+    """``IsFontMap`` (PdfToText.php:564–572): a dict of font aliases."""
+    compact = re.sub(rb"\s+", b"", body)
+    return bool(re.search(rb"<</F[A-Za-z0-9]*\d+\d+0R", compact)) or bool(
+        re.search(rb"/Font\s*<<", body)
+    )
+
+
+@dataclass
+class Font:
+    obj_id: int
+    base_font: str = ""
+    encoding: str = "standard"  # standard|winansi|macroman|cid
+    cid: bool = False
+    tounicode_ref: int | None = None
+    encoding_ref: int | None = None
+    cmap: ToUnicodeCMap | None = None
+    encoding_map: EncodingMap | None = None
+    first_char: int = 0
+    widths: list[float] = field(default_factory=list)
+    missing_width: float = DEFAULT_CHAR_WIDTH
+    _memo: dict[int, str] = field(default_factory=dict)
+    _width_memo: dict[str, float] = field(default_factory=dict)
+
+    @property
+    def code_width(self) -> int:
+        """Bytes per character code in hex strings."""
+        if self.cmap is not None and self.cmap.code_width > 1:
+            return self.cmap.code_width
+        return 2 if self.cid else 1
+
+    def map_char(self, code: int) -> str:
+        """(font, code) → text, memoized (PdfToText.php:6326–6353).
+
+        Order: ToUnicode CMap, then /Differences, then the secondary
+        base-encoding overlay (F14, PdfToText.php:6584–6615), then the
+        raw code point.
+        """
+        hit = self._memo.get(code)
+        if hit is not None:
+            return hit
+        out: str | None = None
+        if self.cmap is not None:
+            out = self.cmap.lookup(code)
+        if out is None and self.encoding_map is not None:
+            out = self.encoding_map.lookup(code)
+            if out is None and self.encoding_map.base != "standard":
+                out = base_encoding_char(self.encoding_map.base, code)
+        if out is None:
+            if self.cid:
+                # Identity-H without usable ToUnicode: CID == code point
+                # fallback (the reference consults external .cid tables
+                # here, PdfToText.php:7685–7925; our fixtures always
+                # carry ToUnicode so this is the degraded path)
+                out = chr(code) if 0x20 <= code < 0x110000 else UNKNOWN_CHAR
+            elif self.encoding in ("winansi", "macroman"):
+                out = base_encoding_char(self.encoding, code)
+            elif 0 <= code < 0x110000:
+                out = chr(code)
+            else:
+                out = UNKNOWN_CHAR
+        self._memo[code] = out
+        return out
+
+    def char_width(self, code: int) -> float:
+        """Per-char advance in 1/1000 em (PdfToText.php:6459–6577)."""
+        idx = code - self.first_char
+        if 0 <= idx < len(self.widths):
+            return self.widths[idx]
+        return self.missing_width
+
+    def string_width(self, text: str, font_size: float) -> float:
+        """Approximate rendered width (F15, PdfToText.php:6641–6680)."""
+        w = self._width_memo.get(text)
+        if w is None:
+            w = sum(self.char_width(ord(c)) for c in text)
+            self._width_memo[text] = w
+        return w * font_size / 1000.0
+
+
+def parse_font(obj_id: int, body: bytes) -> Font:
+    """Classify one font object (F1, PdfToText.php:6135–6198)."""
+    font = Font(obj_id)
+    bm = _BASEFONT_RE.search(body)
+    if bm:
+        font.base_font = bm.group(1).decode("latin-1")
+    if _IDENTITY_H_RE.search(re.sub(rb"\s+", b"", body)):
+        font.cid = True
+        font.encoding = "cid"
+    tm = _TOUNICODE_RE.search(body)
+    if tm:
+        font.tounicode_ref = int(tm.group(1))
+    em = _ENCODING_REF_RE.search(body)
+    if em and not font.cid:
+        font.encoding_ref = int(em.group(1))
+    else:
+        im = _ENCODING_INLINE_RE.search(body)
+        if im:
+            font.encoding_map = EncodingMap.parse(im.group(0))
+    compact = re.sub(rb"\s+", b"", body)
+    if b"/WinAnsiEncoding" in compact and font.encoding_map is None:
+        font.encoding = "winansi"
+    elif b"/MacRomanEncoding" in compact and font.encoding_map is None:
+        font.encoding = "macroman"
+    fm = _FIRSTCHAR_RE.search(body)
+    if fm:
+        font.first_char = int(fm.group(1))
+    wm = _WIDTHS_RE.search(body)
+    if wm:
+        font.widths = [float(x) for x in re.findall(rb"-?\d+(?:\.\d+)?", wm.group(1))]
+    mm = _MISSING_WIDTH_RE.search(body)
+    if mm:
+        font.missing_width = float(mm.group(1))
+    return font
+
+
+class FontTable:
+    """Per-document font registry (PdfToText.php:6109–6354).
+
+    ``fonts``: object id → Font. ``alias_map``: alias (or
+    ``"page:alias"`` page-local key, F3/G4) → object id.
+    """
+
+    def __init__(self) -> None:
+        self.fonts: dict[int, Font] = {}
+        self.alias_map: dict[str, int] = {}
+
+    def add_font(self, obj_id: int, body: bytes) -> None:
+        self.fonts[obj_id] = parse_font(obj_id, body)
+
+    def add_alias_map(self, body: bytes, page: int | None = None) -> None:
+        """Register ``<</F1 26 0 R>>`` aliases, optionally page-scoped
+        (PdfToText.php:6210–6236)."""
+        for m in FONT_ALIAS_RE.finditer(body):
+            alias = m.group(1).decode("latin-1")
+            oid = int(m.group(2))
+            if page is not None:
+                self.alias_map[f"{page}:{alias}"] = oid
+            self.alias_map.setdefault(alias, oid)
+
+    def attach_cmaps(self, decoded: dict[int, bytes]) -> None:
+        """Resolve /ToUnicode and /Encoding indirections against the
+        decoded-object map (PdfToText.php:1975–1976 → 6241)."""
+        for font in self.fonts.values():
+            if font.tounicode_ref is not None:
+                body = decoded.get(font.tounicode_ref)
+                if body is not None:
+                    font.cmap = ToUnicodeCMap.parse(body)
+            if font.encoding_ref is not None:
+                body = decoded.get(font.encoding_ref)
+                if body is not None:
+                    font.encoding_map = EncodingMap.parse(body)
+                    font.encoding = font.encoding_map.base
+
+    def resolve(self, alias: str, page: int | None = None) -> Font | None:
+        oid = None
+        if page is not None:
+            oid = self.alias_map.get(f"{page}:{alias}")
+        if oid is None:
+            oid = self.alias_map.get(alias)
+        if oid is None:
+            return None
+        return self.fonts.get(oid)
+
+    def default_font(self) -> Font | None:
+        return next(iter(self.fonts.values()), None)

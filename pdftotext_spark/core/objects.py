@@ -1,0 +1,147 @@
+"""PDF byte-stream object scanning (SURVEY.md §2.1, S3–S7).
+
+The reference deliberately ignores the xref table and regex-scans the
+whole file for ``N G obj … endobj`` spans (PdfToText.php:1751–1773) —
+robust against broken xrefs. We keep that strategy: one linear scan,
+``/Type/ObjStm`` compound objects inflated and spliced into the same
+object dict (PdfToText.php:3143–3205), trailer read only for ``/ID``
+and ``/Encrypt`` (PdfToText.php:5279–5317).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pdftotext_spark.core import filters
+
+_HEADER_RE = re.compile(rb"%PDF-(\d+)\.(\d+)")
+_OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b(.*?)endobj", re.S)
+_STREAM_RE = re.compile(rb"stream\r?\n(.*?)\r?\n?endstream", re.S)
+_TRAILER_RE = re.compile(rb"trailer\s*<<(.*?)>>", re.S)
+_ENCRYPT_RE = re.compile(rb"/Encrypt\s+(\d+)\s+\d+\s+R")
+_FILE_ID_RE = re.compile(rb"/ID\s*\[\s*<([0-9A-Fa-f]*)>\s*<([0-9A-Fa-f]*)>")
+_OBJSTM_RE = re.compile(rb"/Type\s*/ObjStm\b")
+_N_RE = re.compile(rb"/N\s+(\d+)")
+_FIRST_RE = re.compile(rb"/First\s+(\d+)")
+_REF_RE = re.compile(rb"(\d+)\s+\d+\s+R\b")
+
+
+class NotAPdfError(Exception):
+    """Payload has no ``%PDF-x.y`` header."""
+
+
+@dataclass
+class PdfObject:
+    """One indirect object: its dictionary/prefix part and optional
+    raw (still-encoded) stream body."""
+
+    obj_id: int
+    dict_part: bytes
+    stream: bytes | None = None
+
+
+@dataclass
+class PdfFile:
+    version: str
+    objects: dict[int, PdfObject]
+    encrypted: bool = False
+    file_id: tuple[str, str] | None = None
+    decode_failures: int = 0
+    failure_reasons: list[str] = field(default_factory=list)
+
+
+def find_header(buf: bytes) -> tuple[int, str]:
+    """Locate ``%PDF-x.y`` and return (offset, version)
+    (PdfToText.php:1618–1630)."""
+    m = _HEADER_RE.search(buf[:4096]) or _HEADER_RE.search(buf)
+    if not m:
+        raise NotAPdfError("no %PDF header")
+    return m.start(), f"{m.group(1).decode()}.{m.group(2).decode()}"
+
+
+def split_object(body: bytes) -> tuple[bytes, bytes | None]:
+    """Split an object body into (dict part, raw stream body or None)."""
+    sm = _STREAM_RE.search(body)
+    if not sm:
+        return body, None
+    return body[: sm.start()], sm.group(1)
+
+
+def _splice_object_stream(pf: PdfFile, obj: PdfObject) -> None:
+    """Inflate an ``/ObjStm`` and splice its embedded objects into the
+    object dict (PdfToText.php:3143–3205). Header is ``/N`` pairs of
+    ``id offset`` ints; object bodies start at ``/First``."""
+    if obj.stream is None:
+        return
+    data = filters.decode_stream(obj.dict_part, obj.stream)
+    n_m = _N_RE.search(obj.dict_part)
+    first_m = _FIRST_RE.search(obj.dict_part)
+    if not n_m or not first_m:
+        raise filters.DecodeError("ObjStm missing /N or /First")
+    n = int(n_m.group(1))
+    first = int(first_m.group(1))
+    header = data[:first].split()
+    pairs = [(int(header[2 * i]), int(header[2 * i + 1])) for i in range(n)]
+    for i, (oid, off) in enumerate(pairs):
+        end = pairs[i + 1][1] if i + 1 < n else len(data) - first
+        body = data[first + off : first + end]
+        if oid not in pf.objects:  # top-level objects win
+            pf.objects[oid] = PdfObject(oid, body, None)
+
+
+def scan(buf: bytes) -> PdfFile:
+    """Scan a whole PDF byte string into a :class:`PdfFile`.
+
+    Mirrors the reference's load loop structure (PdfToText.php:
+    1751–1773 object scan; 1760–1766 ObjStm splice; 1816→5279 trailer).
+    """
+    start, version = find_header(buf)
+    buf = buf[start:]
+    pf = PdfFile(version=version, objects={})
+
+    objstms: list[PdfObject] = []
+    for m in _OBJ_RE.finditer(buf):
+        oid = int(m.group(1))
+        dict_part, stream = split_object(m.group(3))
+        obj = PdfObject(oid, dict_part, stream)
+        pf.objects[oid] = obj
+        if _OBJSTM_RE.search(dict_part):
+            objstms.append(obj)
+
+    for obj in objstms:
+        try:
+            _splice_object_stream(pf, obj)
+        except filters.DecodeError as exc:
+            pf.decode_failures += 1
+            pf.failure_reasons.append(f"objstm {obj.obj_id}: {exc}")
+
+    tm = _TRAILER_RE.search(buf)
+    trailer = tm.group(1) if tm else b""
+    # xref-stream PDFs have no `trailer` keyword; check dicts too
+    if _ENCRYPT_RE.search(trailer) or (not tm and _ENCRYPT_RE.search(buf)):
+        pf.encrypted = True
+    idm = _FILE_ID_RE.search(trailer)
+    if idm:
+        pf.file_id = (idm.group(1).decode(), idm.group(2).decode())
+    return pf
+
+
+def object_references(value: bytes) -> list[int]:
+    """Extract ``n 0 R`` reference targets from ``n 0 R`` or
+    ``[a 0 R b 0 R]`` values (PdfToText.php:413–433)."""
+    return [int(m.group(1)) for m in _REF_RE.finditer(value)]
+
+
+def dict_value(dict_part: bytes, key: bytes) -> bytes | None:
+    """Fetch the raw token(s) following ``/key`` — a number, ref,
+    name, or bracketed array. Good enough for the keys this engine
+    reads (Contents, Pages, Kids, MediaBox, Resources, ...)."""
+    m = re.search(
+        rb"/" + key + rb"\s*(\[[^\]]*\]|<<.*?>>|/[^\s/<>\[\]()]+|[^/<>\[\]()]+?)(?=\s*/|\s*>>|\s*$)",
+        dict_part,
+        re.S,
+    )
+    if not m:
+        return None
+    return m.group(1).strip()

@@ -1,0 +1,132 @@
+"""HTML main-content extraction via DOM text/link-density heuristics.
+
+This branch is **new work mandated by the graft spec** (BASELINE.json
+``north_rule``): the reference library contains no HTML code
+(SURVEY.md §2.10). The heuristics follow the published
+boilerplate-removal literature (Boilerpipe's shallow-text-features —
+Kohlschütter et al., WSDM 2010 — and Readability-style link density):
+
+1. drop non-content subtrees outright (``script style noscript svg
+   nav header footer aside form iframe template``);
+2. segment the remaining markup into *blocks* at block-level tags;
+3. score each block: word count, link density (chars inside ``<a>`` /
+   total chars), stopword-ish density via average word length;
+4. keep blocks classified as content; join with newlines.
+
+Pure stdlib (regex tokenizer — the container has no lxml/bs4), fully
+deterministic, versioned by ``HEURISTICS_VERSION``.
+"""
+
+from __future__ import annotations
+
+import html as _html
+import re
+
+HEURISTICS_VERSION = 1
+
+_DROP_SUBTREE_TAGS = (
+    "script",
+    "style",
+    "noscript",
+    "svg",
+    "nav",
+    "header",
+    "footer",
+    "aside",
+    "form",
+    "iframe",
+    "template",
+    "select",
+    "button",
+)
+
+_BLOCK_TAGS = frozenset(
+    "p div section article main h1 h2 h3 h4 h5 h6 li ul ol table tr td th "
+    "blockquote pre figure figcaption br hr dl dt dd".split()
+)
+
+_DROP_RE = re.compile(
+    r"<(" + "|".join(_DROP_SUBTREE_TAGS) + r")\b.*?</\1\s*>",
+    re.S | re.I,
+)
+_COMMENT_RE = re.compile(r"<!--.*?-->", re.S)
+_TAG_RE = re.compile(r"<(/?)([a-zA-Z][a-zA-Z0-9-]*)((?:\"[^\"]*\"|'[^']*'|[^>])*)>")
+_WS_RE = re.compile(r"[ \t\r\f\v]+")
+
+# minimum words for a block to be considered content on its own
+_MIN_WORDS = 8
+# blocks with more than this fraction of linked text are boilerplate
+_MAX_LINK_DENSITY = 0.33
+
+
+def _segment_blocks(markup: str) -> list[tuple[str, int]]:
+    """Split cleaned markup into text blocks; returns
+    ``[(block_text, linked_chars)]``."""
+    blocks: list[tuple[str, int]] = []
+    buf: list[str] = []
+    linked_chars = 0
+    in_anchor = 0
+    pos = 0
+
+    def flush() -> None:
+        nonlocal buf, linked_chars
+        text = _WS_RE.sub(" ", "".join(buf)).strip()
+        if text:
+            blocks.append((text, linked_chars))
+        buf = []
+        linked_chars = 0
+
+    for m in _TAG_RE.finditer(markup):
+        text = markup[pos : m.start()]
+        if text:
+            t = _html.unescape(text)
+            buf.append(t)
+            if in_anchor:
+                linked_chars += len(t.strip())
+        pos = m.end()
+        closing, tag = m.group(1), m.group(2).lower()
+        if tag == "a":
+            in_anchor = max(0, in_anchor - 1) if closing else in_anchor + 1
+        elif tag in _BLOCK_TAGS:
+            flush()
+    tail = markup[pos:]
+    if tail:
+        buf.append(_html.unescape(tail))
+    flush()
+    return blocks
+
+
+def _is_content(text: str, linked_chars: int, prev_was_content: bool) -> bool:
+    """Shallow-feature block classifier (Boilerpipe-style)."""
+    n_chars = len(text)
+    if n_chars == 0:
+        return False
+    words = text.split()
+    n_words = len(words)
+    link_density = linked_chars / n_chars
+    if link_density > _MAX_LINK_DENSITY:
+        return False
+    if n_words >= _MIN_WORDS:
+        return True
+    # short block: keep only as continuation of surrounding content
+    # (headings/short paragraphs inside an article)
+    return prev_was_content and n_words >= 3 and link_density == 0.0
+
+
+def extract_main_content(markup: str) -> str:
+    """Strip boilerplate and return the main text content."""
+    markup = _COMMENT_RE.sub(" ", markup)
+    prev = None
+    while prev != markup:  # nested drop-tags
+        prev = markup
+        markup = _DROP_RE.sub(" ", markup)
+    blocks = _segment_blocks(markup)
+    out: list[str] = []
+    prev_content = False
+    for text, linked in blocks:
+        if _is_content(text, linked, prev_content):
+            out.append(text)
+            prev_content = True
+        else:
+            prev_content = False
+    return "\n".join(out)

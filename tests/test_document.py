@@ -1,0 +1,156 @@
+"""End-to-end goldens by construction (SURVEY.md §5.2, FIXTURES.md §2):
+synthetic PDFs where the expected text is known because we emitted the
+content streams ourselves."""
+
+import pytest
+
+from pdftotext_spark.core.document import ExtractOptions, extract_document
+from pdftotext_spark.core.dispatch import extract_payload, sniff_kind
+from pdftotext_spark.sources import pdfbuilder as pb
+
+
+def test_plain_tj():
+    pdf = pb.simple_pdf([["Hello World", "Second line"]])
+    res = extract_document(pdf)
+    assert res.text == "Hello World\nSecond line"
+    assert res.n_pages == 1
+    assert res.decode_failures == 0
+
+
+def test_escapes_in_literals():
+    pdf = pb.simple_pdf([["(parens) and \\backslash"]])
+    res = extract_document(pdf)
+    assert res.text == "(parens) and \\backslash"
+
+
+@pytest.mark.parametrize(
+    "filt", [None, "FlateDecode", "LZWDecode", "ASCIIHexDecode", "ASCII85Decode"]
+)
+def test_stream_filters_end_to_end(filt):
+    pdf = pb.simple_pdf([["Filtered body text", "line two"]], stream_filter=filt)
+    res = extract_document(pdf)
+    assert res.text == "Filtered body text\nline two"
+
+
+def test_tj_array_kerning_spaces():
+    # TJ with -300/1000em offsets between words → spaces (T11,
+    # MIN_SPACE_WIDTH=200 per PdfToText.php:1127)
+    pdf = pb.simple_pdf([["alpha beta gamma"]], use_tj_array=True)
+    res = extract_document(pdf)
+    assert res.text == "alpha beta gamma"
+
+
+def test_multipage_order_and_separator():
+    pdf, goldens = pb.multipage_pdf(3)
+    res = extract_document(pdf)
+    assert res.n_pages == 3
+    assert res.pages == goldens
+    assert res.text == "\n".join(goldens)
+    # page offsets cover the joined text (X3)
+    for (start, end), page in zip(res.page_offsets, res.pages):
+        assert res.text[start : end + 1] == page
+
+
+def test_tounicode_bfchar():
+    pdf, golden = pb.tounicode_pdf("Ünïcödé!", mode="bfchar")
+    assert extract_document(pdf).text == golden
+
+
+def test_tounicode_bfrange():
+    pdf, golden = pb.tounicode_pdf("Range decoding works", mode="bfrange")
+    assert extract_document(pdf).text == golden
+
+
+def test_identity_h_two_byte_cids():
+    pdf, golden = pb.identity_h_pdf("CID text ✓")
+    assert extract_document(pdf).text == golden
+
+
+def test_differences_encoding():
+    pdf, golden = pb.differences_pdf()
+    assert extract_document(pdf).text == golden
+
+
+def test_objstm_compound_objects():
+    pdf, golden = pb.objstm_pdf("Inside an object stream")
+    res = extract_document(pdf)
+    assert res.text == golden
+    assert res.decode_failures == 0
+
+
+def test_encrypted_marked_undecodable():
+    res = extract_document(pb.encrypted_pdf())
+    assert res.encrypted
+    assert res.decode_failures >= 1
+    assert res.text == ""
+
+
+def test_broken_stream_is_metric_not_crash():
+    pdf = pb.simple_pdf([["good text"]], stream_filter="FlateDecode")
+    # corrupt the flate body: flip bytes after the stream keyword
+    i = pdf.index(b"stream\n") + 7
+    broken = pdf[:i] + b"\xff\x00\xff\x00" + pdf[i + 4 :]
+    res = extract_document(broken)
+    assert res.decode_failures >= 1
+
+
+def test_metadata_extraction():
+    pdf = pb.simple_pdf(
+        [["body"]],
+        metadata={
+            "Author": "Ada Lovelace",
+            "Title": "Notes",
+            "CreationDate": "D:20260101120000Z",
+        },
+    )
+    res = extract_document(pdf)
+    assert res.metadata["Author"] == "Ada Lovelace"
+    assert res.metadata["Title"] == "Notes"
+    assert res.metadata["CreationDate"].startswith("2026-01-01T12:00:00")
+
+
+def test_max_pages_selection():
+    pdf, goldens = pb.multipage_pdf(4)
+    first2 = extract_document(pdf, ExtractOptions(max_pages=2))
+    assert first2.pages == goldens[:2]
+    last2 = extract_document(pdf, ExtractOptions(max_pages=-2))
+    assert last2.pages == goldens[-2:]
+
+
+def test_layout_mode_matches_raw_for_simple_page():
+    pdf = pb.simple_pdf([["First line", "Second line"]])
+    raw = extract_document(pdf)
+    lay = extract_document(pdf, ExtractOptions(layout=True))
+    assert lay.text == raw.text
+    assert len(lay.fragments) == 2
+    f0, f1 = sorted(lay.fragments, key=lambda f: f.seq)
+    assert f0.y > f1.y  # second line is lower on the page
+
+
+def test_dehyphenation_option():
+    pdf = pb.simple_pdf([["hyphen-", "ation joined"]])
+    res = extract_document(pdf, ExtractOptions(no_hyphenated_words=True))
+    assert res.text == "hyphenation joined"
+
+
+def test_sniff_and_dispatch():
+    pdf = pb.simple_pdf([["dispatch me"]])
+    ascii_payload = pdf.decode("latin-1")
+    assert sniff_kind(ascii_payload) == "pdf"
+    assert extract_payload(ascii_payload).text == "dispatch me"
+
+    import base64
+
+    b64 = "%B64%" + base64.b64encode(pb.simple_pdf([["binary route"]], stream_filter="FlateDecode")).decode()
+    assert sniff_kind(b64) == "pdf-b64"
+    assert extract_payload(b64).text == "binary route"
+
+    assert sniff_kind("just words") == "plain"
+    assert extract_payload("just words").text == "just words"
+
+
+def test_dispatch_never_raises_on_garbage():
+    res = extract_payload("%PDF-1.4 then total garbage \x01\x02")
+    assert res.decode_failures >= 0  # no exception; text may be empty
+    res2 = extract_payload("%B64%!!!notbase64???")
+    assert res2.text == ""

@@ -1,0 +1,68 @@
+"""HTML boilerplate-stripping tests (goldens by construction — we
+template the boilerplate, per SURVEY.md §7.6)."""
+
+from pdftotext_spark.core.dispatch import extract_payload, sniff_kind
+from pdftotext_spark.html import extract_main_content
+
+ARTICLE = (
+    "The quick brown fox jumps over the lazy dog while the observers "
+    "take careful notes about its trajectory and speed."
+)
+PARA2 = (
+    "A second paragraph continues the discussion with enough words to "
+    "be classified as main content by the density heuristics."
+)
+
+
+def page(main_blocks: list[str]) -> str:
+    nav = "".join(f'<li><a href="/{i}">Link {i}</a></li>' for i in range(8))
+    body = "".join(f"<p>{b}</p>" for b in main_blocks)
+    return f"""<!DOCTYPE html>
+<html><head><title>t</title><style>p {{color: red}}</style>
+<script>var x = 1; function f() {{ return "<p>fake</p>"; }}</script></head>
+<body>
+<header><h1>Site Name</h1><nav><ul>{nav}</ul></nav></header>
+<aside><p>Subscribe to our newsletter for daily updates and offers</p></aside>
+<div id="content"><article>{body}</article></div>
+<div class="linkfarm"><p><a href="/a">one</a> <a href="/b">two</a> <a href="/c">three</a></p></div>
+<footer><p>Copyright 2026 · <a href="/tos">Terms</a> · <a href="/privacy">Privacy</a></p></footer>
+</body></html>"""
+
+
+def test_main_content_survives():
+    out = extract_main_content(page([ARTICLE, PARA2]))
+    assert ARTICLE in out
+    assert PARA2 in out
+
+
+def test_boilerplate_removed():
+    out = extract_main_content(page([ARTICLE]))
+    assert "Link 3" not in out  # nav
+    assert "Copyright" not in out  # footer
+    assert "var x" not in out  # script
+    assert "color: red" not in out  # style
+    assert "fake" not in out  # markup inside script strings
+
+
+def test_link_farm_removed():
+    out = extract_main_content(page([ARTICLE]))
+    assert "one" not in out.split()
+
+
+def test_entities_unescaped():
+    html = "<html><body><p>" + ("A&amp;B " * 12) + "</p></body></html>"
+    assert "A&B" in extract_main_content(html)
+
+
+def test_deterministic():
+    p = page([ARTICLE, PARA2])
+    assert extract_main_content(p) == extract_main_content(p)
+
+
+def test_dispatch_html_route():
+    p = page([ARTICLE])
+    assert sniff_kind(p) == "html"
+    res = extract_payload(p)
+    assert res.kind == "html"
+    assert ARTICLE in res.text
+    assert res.n_pages == 1

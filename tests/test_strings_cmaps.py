@@ -1,0 +1,114 @@
+"""Unit tests for string unescaping, names, glyphs and cmaps
+(SURVEY.md §2.4, §2.6 T10/T12/T13)."""
+
+from pdftotext_spark.core.cmaps import (
+    EncodingMap,
+    ToUnicodeCMap,
+    base_encoding_char,
+    is_character_map,
+)
+from pdftotext_spark.core.glyphs import glyph_to_char
+from pdftotext_spark.core.strings import (
+    decode_name,
+    hex_string_bytes,
+    text_string_to_unicode,
+    unescape_literal,
+)
+
+
+def test_unescape_named_and_octal():
+    assert unescape_literal(rb"a\(b\)c\\d") == b"a(b)c\\d"
+    assert unescape_literal(rb"\110\145\154\154\157") == b"Hello"
+    assert unescape_literal(rb"tab\there") == b"tab\there"
+    # 1–2 digit octal
+    assert unescape_literal(rb"\7Q") == b"\x07Q"
+    # unknown escape keeps the char (PdfToText.php:790–900)
+    assert unescape_literal(rb"\q") == b"q"
+
+
+def test_unescape_line_continuation():
+    assert unescape_literal(b"foo\\\nbar") == b"foobar"
+    assert unescape_literal(b"foo\\\r\nbar") == b"foobar"
+
+
+def test_hex_string_whitespace_and_odd_pad():
+    assert hex_string_bytes(b"48 65 6C\n6C 6F") == b"Hello"
+    assert hex_string_bytes(b"486") == b"\x48\x60"
+
+
+def test_decode_name_hash_escape():
+    assert decode_name(b"C2#5F0") == "C2_0"
+
+
+def test_utf16_bom_detect():
+    assert text_string_to_unicode("héllo".encode("utf-16")) == "héllo"
+    assert text_string_to_unicode(b"plain") == "plain"
+
+
+def test_glyph_names():
+    assert glyph_to_char("eacute") == "é"
+    assert glyph_to_char("uni20AC") == "€"
+    assert glyph_to_char("fi") == "ﬁ"
+    assert glyph_to_char("a") == "a"
+    assert glyph_to_char("g70") == chr(70 + 29)  # /gNN +29 quirk
+    assert glyph_to_char("a.sc") == "a"  # variant suffix strip
+    assert glyph_to_char("nosuchglyph") == "?"
+
+
+def test_bfchar_multi_target():
+    # undocumented multi-target bfchar (PdfToText.php:6824–6860)
+    cmap = ToUnicodeCMap.parse(
+        b"begincodespacerange <00> <FF> endcodespacerange\n"
+        b"beginbfchar <41> <0066 0069> endbfchar"
+    )
+    assert cmap.lookup(0x41) == "fi"
+
+
+def test_bfrange_interval_and_promotion():
+    cmap = ToUnicodeCMap.parse(
+        b"beginbfrange <20> <7E> <0020> endbfrange"
+    )
+    assert cmap.lookup(0x41) == "A"
+    assert 0x41 in cmap.direct  # promoted to direct map after first hit
+    assert cmap.lookup(0x7F) is None
+
+
+def test_bfrange_enumerated_form():
+    cmap = ToUnicodeCMap.parse(
+        b"beginbfrange <01> <03> [<0058> <0059> <005A>] endbfrange"
+    )
+    assert [cmap.lookup(i) for i in (1, 2, 3)] == ["X", "Y", "Z"]
+
+
+def test_codespacerange_width():
+    cmap = ToUnicodeCMap.parse(
+        b"begincodespacerange <0000> <FFFF> endcodespacerange\n"
+        b"beginbfchar <0041> <0042> endbfchar"
+    )
+    assert cmap.code_width == 2
+    assert cmap.lookup(0x41) == "B"
+
+
+def test_differences_map():
+    enc = EncodingMap.parse(
+        b"<< /BaseEncoding /WinAnsiEncoding /Differences [ 128 /eacute /uni20AC 200 /fl ] >>"
+    )
+    assert enc.base == "winansi"
+    assert enc.lookup(128) == "é"
+    assert enc.lookup(129) == "€"
+    assert enc.lookup(200) == "ﬂ"
+    assert enc.lookup(65) is None  # falls through to base encoding
+
+
+def test_base_encodings():
+    # WinAnsi 0x80–0x9F fixups (cp1252): 0x93 = left double quote
+    assert base_encoding_char("winansi", 0x93) == "“"
+    assert base_encoding_char("winansi", 0x80) == "€"
+    # MacRoman upper half: 0x8E = é
+    assert base_encoding_char("macroman", 0x8E) == "é"
+
+
+def test_is_character_map():
+    assert is_character_map(b"... beginbfchar ...")
+    assert is_character_map(b"<< /Differences [1 /a] >>")
+    assert not is_character_map(b"<< /Type /Page >>")
