@@ -1,38 +1,94 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship extraction pipeline end-to-end on
+sf0.001; ``queries()``/``oracle_sql()`` expose the DataFrame-level
+operator inventory (SURVEY.md §2 [DF] ops + the training-data-pipeline
+operators) with DuckDB oracles.
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from pdftotext_spark.operators import dedup, extraction_queries, relational, similarity, textstats  # noqa: E402
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: wrap sf0.001 documents into synthetic PDFs (three
+    builder variants), run the full extraction core inside one
+    vectorized ``mapInPandas`` stage, verify per-turn text equality by
+    construction, and roll up per source. Driver checks rows > 0."""
+    return extraction_queries.pdf_roundtrip_by_source(
+        spark, "/root/testdata/sf0.001"
+    )
+
+
+_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # extraction pipeline exercised through the oracle gate
+    "pdf_roundtrip_by_source": extraction_queries.pdf_roundtrip_by_source,
+    # SURVEY.md §2 [DF] operators
+    "turn_reassembly": relational.turn_reassembly,          # §1.2 window invariant
+    "sessionize": relational.sessionize,                    # L3 session grouping
+    "containment_capture": relational.containment_capture,  # L5 spatial filter+bbox agg
+    "search_offsets": relational.search_offsets,            # X6 search/page attribution
+    "regex_normalize": relational.regex_normalize,          # X2 de-hyphenation regex
+    "topn_per_key": relational.topn_per_key,                # P11 page selection
+    "fragment_sort_topk": relational.fragment_sort_topk,    # L2 fragment sort
+    "pricing_summary": relational.pricing_summary,          # classic OLAP agg
+    "segment_revenue": relational.segment_revenue,          # broadcast dim join
+    # dedup family
+    "dedup_exact": dedup.dedup_exact,
+    "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
+    "minhash_signatures": dedup.minhash_signatures,
+    "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
+    "simhash": dedup.simhash,
+    # similarity search
+    "cosine_topk": similarity.cosine_topk,
+    "cosine_neardup_pairs": similarity.cosine_neardup_pairs,
+    # text analysis
+    "lang_id": textstats.lang_id,
+    "quality_score": textstats.quality_score,
+    "token_count_by_source": textstats.token_count_by_source,
+    "doc_fingerprint": textstats.doc_fingerprint,
+}
+
+_ORACLES: dict[str, str] = {
+    "pdf_roundtrip_by_source": extraction_queries.PDF_ROUNDTRIP_BY_SOURCE_SQL,
+    "turn_reassembly": relational.TURN_REASSEMBLY_SQL,
+    "sessionize": relational.SESSIONIZE_SQL,
+    "containment_capture": relational.CONTAINMENT_CAPTURE_SQL,
+    "search_offsets": relational.SEARCH_OFFSETS_SQL,
+    "regex_normalize": relational.REGEX_NORMALIZE_SQL,
+    "topn_per_key": relational.TOPN_PER_KEY_SQL,
+    "fragment_sort_topk": relational.FRAGMENT_SORT_TOPK_SQL,
+    "pricing_summary": relational.PRICING_SUMMARY_SQL,
+    "segment_revenue": relational.SEGMENT_REVENUE_SQL,
+    "dedup_exact": dedup.DEDUP_EXACT_SQL,
+    "ngram_jaccard_pairs": dedup.NGRAM_JACCARD_PAIRS_SQL,
+    "minhash_signatures": dedup.MINHASH_SIGNATURES_SQL,
+    "minhash_lsh_pairs": dedup.MINHASH_LSH_PAIRS_SQL,
+    "simhash": dedup.SIMHASH_SQL,
+    "cosine_topk": similarity.COSINE_TOPK_SQL,
+    "cosine_neardup_pairs": similarity.COSINE_NEARDUP_PAIRS_SQL,
+    "lang_id": textstats.LANG_ID_SQL,
+    "quality_score": textstats.QUALITY_SCORE_SQL,
+    "token_count_by_source": textstats.TOKEN_COUNT_BY_SOURCE_SQL,
+    "doc_fingerprint": textstats.DOC_FINGERPRINT_SQL,
+}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2 (+ the
+    training-data-pipeline operator families)."""
+    return dict(_QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable ANSI SQL equivalents; keys mirror queries()."""
+    return dict(_ORACLES)

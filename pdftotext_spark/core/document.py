@@ -98,6 +98,12 @@ def extract_document(buf: bytes, options: ExtractOptions | None = None) -> Extra
     pf = objects.scan(buf)  # raises NotAPdfError for non-PDF payloads
     res.decode_failures += pf.decode_failures
     res.failure_reasons.extend(pf.failure_reasons)
+    if not pf.objects:
+        # a %PDF header with no parseable objects is a broken payload,
+        # not an empty document — surface it in the metrics
+        res.decode_failures += 1
+        res.failure_reasons.append("no indirect objects found")
+        return res
     if pf.encrypted:
         # reference: encrypted files unsupported — Decrypt() hardcoded
         # to false (PdfToText.php:9511–9520); mark undecodable.

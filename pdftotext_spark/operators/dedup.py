@@ -1,0 +1,267 @@
+"""Deduplication operators for training-data pipelines: exact,
+n-gram Jaccard, MinHash+LSH and SimHash — all expressed with built-in
+``pyspark.sql.functions`` (JVM-side, whole-stage codegen) and each
+paired with a DuckDB oracle.
+
+Portability trick for hash parity: both engines implement ``md5``
+identically, and the *lexicographic minimum of md5(seed || shingle)*
+is a valid MinHash (uniform over hex strings), so signatures match
+bit-for-bit across engines with zero UDFs. SimHash uses md5 hex
+nibbles as the per-token hash bits via arithmetic both dialects share.
+
+Scale notes:
+- shingling bounds work per row (first SHINGLE_SPAN chars) so cost is
+  O(rows), not O(total bytes);
+- the shingle self-join is the classic LSH trade: at 100 TB you run
+  the *banded MinHash* variant (`minhash_lsh_pairs`) whose join key is
+  a band hash — expected bucket sizes are tiny, and AQE skew-split
+  handles hot buckets; the all-pairs Jaccard here is the verifier for
+  candidate pairs, never run unbanded at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SHINGLE_LEN = 8
+SHINGLE_SPAN = 249  # max shingle start offset (bounds per-doc work)
+N_MINHASH = 8
+BAND_SIZE = 2  # 8 hashes → 4 bands of 2
+JACCARD_THRESHOLD = 0.6
+
+
+def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+def _shingles(docs: DataFrame) -> DataFrame:
+    """Distinct char-8-gram shingles per doc over a bounded prefix.
+    Pure built-ins: sequence → transform(substring) → explode."""
+    expr = (
+        f"transform(sequence(1, greatest(least(length(text) - {SHINGLE_LEN - 1}, "
+        f"{SHINGLE_SPAN}), 1)), i -> substring(text, i, {SHINGLE_LEN}))"
+    )
+    return (
+        docs.select("doc_id", F.explode(F.expr(expr)).alias("sh"))
+        .distinct()
+    )
+
+
+_SHINGLES_SQL = f"""
+  SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), {SHINGLE_LEN}) AS sh
+  FROM documents, (SELECT unnest(range(1, {SHINGLE_SPAN + 1})) AS i) r
+  WHERE i <= greatest(length(text) - {SHINGLE_LEN - 1}, 1)
+"""
+
+
+# ------------------------------------------------------------ exact dedup
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on content digest; canonical row =
+    min doc_id. One shuffle on a 32-byte key; partial agg map-side."""
+    docs = _read(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5("text").alias("content_md5"))
+        .agg(
+            F.min("doc_id").cast("long").alias("canonical_doc_id"),
+            F.count("*").cast("long").alias("n_copies"),
+        )
+    )
+
+
+DEDUP_EXACT_SQL = """
+SELECT md5(text) AS content_md5,
+       CAST(MIN(doc_id) AS BIGINT) AS canonical_doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_copies
+FROM documents GROUP BY md5(text)
+"""
+
+
+# --------------------------------------------------- n-gram Jaccard pairs
+
+
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs n-gram Jaccard over shared shingles: shingle
+    self-join → common counts → |A∩B| / (|A|+|B|−|A∩B|) ≥ threshold.
+    The shingle join is the scale-limited step (see module docstring —
+    at 100 TB use minhash_lsh_pairs to generate candidates first)."""
+    docs = _read(spark, sf_dir, "documents")
+    s = _shingles(docs).cache()
+    counts = s.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = s.alias("a")
+    b = s.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("common"))
+    )
+    ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common"))
+    return (
+        pairs.join(F.broadcast(ca), "doc_a")
+        .join(F.broadcast(cb), "doc_b")
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select(
+            F.col("doc_a").cast("long"),
+            F.col("doc_b").cast("long"),
+            F.round(jac, 4).alias("jaccard"),
+        )
+    )
+
+
+NGRAM_JACCARD_PAIRS_SQL = f"""
+WITH s AS ({_SHINGLES_SQL}),
+c AS (SELECT doc_id, COUNT(*) AS n_sh FROM s GROUP BY doc_id),
+p AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+  FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b,
+       ROUND(common * 1.0 / (ca.n_sh + cb.n_sh - common), 4) AS jaccard
+FROM p JOIN c ca ON ca.doc_id = p.doc_a JOIN c cb ON cb.doc_id = p.doc_b
+WHERE common * 1.0 / (ca.n_sh + cb.n_sh - common) >= {JACCARD_THRESHOLD}
+"""
+
+
+# ------------------------------------------------------- MinHash + LSH
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc MinHash signature: h_k = min(md5('k:' || shingle)).
+    Lexicographic min over uniformly-distributed hex digests is a
+    proper MinHash; identical in any engine with md5."""
+    docs = _read(spark, sf_dir, "documents")
+    s = _shingles(docs)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{k}:"), F.col("sh")))).alias(f"h{k}")
+        for k in range(N_MINHASH)
+    ]
+    return s.groupBy(F.col("doc_id").cast("long").alias("doc_id")).agg(*aggs)
+
+
+MINHASH_SIGNATURES_SQL = f"""
+WITH s AS ({_SHINGLES_SQL})
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       {", ".join(f"MIN(md5('{k}:' || sh)) AS h{k}" for k in range(N_MINHASH))}
+FROM s GROUP BY doc_id
+"""
+
+
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded-LSH candidate pairs: band hash = md5(h_{2i} || h_{2i+1});
+    docs sharing any band bucket are candidates. The self-join key is
+    the (band_idx, band_hash) bucket — tiny expected buckets, the
+    100 TB-safe join shape."""
+    sig = minhash_signatures(spark, sf_dir)
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        F.md5(
+                            F.concat(F.col(f"h{2 * i}"), F.col(f"h{2 * i + 1}"))
+                        ).alias("band_hash"),
+                    )
+                    for i in range(N_MINHASH // BAND_SIZE)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_idx", "band.band_hash")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+_BANDS_SQL = " UNION ALL ".join(
+    f"SELECT doc_id, {i} AS band_idx, md5(h{2 * i} || h{2 * i + 1}) AS band_hash FROM sig"
+    for i in range(N_MINHASH // BAND_SIZE)
+)
+
+MINHASH_LSH_PAIRS_SQL = f"""
+WITH s AS ({_SHINGLES_SQL}),
+sig AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         {", ".join(f"MIN(md5('{k}:' || sh)) AS h{k}" for k in range(N_MINHASH))}
+  FROM s GROUP BY doc_id
+),
+bands AS ({_BANDS_SQL})
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b
+  ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+ AND a.doc_id < b.doc_id
+"""
+
+
+# --------------------------------------------------------------- SimHash
+
+SIMHASH_BITS = 16  # 4 md5 hex nibbles
+
+
+def _simhash_bit_exprs() -> list[str]:
+    """16 per-bit vote expressions shared verbatim by both dialects:
+    bit b lives in hex digit b//4 of md5(token), tested by
+    floor(value / 2^(b%4)) % 2."""
+    exprs = []
+    for b in range(SIMHASH_BITS):
+        digit = b // 4 + 1
+        shift = 2 ** (b % 4)
+        nib = (
+            f"(position(substr(md5(tok), {digit}, 1) IN '0123456789abcdef') - 1)"
+        )
+        exprs.append(
+            f"SUM(CASE WHEN CAST(floor({nib} / {shift}) AS INT) % 2 = 1 "
+            f"THEN 1 ELSE -1 END)"
+        )
+    return exprs
+
+
+def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc 16-bit SimHash over word tokens: per-bit majority vote
+    of token-hash bits. All JVM-side expression work (explode + one
+    grouped aggregation)."""
+    docs = _read(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    per_doc = toks.groupBy("doc_id").agg(
+        *[F.expr(e).alias(f"v{b}") for b, e in enumerate(_simhash_bit_exprs())]
+    )
+    combine = " + ".join(
+        f"(CASE WHEN v{b} > 0 THEN {2 ** b} ELSE 0 END)" for b in range(SIMHASH_BITS)
+    )
+    return per_doc.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.expr(combine).cast("long").alias("simhash"),
+    )
+
+
+SIMHASH_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents
+),
+votes AS (
+  SELECT doc_id,
+         {", ".join(f"{e} AS v{b}" for b, e in enumerate(_simhash_bit_exprs()))}
+  FROM toks WHERE tok <> '' GROUP BY doc_id
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST({" + ".join(f"(CASE WHEN v{b} > 0 THEN {2 ** b} ELSE 0 END)" for b in range(SIMHASH_BITS))} AS BIGINT) AS simhash
+FROM votes
+"""

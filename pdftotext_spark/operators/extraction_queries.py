@@ -1,0 +1,83 @@
+"""Extraction exercised as a driver-checkable query: wrap each
+document's text into a synthetic PDF (three builder variants cycling
+by doc_id), extract it back through the full core pipeline inside one
+``mapInPandas`` stage, and report per-source roundtrip equality.
+
+Because the goldens hold *by construction* (we emit the content
+streams; SURVEY.md §5.2), the correct result is
+``n_roundtrip_equal == n_docs`` for every source — which is exactly
+what the DuckDB oracle states. A miscount in any core stage (filters,
+object scan, ObjStm, cmaps, tokenizer, interpreter, assembly) breaks
+the hash match, so this one query gates the whole §2 extraction
+inventory through the driver's oracle harness.
+"""
+
+from __future__ import annotations
+
+import base64
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from pdftotext_spark.core.dispatch import extract_payload
+from pdftotext_spark.sources import pdfbuilder as pb
+
+_ROUNDTRIP_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("ok", T.IntegerType()),
+    ]
+)
+
+
+def _wrap_payload(doc_id: int, text: str) -> str:
+    """Deterministic payload variant per doc: uncompressed ASCII PDF,
+    Flate-compressed base64 PDF, or ObjStm-packed base64 PDF."""
+    variant = doc_id % 3
+    if variant == 0:
+        return pb.simple_pdf([[text]]).decode("latin-1")
+    if variant == 1:
+        pdf = pb.simple_pdf([[text]], stream_filter="FlateDecode")
+    else:
+        pdf, _ = pb.objstm_pdf(text)
+    return "%B64%" + base64.b64encode(pdf).decode("ascii")
+
+
+def _roundtrip_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        oks = []
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            payload = _wrap_payload(int(doc_id), text)
+            res = extract_payload(payload)
+            oks.append(1 if res.text == text and res.decode_failures == 0 else 0)
+        yield pd.DataFrame(
+            {"doc_id": pdf["doc_id"], "source": pdf["source"], "ok": oks}
+        )
+
+
+def pdf_roundtrip_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pdftotext_spark.sources.shipping import ship_package
+
+    ship_package(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source", "text"
+    )
+    rt = docs.mapInPandas(_roundtrip_batches, _ROUNDTRIP_SCHEMA)
+    return rt.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("ok").cast("long").alias("n_roundtrip_equal"),
+    )
+
+
+# The oracle asserts perfect roundtrip: any extraction defect breaks
+# the value-hash match on n_roundtrip_equal.
+PDF_ROUNDTRIP_BY_SOURCE_SQL = """
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_roundtrip_equal
+FROM documents GROUP BY source
+"""

@@ -1,0 +1,277 @@
+"""DataFrame-level relational operators — the [DF]-tagged SURVEY.md §2
+inventory re-expressed as Catalyst-optimizable plans, each with a
+DuckDB oracle (driver contract).
+
+Scale notes per operator are in the docstrings; common themes:
+aggregations are partial (map-side combine) by construction, joins
+broadcast the small side explicitly, windows carry explicit orderBy
+keys with unique tie-breakers so results are deterministic at any
+parallelism.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+# --------------------------------------------------------------- assembly
+
+
+def turn_reassembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stable-order text reassembly (the north_rule window invariant,
+    SURVEY.md §1.2) on the `documents` stand-in: groupBy +
+    array_sort(collect_list(struct)) keeps the aggregation partial and
+    avoids a whole-partition sort. One shuffle on the group key."""
+    docs = _read(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("doc_id", "text"))),
+                lambda s: s.text,
+            ),
+            "\n",
+        ).alias("assembled_text"),
+        F.count("*").cast("long").alias("n_docs"),
+    )
+
+
+TURN_REASSEMBLY_SQL = """
+SELECT lang,
+       string_agg(text, chr(10) ORDER BY doc_id) AS assembled_text,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM documents GROUP BY lang
+"""
+
+
+# -------------------------------------------------------------- sessionize
+
+
+def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based session windows (L3's session-grouping analog,
+    PdfToText.php:5198–5224): lag + cumulative sum of gap flags.
+    Unique (ts, event_id) ordering keys make the window deterministic
+    under any partitioning."""
+    events = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    flagged = events.withColumn(
+        "new_sess", F.when(gap > 3600, F.lit(1)).otherwise(F.lit(0))
+    )
+    sess = flagged.withColumn(
+        "session_id",
+        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.min("ts").alias("start_ts"),
+        F.max("ts").alias("end_ts"),
+    )
+
+
+SESSIONIZE_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 3600
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+), sess AS (
+  SELECT user_id, ts,
+         CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+       MIN(ts) AS start_ts, MAX(ts) AS end_ts
+FROM sess GROUP BY user_id, session_id
+"""
+
+
+# ---------------------------------------------- containment capture (L5)
+
+
+def containment_capture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial-containment filter + bbox aggregation (L5,
+    PdfToText.php:11070–11123) on lineitem's numeric 'box': the filter
+    pushes to the parquet scan (PushedFilters), the agg is partial."""
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_quantity") >= 10)
+            & (F.col("l_quantity") <= 40)
+            & (F.col("l_extendedprice") >= 1000)
+            & (F.col("l_extendedprice") <= 50000)
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").cast("long").alias("n_items"),
+            F.min("l_quantity").alias("min_qty"),
+            F.max("l_quantity").alias("max_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("sum_price"),
+        )
+    )
+
+
+CONTAINMENT_CAPTURE_SQL = """
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       MIN(l_quantity) AS min_qty,
+       MAX(l_quantity) AS max_qty,
+       SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price
+FROM lineitem
+WHERE l_quantity BETWEEN 10 AND 40
+  AND l_extendedprice BETWEEN 1000 AND 50000
+GROUP BY l_returnflag
+"""
+
+
+# -------------------------------------------------- search offsets (X6)
+
+
+def search_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring search with offset attribution (X6,
+    PdfToText.php:2217–2435): first occurrence position per document."""
+    docs = _read(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id", F.locate("data", F.col("text")).cast("long").alias("first_pos")
+        )
+        .filter(F.col("first_pos") > 0)
+    )
+
+
+SEARCH_OFFSETS_SQL = """
+SELECT doc_id, CAST(strpos(text, 'data') AS BIGINT) AS first_pos
+FROM documents WHERE strpos(text, 'data') > 0
+"""
+
+
+# ------------------------------------------------- regex replace (X2)
+
+
+def regex_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """De-hyphenation-style regexp_replace (X2, PdfToText.php:1313–1320)
+    generalized to a normalization fingerprint so the oracle compares
+    transformed values, not pass-throughs."""
+    docs = _read(spark, sf_dir, "documents")
+    cleaned = F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", "")
+    dehyph = F.regexp_replace(cleaned, "([a-z])- ([a-z])", "$1$2")
+    return docs.select("doc_id", F.md5(dehyph).alias("norm_md5"))
+
+
+REGEX_NORMALIZE_SQL = r"""
+SELECT doc_id,
+       md5(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                          '([a-z])- ([a-z])', '\1\2', 'g')) AS norm_md5
+FROM documents
+"""
+
+
+# ---------------------------------------------- page selection / top-N
+
+
+def topn_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-N selection per group (P11 page-selection analog,
+    PdfToText.php:5844–5854): rank with unique tie-breaker."""
+    events = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        events.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 3)
+        .select("user_id", "event_id", "rn")
+    )
+
+
+TOPN_PER_KEY_SQL = """
+SELECT user_id, event_id, rn FROM (
+  SELECT user_id, event_id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS rn
+  FROM events
+) WHERE rn <= 3
+"""
+
+
+# ----------------------------------------------------- classic OLAP aggs
+
+
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary: partial aggregation, decimal
+    sums for engine-exact parity, filter pushed to scan."""
+    li = _read(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,4)")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"),
+            F.sum(price).alias("sum_base_price"),
+            # keep full product scale (exact decimal arithmetic) so the
+            # oracle needs no rounding-mode assumptions
+            F.sum(price * (F.lit(1).cast("decimal(18,4)") - disc)).alias("sum_disc_price"),
+            F.count("*").cast("long").alias("count_order"),
+        )
+    )
+
+
+PRICING_SUMMARY_SQL = """
+SELECT l_returnflag, l_linestatus,
+       SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+       SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+       SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+           (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS sum_disc_price,
+       CAST(COUNT(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension join + rollup with an explicit broadcast of the small
+    side (customer ≪ orders at scale; at 100 TB the orders side
+    shuffles nothing for this join)."""
+    orders = _read(spark, sf_dir, "orders")
+    customer = _read(spark, sf_dir, "customer")
+    return (
+        orders.join(
+            F.broadcast(customer.select("c_custkey", "c_mktsegment")),
+            orders.o_custkey == F.col("c_custkey"),
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("revenue"),
+            F.count("*").cast("long").alias("n_orders"),
+        )
+    )
+
+
+SEGMENT_REVENUE_SQL = """
+SELECT c_mktsegment,
+       SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def fragment_sort_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-key fragment sort (L2, PdfToText.php:5174–5185) as a
+    deterministic top-k: Spark plans this as TakeOrderedAndProject —
+    no global sort materialization."""
+    events = _read(spark, sf_dir, "events")
+    return (
+        events.orderBy(F.desc("value"), F.asc("event_id"))
+        .select("event_id", "user_id", "value")
+        .limit(100)
+    )
+
+
+FRAGMENT_SORT_TOPK_SQL = """
+SELECT event_id, user_id, value
+FROM events ORDER BY value DESC, event_id ASC LIMIT 100
+"""

@@ -1,0 +1,128 @@
+"""Similarity search over embedding columns (array<float>).
+
+- :func:`cosine_topk` — brute-force cosine top-k against a query
+  vector, computed entirely with higher-order functions
+  (``zip_with`` + ``aggregate``) — JVM-side, no UDF. The oracle
+  mirrors the exact same sequential-sum formula via DuckDB's
+  ``list_zip``/``list_transform``/``list_sum`` so doubles match.
+- :func:`cosine_neardup_pairs` — near-duplicate pairs bucketed by
+  ``label`` (the IVF-style scale path: compare only within a coarse
+  bucket; at 100 TB labels come from a clustering/LSH pass, and the
+  pairwise compare never crosses buckets).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TOP_K = 10
+NEARDUP_THRESHOLD = 0.80
+QUERY_VEC_ID = 0
+
+
+def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Sequential double-precision dot product (same order as DuckDB's
+    list_sum over list_zip, so results match bit-for-bit)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k nearest neighbours of vec_id=0 by cosine similarity.
+
+    The query vector joins in as a broadcast single row (no driver
+    collect → the plan scales to any table size); top-k plans as
+    TakeOrderedAndProject."""
+    emb = _read(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("q_embedding")
+    )
+    joined = emb.filter(F.col("vec_id") != QUERY_VEC_ID).join(F.broadcast(q))
+    cos = _dot(F.col("embedding"), F.col("q_embedding")) / (
+        _norm(F.col("embedding")) * _norm(F.col("q_embedding"))
+    )
+    return (
+        joined.select(
+            F.col("vec_id").cast("long").alias("vec_id"),
+            F.round(cos, 4).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(TOP_K)
+    )
+
+
+COSINE_TOPK_SQL = f"""
+WITH q AS (SELECT embedding AS q_embedding FROM embeddings WHERE vec_id = {QUERY_VEC_ID})
+SELECT CAST(e.vec_id AS BIGINT) AS vec_id,
+       ROUND(
+         list_sum(list_transform(list_zip(e.embedding, q.q_embedding),
+                                 x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+            * sqrt(list_sum(list_transform(q.q_embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+         4) AS cosine
+FROM embeddings e, q
+WHERE e.vec_id <> {QUERY_VEC_ID}
+ORDER BY cosine DESC, vec_id ASC
+LIMIT {TOP_K}
+"""
+
+
+def cosine_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-duplicate pairs within coarse buckets (label):
+    the bucketed self-join is the IVF scale shape — pair count is
+    Σ bucket_size², not N²."""
+    emb = _read(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    a = emb.alias("a")
+    b = emb.alias("b")
+    cos = _dot(F.col("a.embedding"), F.col("b.embedding")) / (
+        _norm(F.col("a.embedding")) * _norm(F.col("b.embedding"))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").cast("long").alias("vec_a"),
+            F.col("b.vec_id").cast("long").alias("vec_b"),
+            F.col("a.label").cast("int").alias("label"),
+            F.round(cos, 4).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= NEARDUP_THRESHOLD)
+    )
+
+
+COSINE_NEARDUP_PAIRS_SQL = f"""
+SELECT * FROM (
+  SELECT CAST(a.vec_id AS BIGINT) AS vec_a,
+         CAST(b.vec_id AS BIGINT) AS vec_b,
+         CAST(a.label AS INT) AS label,
+         ROUND(
+           list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                                   x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+           / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+              * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+           4) AS cosine
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND a.vec_id < b.vec_id
+) WHERE cosine >= {NEARDUP_THRESHOLD}
+"""

@@ -1,0 +1,156 @@
+"""Text-analysis operators for training-data pipelines: language-ID,
+quality scoring, token counting and document fingerprinting — all
+built-in-function plans (no UDFs) with DuckDB oracles.
+
+The counting primitive is the engine-agnostic replace trick
+``(length(s) - length(replace(s, needle, ''))) / length(needle)`` so
+both engines produce identical integers with no regex-dialect risk.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# tiny per-language stopword marker sets (n-gram heuristic; the doc
+# corpus is synthetic so this demonstrates the operator shape)
+LANG_MARKERS = {
+    "en": (" the ", " and ", " of "),
+    "de": (" der ", " und ", " die "),
+    "fr": (" le ", " et ", " les "),
+    "es": (" el ", " y ", " los "),
+}
+PUNCT = ".,!?;:"
+
+
+def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+def _count_occ(col: Column, needle: str) -> Column:
+    return (
+        (F.length(col) - F.length(F.replace(col, F.lit(needle), F.lit(""))))
+        / F.lit(len(needle))
+    ).cast("long")
+
+
+def _count_occ_sql(expr: str, needle: str) -> str:
+    return (
+        f"CAST((length({expr}) - length(replace({expr}, '{needle}', ''))) "
+        f"/ {len(needle)} AS BIGINT)"
+    )
+
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-marker language ID: per-language marker counts →
+    argmax with a fixed preference order on ties ('und' if all zero)."""
+    docs = _read(spark, sf_dir, "documents")
+    padded = F.concat(F.lit(" "), F.lower("text"), F.lit(" "))
+    scores = {
+        lang: sum(
+            (_count_occ(padded, m) for m in markers), F.lit(0).cast("long")
+        )
+        for lang, markers in LANG_MARKERS.items()
+    }
+    best = F.greatest(*scores.values())
+    pred = F.when(best == 0, F.lit("und"))
+    for lang in LANG_MARKERS:  # insertion order = tie preference
+        pred = pred.when(scores[lang] == best, F.lit(lang))
+    return docs.select(
+        "doc_id",
+        pred.alias("pred_lang"),
+        best.alias("marker_hits"),
+    )
+
+
+def _lang_id_sql() -> str:
+    padded = "(' ' || lower(text) || ' ')"
+    scores = {
+        lang: " + ".join(_count_occ_sql(padded, m) for m in markers)
+        for lang, markers in LANG_MARKERS.items()
+    }
+    score_cols = ", ".join(f"({e}) AS s_{lang}" for lang, e in scores.items())
+    best = "greatest(" + ", ".join(f"s_{lang}" for lang in LANG_MARKERS) + ")"
+    case = "CASE WHEN best = 0 THEN 'und' " + " ".join(
+        f"WHEN s_{lang} = best THEN '{lang}'" for lang in LANG_MARKERS
+    ) + " END"
+    return f"""
+WITH scored AS (SELECT doc_id, {score_cols} FROM documents),
+best AS (SELECT *, {best} AS best FROM scored)
+SELECT doc_id, {case} AS pred_lang, best AS marker_hits FROM best
+"""
+
+
+LANG_ID_SQL = _lang_id_sql()
+
+
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shallow quality features: char/word counts, punctuation count,
+    mean word length — the Gopher/C4-style cheap filters."""
+    docs = _read(spark, sf_dir, "documents")
+    text = F.col("text")
+    n_chars = F.length(text).cast("long")
+    n_words = (_count_occ(text, " ") + 1).cast("long")
+    n_punct = (
+        F.length(text) - F.length(F.translate(text, PUNCT, ""))
+    ).cast("long")
+    n_letter_chars = F.length(F.replace(text, F.lit(" "), F.lit("")))
+    return docs.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        n_words.alias("n_words"),
+        n_punct.alias("n_punct"),
+        F.round(n_letter_chars / n_words, 3).alias("avg_word_len"),
+    )
+
+
+QUALITY_SCORE_SQL = f"""
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       {_count_occ_sql('text', ' ')} + 1 AS n_words,
+       CAST(length(text) - length(translate(text, '{PUNCT}', '')) AS BIGINT) AS n_punct,
+       ROUND(length(replace(text, ' ', '')) * 1.0 /
+             ({_count_occ_sql('text', ' ')} + 1), 3) AS avg_word_len
+FROM documents
+"""
+
+
+def token_count_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token accounting rolled up by source — the budgeting
+    query every training-data pipeline runs first."""
+    docs = _read(spark, sf_dir, "documents")
+    n_tokens = _count_occ(F.col("text"), " ") + 1
+    return docs.groupBy("source").agg(
+        F.sum(n_tokens).cast("long").alias("total_tokens"),
+        F.count("*").cast("long").alias("n_docs"),
+        F.max(n_tokens).cast("long").alias("max_doc_tokens"),
+    )
+
+
+TOKEN_COUNT_BY_SOURCE_SQL = f"""
+SELECT source,
+       CAST(SUM({_count_occ_sql('text', ' ')} + 1) AS BIGINT) AS total_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MAX({_count_occ_sql('text', ' ')} + 1) AS BIGINT) AS max_doc_tokens
+FROM documents GROUP BY source
+"""
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized content fingerprint (lowercase, alnum+space only →
+    md5): the canonical pre-dedup digest."""
+    docs = _read(spark, sf_dir, "documents")
+    normalized = F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", "")
+    return docs.select(
+        "doc_id",
+        F.md5(normalized).alias("fingerprint"),
+        F.length(normalized).cast("long").alias("norm_len"),
+    )
+
+
+DOC_FINGERPRINT_SQL = """
+SELECT doc_id,
+       md5(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS fingerprint,
+       CAST(length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS BIGINT) AS norm_len
+FROM documents
+"""

@@ -1,0 +1,191 @@
+"""Batch extraction pipeline over a transcripts table (SURVEY.md §7.3).
+
+Scale design (BASELINE.json north_rule — 10^12 turns, 1000 executors):
+
+- **Salted repartition on conv_id** before the CPU-bound extraction
+  stage: a mega-conversation (Zipf skew fixture, FIXTURES.md §1) must
+  not pin one task. Salt = ``pmod(xxhash64(conv_id, turn_idx), SALT)``
+  so one conversation spreads over SALT partitions while staying
+  deterministic. Extraction itself is per-turn (no cross-turn state),
+  so any partitioning is *correct*; the salt is purely anti-skew.
+- **Conversation assembly** is the only shuffle-by-key stage; it uses
+  a window over ``(conv_id, turn_idx)`` — AQE handles residual skew
+  (``spark.sql.adaptive.enabled`` + skew-join settings in
+  :func:`session_confs`).
+- **Resumability**: ``resume_anti_join`` drops `(conv_id, turn_idx)`
+  pairs already committed to the target table (Iceberg snapshot or
+  parquet staging dir) — an idempotent restart needs no checkpoint
+  files of its own. The join broadcasts when the committed side is
+  small and AQE-converts otherwise.
+- **Metrics manifest** (north_rule lineage requirement): per-partition
+  rows `{run_id, partition_id, turns_parsed, decode_failures,
+  images_extracted, wall_ms}` derived from the extraction output with
+  ``spark_partition_id()`` — one extra narrow aggregation, no second
+  pass over payloads.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pdftotext_spark.functions.extract import (
+    EXTRACT_SCHEMA,
+    FRAGMENT_SCHEMA,
+    extract_batches,
+    fragment_batches,
+)
+
+DEFAULT_SALT = 64
+
+TRANSCRIPT_COLUMNS = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+
+
+def session_confs() -> dict[str, str]:
+    """Recommended session configuration for the extraction job."""
+    return {
+        "spark.sql.session.timeZone": "UTC",
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        # extraction is CPU-bound python; moderate batches keep peak
+        # memory flat without starving Arrow transfer efficiency
+        "spark.sql.execution.arrow.maxRecordsPerBatch": "2048",
+        "spark.sql.shuffle.partitions": "32",
+    }
+
+
+def read_transcripts(spark: SparkSession, path_or_table: str) -> DataFrame:
+    """Load the transcripts input: Iceberg table name if the catalog
+    resolves it, else a parquet path (S1/S2 analog — the common
+    denominator in this sandbox, per SURVEY.md §7.1)."""
+    if "/" not in path_or_table:
+        try:
+            return spark.read.table(path_or_table)
+        except Exception:
+            pass
+    return spark.read.parquet(path_or_table)
+
+
+def extract_turns(
+    transcripts: DataFrame,
+    n_partitions: int | None = None,
+    salt: int = DEFAULT_SALT,
+) -> DataFrame:
+    """Per-turn extraction: salted repartition → ``mapInPandas``.
+
+    Input must carry TRANSCRIPT_COLUMNS; output schema is
+    :data:`EXTRACT_SCHEMA`. Column pruning: we select exactly the six
+    input columns so the scan reads nothing else.
+    """
+    from pdftotext_spark.sources.shipping import ship_package
+
+    ship_package(transcripts.sparkSession)
+    df = transcripts.select(*TRANSCRIPT_COLUMNS)
+    if n_partitions is None:
+        n_partitions = df.sparkSession.sparkContext.defaultParallelism * 2
+    # deterministic anti-skew salt: turn-level hash spreads
+    # mega-conversations across partitions (extraction is per-turn
+    # pure, so co-location is not required at this stage)
+    df = df.repartition(
+        n_partitions,
+        F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(salt)),
+    )
+    return df.mapInPandas(extract_batches, EXTRACT_SCHEMA)
+
+
+def extract_fragments_df(transcripts: DataFrame, n_partitions: int | None = None) -> DataFrame:
+    """Exploded positioned-fragments table (FIXTURES.md §4) for the
+    layout/captures operator family."""
+    from pdftotext_spark.sources.shipping import ship_package
+
+    ship_package(transcripts.sparkSession)
+    df = transcripts.select("conv_id", "turn_idx", "text")
+    if n_partitions is not None:
+        df = df.repartition(n_partitions, F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(DEFAULT_SALT)))
+    return df.mapInPandas(fragment_batches, FRAGMENT_SCHEMA)
+
+
+def assemble_conversations(extracted: DataFrame, separator: str = "\n") -> DataFrame:
+    """Reassemble per-conversation text under stable
+    ``(conv_id, turn_idx)`` ordering (the north_rule invariant).
+
+    One shuffle on conv_id; ``sort_array(collect_list(struct(...)))``
+    gives a deterministic order-independent assembly (no window
+    needed — groupBy + sort_array avoids the extra sort a window
+    would add and keeps partial aggregation map-side).
+    """
+    return (
+        extracted.groupBy("conv_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("turn_idx", "extracted_text"))
+                    ),
+                    lambda s: s.extracted_text,
+                ),
+                separator,
+            ).alias("conversation_text"),
+            F.count("*").alias("n_turns"),
+            F.sum("decode_failures").alias("decode_failures"),
+            F.max("ts").alias("last_ts"),
+        )
+    )
+
+
+def metrics_manifest(extracted: DataFrame, run_id: str) -> DataFrame:
+    """Per-partition lineage/metrics manifest (north_rule)."""
+    return (
+        extracted.withColumn("partition_id", F.spark_partition_id())
+        .groupBy("partition_id")
+        .agg(
+            F.count("*").alias("turns_parsed"),
+            F.sum("decode_failures").alias("decode_failures"),
+            F.sum("n_images").alias("images_extracted"),
+            (F.sum("extract_us") / F.lit(1000)).cast("long").alias("wall_ms"),
+        )
+        .withColumn("run_id", F.lit(run_id))
+        .withColumn("committed_at", F.current_timestamp())
+    )
+
+
+def resume_anti_join(transcripts: DataFrame, committed: DataFrame) -> DataFrame:
+    """Drop turns already present in the committed output —
+    idempotent resume from an Iceberg snapshot / staging dir
+    (SURVEY.md §7.8). AQE picks broadcast vs shuffle join at runtime;
+    the join key is narrow (two columns) either way."""
+    return transcripts.join(
+        committed.select("conv_id", "turn_idx"),
+        on=["conv_id", "turn_idx"],
+        how="left_anti",
+    )
+
+
+def run_extraction(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str | None = None,
+    metrics_path: str | None = None,
+    run_id: str = "run-0",
+    resume: bool = True,
+) -> DataFrame:
+    """End-to-end job: read → (resume filter) → extract → write +
+    manifest. Returns the extracted DataFrame (lazily if not written)."""
+    transcripts = read_transcripts(spark, input_path)
+    if output_path is not None and resume:
+        try:
+            committed = spark.read.parquet(output_path)
+            transcripts = resume_anti_join(transcripts, committed)
+        except Exception:
+            pass  # nothing committed yet
+    extracted = extract_turns(transcripts)
+    if output_path is not None:
+        extracted.write.mode("append").parquet(output_path)
+        extracted = spark.read.parquet(output_path)
+        if metrics_path is not None:
+            metrics_manifest(extracted, run_id).write.mode("append").parquet(
+                metrics_path
+            )
+    return extracted

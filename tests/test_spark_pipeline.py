@@ -1,0 +1,122 @@
+"""Spark integration tests: the mapInPandas extraction pipeline
+delivers per-turn text equality vs construction goldens (the
+north_rule invariant), plus assembly / metrics / resume semantics."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pdftotext_spark.plans.pipeline import (
+    assemble_conversations,
+    extract_fragments_df,
+    extract_turns,
+    metrics_manifest,
+    resume_anti_join,
+)
+
+pytestmark = pytest.mark.spark
+
+
+@pytest.fixture(scope="module")
+def extracted(spark, transcripts_dir):
+    df = spark.read.parquet(f"{transcripts_dir}/transcripts.parquet")
+    out = extract_turns(df, n_partitions=8)
+    out.cache()
+    out.count()
+    return out
+
+
+def test_per_turn_text_equality(spark, transcripts_dir, extracted):
+    """100% per-turn text equality vs goldens (north rule)."""
+    golden = spark.read.parquet(f"{transcripts_dir}/golden.parquet")
+    joined = extracted.join(golden, ["conv_id", "turn_idx"], "inner")
+    total = joined.count()
+    assert total == 200
+    mismatches = joined.filter(
+        F.col("extracted_text") != F.col("expected_text")
+    ).count()
+    assert mismatches == 0
+
+
+def test_no_decode_failures_on_clean_fixture(extracted):
+    assert extracted.agg(F.sum("decode_failures")).first()[0] == 0
+
+
+def test_payload_kind_matches_tool_tag(extracted):
+    # tool column tags the payload kind (FIXTURES.md §1); sniffer must agree
+    # (generator tags 'pdf-ascii' which the sniffer reports as 'pdf')
+    bad = extracted.filter(
+        ~(
+            (F.col("tool") == F.col("payload_kind"))
+            | ((F.col("tool") == "pdf-ascii") & (F.col("payload_kind") == "pdf"))
+        )
+    ).count()
+    assert bad == 0
+
+
+def test_assembly_stable_order(spark, transcripts_dir, extracted):
+    """Conversation assembly must equal goldens joined in turn order."""
+    convs = assemble_conversations(extracted)
+    golden = spark.read.parquet(f"{transcripts_dir}/golden.parquet")
+    expected = (
+        golden.groupBy("conv_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("turn_idx", "expected_text"))),
+                    lambda s: s.expected_text,
+                ),
+                "\n",
+            ).alias("expected_conv")
+        )
+    )
+    joined = convs.join(expected, "conv_id")
+    assert joined.count() > 0
+    assert joined.filter(F.col("conversation_text") != F.col("expected_conv")).count() == 0
+
+
+def test_metrics_manifest(extracted):
+    m = metrics_manifest(extracted, "test-run").toPandas()
+    assert m["turns_parsed"].sum() == 200
+    assert (m["turns_parsed"] > 0).all()
+    assert set(m.columns) >= {
+        "run_id",
+        "partition_id",
+        "turns_parsed",
+        "decode_failures",
+        "images_extracted",
+        "wall_ms",
+    }
+
+
+def test_resume_anti_join(spark, transcripts_dir):
+    df = spark.read.parquet(f"{transcripts_dir}/transcripts.parquet")
+    committed = df.limit(50).select("conv_id", "turn_idx")
+    remaining = resume_anti_join(df, committed)
+    assert remaining.count() == df.count() - 50
+
+
+def test_fragments_table(spark, transcripts_dir):
+    df = spark.read.parquet(f"{transcripts_dir}/transcripts.parquet").filter(
+        F.col("tool").startswith("pdf")
+    ).limit(20)
+    frags = extract_fragments_df(df)
+    pdf_frags = frags.toPandas()
+    assert len(pdf_frags) > 0
+    # deterministic tie-breaker present and text non-empty
+    assert (pdf_frags["text"].str.len() > 0).all()
+    assert pdf_frags["page"].min() >= 1
+
+
+def test_extraction_plan_shape(spark, transcripts_dir):
+    """Physical-plan checks: extraction runs as one MapInPandas over a
+    hash-repartition exchange, and an extra input column is pruned
+    before the exchange (column pruning reaches the scan)."""
+    df = spark.read.parquet(f"{transcripts_dir}/transcripts.parquet")
+    plan = (
+        extract_turns(df.withColumn("junk", F.lit(1)), n_partitions=4)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "MapInPandas" in plan or "mapInPandas" in plan.lower()
+    assert "junk" not in plan  # pruned: never materialized anywhere
