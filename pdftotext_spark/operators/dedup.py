@@ -83,25 +83,33 @@ FROM documents GROUP BY md5(text)
 
 
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All-pairs n-gram Jaccard over shared shingles: shingle
-    self-join → common counts → |A∩B| / (|A|+|B|−|A∩B|) ≥ threshold.
-    The shingle join is the scale-limited step (see module docstring —
-    at 100 TB use minhash_lsh_pairs to generate candidates first)."""
+    """Exact n-gram Jaccard over **LSH candidate pairs** — the 100 TB
+    shape: candidates come from banded MinHash (cheap, bucket-joined),
+    and the quadratic-looking exact verification
+    |A∩B| / (|A|+|B|−|A∩B|) runs only on those pairs.
+
+    An unbanded all-pairs shingle self-join is O(Σ df(shingle)²) and
+    melts on shared-vocabulary corpora (measured 228 s on 500 docs at
+    sf0.1 vs ~8 s this way); never run it at scale.
+    """
     docs = _read(spark, sf_dir, "documents")
-    s = _shingles(docs).cache()
+    s = _shingles(docs)
     counts = s.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a = s.alias("a")
-    b = s.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    cand = minhash_lsh_pairs(spark, sf_dir)
+    sa = s.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = s.select(F.col("doc_id").alias("sb_doc"), F.col("sh").alias("sh_b"))
+    common = (
+        F.broadcast(cand)
+        .join(sa, "doc_a")
+        .join(sb, (F.col("doc_b") == F.col("sb_doc")) & (F.col("sh_a") == F.col("sh_b")))
+        .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("common"))
     )
     ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
     cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
     jac = F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common"))
     return (
-        pairs.join(F.broadcast(ca), "doc_a")
+        common.join(F.broadcast(ca), "doc_a")
         .join(F.broadcast(cb), "doc_b")
         .filter(jac >= JACCARD_THRESHOLD)
         .select(
@@ -115,12 +123,26 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 NGRAM_JACCARD_PAIRS_SQL = f"""
 WITH s AS ({_SHINGLES_SQL}),
 c AS (SELECT doc_id, COUNT(*) AS n_sh FROM s GROUP BY doc_id),
+sig AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         {", ".join(f"MIN(md5('{k}:' || sh)) AS h{k}" for k in range(N_MINHASH))}
+  FROM s GROUP BY doc_id
+),
+bands AS ({{bands}}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id
+),
 p AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
-  FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
-  GROUP BY a.doc_id, b.doc_id
+  SELECT cand.doc_a, cand.doc_b, COUNT(*) AS common
+  FROM cand
+  JOIN s sa ON sa.doc_id = cand.doc_a
+  JOIN s sb ON sb.doc_id = cand.doc_b AND sb.sh = sa.sh
+  GROUP BY cand.doc_a, cand.doc_b
 )
-SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b,
+SELECT CAST(p.doc_a AS BIGINT) AS doc_a, CAST(p.doc_b AS BIGINT) AS doc_b,
        ROUND(common * 1.0 / (ca.n_sh + cb.n_sh - common), 4) AS jaccard
 FROM p JOIN c ca ON ca.doc_id = p.doc_a JOIN c cb ON cb.doc_id = p.doc_b
 WHERE common * 1.0 / (ca.n_sh + cb.n_sh - common) >= {JACCARD_THRESHOLD}
@@ -193,6 +215,9 @@ _BANDS_SQL = " UNION ALL ".join(
     f"SELECT doc_id, {i} AS band_idx, md5(h{2 * i} || h{2 * i + 1}) AS band_hash FROM sig"
     for i in range(N_MINHASH // BAND_SIZE)
 )
+
+# resolve the {bands} placeholder now that the band SQL exists
+NGRAM_JACCARD_PAIRS_SQL = NGRAM_JACCARD_PAIRS_SQL.format(bands=_BANDS_SQL)
 
 MINHASH_LSH_PAIRS_SQL = f"""
 WITH s AS ({_SHINGLES_SQL}),

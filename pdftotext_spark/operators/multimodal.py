@@ -1,0 +1,148 @@
+"""Multimodal column plumbing: images/audio/video as opaque ``binary``
+columns with typed metadata, processed through ``mapInPandas``.
+
+The Spark-side plumbing (schemas, batch shapes, partitioning, UDF
+signatures) is real and tested; the codec step is STUBBED behind
+deterministic fakes because the container ships no image/audio
+libraries — each stub documents the production swap-in
+(Pillow/torchvision/ffmpeg) and raises ``NotImplementedError`` when
+``strict=True``.
+
+The PDF image-carving path (M4, PdfToText.php:2693–2728) feeds this:
+``carve_images`` turns extracted per-turn image bytes into one row per
+image with sniffed format metadata — JPEG bytes pass through DCTDecode
+untouched exactly like the reference (PdfToText.php:8793–8805).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from pdftotext_spark.sources.shipping import ship_package
+
+IMAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("image_idx", T.IntegerType()),
+        T.StructField("data", T.BinaryType()),
+        T.StructField("format", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("sha256", T.StringType()),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("image_idx", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("feature", T.ArrayType(T.FloatType())),
+    ]
+)
+
+FEATURE_DIM = 16
+
+
+def sniff_format(data: bytes) -> str:
+    if data[:3] == b"\xff\xd8\xff":
+        return "jpeg"
+    if data[:8] == b"\x89PNG\r\n\x1a\n":
+        return "png"
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
+    if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
+        return "webp"
+    return "raw"
+
+
+def carve_images_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Extract per-turn image XObjects (M4) into one row per image."""
+    from pdftotext_spark.core.dispatch import extract_payload
+    from pdftotext_spark.core.document import ExtractOptions
+
+    opts = ExtractOptions(want_images=True)
+    for pdf in batches:
+        rows: dict[str, list] = {k.name: [] for k in IMAGE_SCHEMA.fields}
+        for conv_id, turn_idx, payload in zip(
+            pdf["conv_id"], pdf["turn_idx"], pdf["text"]
+        ):
+            res = extract_payload(payload or "", opts)
+            for i, data in enumerate(res.image_bytes):
+                rows["conv_id"].append(conv_id)
+                rows["turn_idx"].append(int(turn_idx))
+                rows["image_idx"].append(i)
+                rows["data"].append(data)
+                rows["format"].append(sniff_format(data))
+                rows["n_bytes"].append(len(data))
+                rows["sha256"].append(hashlib.sha256(data).hexdigest())
+        yield pd.DataFrame(rows)
+
+
+def carve_images(transcripts: DataFrame) -> DataFrame:
+    ship_package(transcripts.sparkSession)
+    return transcripts.select("conv_id", "turn_idx", "text").mapInPandas(
+        carve_images_batches, IMAGE_SCHEMA
+    )
+
+
+def decode_image(data: bytes, strict: bool = False) -> tuple[int, int, list[float]]:
+    """STUB — production: Pillow decode + torchvision feature extract.
+
+    The deterministic fake derives (width, height, feature[16]) from a
+    sha256 of the bytes so downstream plumbing (schema, batch shape,
+    joins on feature vectors) is fully exercisable and reproducible.
+    """
+    if strict:
+        raise NotImplementedError(
+            "image codecs not available in this container; install "
+            "Pillow and replace decode_image"
+        )
+    h = hashlib.sha256(data).digest()
+    width = 16 + h[0] % 240
+    height = 16 + h[1] % 240
+    feature = [round(b / 255.0, 6) for b in h[2 : 2 + FEATURE_DIM]]
+    return width, height, feature
+
+
+def image_features_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows: dict[str, list] = {k.name: [] for k in FEATURE_SCHEMA.fields}
+        for conv_id, turn_idx, image_idx, data in zip(
+            pdf["conv_id"], pdf["turn_idx"], pdf["image_idx"], pdf["data"]
+        ):
+            w, hgt, feat = decode_image(bytes(data))
+            rows["conv_id"].append(conv_id)
+            rows["turn_idx"].append(int(turn_idx))
+            rows["image_idx"].append(int(image_idx))
+            rows["width"].append(w)
+            rows["height"].append(hgt)
+            rows["feature"].append(feat)
+        yield pd.DataFrame(rows)
+
+
+def image_features(images: DataFrame) -> DataFrame:
+    """images (IMAGE_SCHEMA) → per-image (width, height, feature[16]).
+    Dedup-ready: join on sha256 first so each distinct image decodes
+    once (the 100 TB shape: decode cost ∝ distinct images)."""
+    ship_package(images.sparkSession)
+    distinct = images.dropDuplicates(["sha256"])
+    return distinct.select(
+        "conv_id", "turn_idx", "image_idx", "data"
+    ).mapInPandas(image_features_batches, FEATURE_SCHEMA)
+
+
+def exact_image_dedup(images: DataFrame) -> DataFrame:
+    """Exact multimodal dedup on content digest (groupBy sha256)."""
+    return images.groupBy("sha256", "format").agg(
+        F.count("*").cast("long").alias("n_copies"),
+        F.min("n_bytes").cast("long").alias("n_bytes"),
+    )

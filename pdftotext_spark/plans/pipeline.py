@@ -49,9 +49,17 @@ def session_confs() -> dict[str, str]:
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
         "spark.sql.adaptive.skewJoin.enabled": "true",
         "spark.sql.execution.arrow.pyspark.enabled": "true",
-        # extraction is CPU-bound python; moderate batches keep peak
-        # memory flat without starving Arrow transfer efficiency
-        "spark.sql.execution.arrow.maxRecordsPerBatch": "2048",
+        # measured on the 100k-turn fixture (BENCH/BASELINE.md): 10k-row
+        # Arrow batches beat 2k (fewer pipe round-trips); extraction is
+        # CPU-heavy per byte, so small scan splits keep all cores fed
+        "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+        # extraction burns ~1 CPU-sec per scanned MB — orders of
+        # magnitude above scan cost — so splits far below the IO-optimal
+        # 128m keep every core fed and bound straggler tails. Measured
+        # on the 100k-turn fixture: 1m splits 42k turns/s vs 20k at 16m
+        # (BENCH/BASELINE.md). On a real cluster, size this to
+        # ~seconds-of-CPU per split for the same reason.
+        "spark.sql.files.maxPartitionBytes": "1m",
         "spark.sql.shuffle.partitions": "32",
     }
 
@@ -73,25 +81,34 @@ def extract_turns(
     n_partitions: int | None = None,
     salt: int = DEFAULT_SALT,
 ) -> DataFrame:
-    """Per-turn extraction: salted repartition → ``mapInPandas``.
+    """Per-turn extraction via ``mapInPandas`` — shuffle-free by
+    default.
+
+    Extraction is per-row pure (no key), so the parquet scan's byte
+    splits already balance work: mega-conversation skew is a *key*
+    phenomenon and cannot skew a keyless byte-split scan. Measured on
+    the 100k-turn fixture, skipping the repartition removes a
+    ~120 MB shuffle and its barrier (~2× end-to-end; BENCH/BASELINE.md).
+
+    Pass ``n_partitions`` to force a salted repartition instead — for
+    pathological file layouts (one giant unsplittable file, heavily
+    clustered payload sizes) the deterministic turn-level salt
+    ``pmod(xxhash64(conv_id, turn_idx), salt)`` spreads any single
+    conversation across ``salt`` partitions.
 
     Input must carry TRANSCRIPT_COLUMNS; output schema is
-    :data:`EXTRACT_SCHEMA`. Column pruning: we select exactly the six
-    input columns so the scan reads nothing else.
+    :data:`EXTRACT_SCHEMA`. We select exactly the six input columns so
+    column pruning reaches the scan.
     """
     from pdftotext_spark.sources.shipping import ship_package
 
     ship_package(transcripts.sparkSession)
     df = transcripts.select(*TRANSCRIPT_COLUMNS)
-    if n_partitions is None:
-        n_partitions = df.sparkSession.sparkContext.defaultParallelism * 2
-    # deterministic anti-skew salt: turn-level hash spreads
-    # mega-conversations across partitions (extraction is per-turn
-    # pure, so co-location is not required at this stage)
-    df = df.repartition(
-        n_partitions,
-        F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(salt)),
-    )
+    if n_partitions is not None:
+        df = df.repartition(
+            n_partitions,
+            F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(salt)),
+        )
     return df.mapInPandas(extract_batches, EXTRACT_SCHEMA)
 
 

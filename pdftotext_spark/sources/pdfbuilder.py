@@ -355,6 +355,46 @@ def encrypted_pdf() -> bytes:
     )
 
 
+def image_pdf(line: str = "with image", n_images: int = 1) -> tuple[bytes, bytes]:
+    """A one-page PDF embedding JPEG image XObjects (DCTDecode
+    passthrough, M4/PdfToText.php:8793–8805). Returns
+    (pdf_bytes, the deterministic fake-JPEG bytes)."""
+    # minimal JPEG-shaped bytes: SOI + APP0 "JFIF" + payload + EOI
+    jpeg = (
+        b"\xff\xd8\xff\xe0\x00\x10JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+        + bytes((i * 7) % 256 for i in range(64))
+        + b"\xff\xd9"
+    )
+    b = PdfBuilder()
+    catalog, pages_node, font, page, content = (b.alloc() for _ in range(5))
+    img_ids = [b.alloc() for _ in range(n_images)]
+    b.add(catalog, f"<< /Type /Catalog /Pages {pages_node} 0 R >>\n".encode())
+    b.add(pages_node, f"<< /Type /Pages /Kids [{page} 0 R] /Count 1 >>\n".encode())
+    b.add(font, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>\n")
+    xobjs = " ".join(f"/Im{i} {oid} 0 R" for i, oid in enumerate(img_ids))
+    b.add(
+        page,
+        (
+            f"<< /Type /Page /Parent {pages_node} 0 R /MediaBox [0 0 612 792] "
+            f"/Resources << /Font << /F1 {font} 0 R >> /XObject << {xobjs} >> >> "
+            f"/Contents {content} 0 R >>\n"
+        ).encode(),
+    )
+    b.add_stream(
+        content,
+        b"",
+        f"BT /F1 12 Tf 1 0 0 1 72 720 Tm ({escape_literal(line)}) Tj ET".encode(),
+    )
+    for oid in img_ids:
+        b.add_stream(
+            oid,
+            b"/Subtype /Image /Width 8 /Height 8 /ColorSpace /DeviceRGB /BitsPerComponent 8",
+            jpeg,
+            "DCTDecode",
+        )
+    return b.build(), jpeg
+
+
 def multipage_pdf(n_pages: int = 3) -> tuple[bytes, list[str]]:
     pages = [[f"Page {i + 1} line one", f"Page {i + 1} line two"] for i in range(n_pages)]
     goldens = ["\n".join(p) for p in pages]

@@ -201,7 +201,10 @@ def write_parquet(
         ]
     )
     table = pa.Table.from_pylist(rows, schema=schema)
-    pq.write_table(table, t_path)
+    # small row groups: parquet scans parallelize per row group, and
+    # extraction is CPU-heavy per byte — 4096-row groups give local[32]
+    # plenty of splits without a repartition shuffle
+    pq.write_table(table, t_path, row_group_size=4096)
     gschema = pa.schema(
         [("conv_id", pa.string()), ("turn_idx", pa.int32()), ("expected_text", pa.string())]
     )

@@ -1,0 +1,100 @@
+"""Multimodal plumbing (binary columns, stubbed codecs) and the
+Structured-Streaming pipeline variant."""
+
+import base64
+
+import pytest
+from pyspark.sql import functions as F
+
+from pdftotext_spark.core.document import ExtractOptions, extract_document
+from pdftotext_spark.operators import multimodal
+from pdftotext_spark.sources import pdfbuilder as pb
+
+pytestmark = pytest.mark.spark
+
+
+def _image_transcripts(spark, n_rows: int = 6):
+    rows = []
+    for i in range(n_rows):
+        pdf_bytes, _ = pb.image_pdf(f"turn {i}", n_images=1 + i % 2)
+        rows.append(
+            (
+                "conv-img",
+                i,
+                "user",
+                "%B64%" + base64.b64encode(pdf_bytes).decode(),
+                "pdf-b64",
+            )
+        )
+    return spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string"
+    ).withColumn("ts", F.current_timestamp())
+
+
+def test_image_carving_core():
+    pdf, jpeg = pb.image_pdf("hello image", n_images=2)
+    res = extract_document(pdf, ExtractOptions(want_images=True))
+    assert res.n_images == 2
+    assert res.image_bytes == [jpeg, jpeg]
+    assert res.text == "hello image"
+    assert multimodal.sniff_format(jpeg) == "jpeg"
+
+
+def test_carve_images_dataframe(spark):
+    df = _image_transcripts(spark)
+    images = multimodal.carve_images(df)
+    pdf = images.toPandas()
+    assert len(pdf) == sum(1 + i % 2 for i in range(6))
+    assert set(pdf["format"]) == {"jpeg"}
+    assert pdf["sha256"].nunique() == 1  # same fake jpeg everywhere
+    assert (pdf["n_bytes"] > 0).all()
+
+
+def test_image_dedup_and_features(spark):
+    df = _image_transcripts(spark)
+    images = multimodal.carve_images(df)
+    dedup = multimodal.exact_image_dedup(images).toPandas()
+    assert len(dedup) == 1 and int(dedup["n_copies"].iloc[0]) == 9
+    feats = multimodal.image_features(images).toPandas()
+    assert len(feats) == 1  # distinct-by-sha decode once
+    assert len(feats["feature"].iloc[0]) == multimodal.FEATURE_DIM
+    assert feats["width"].iloc[0] >= 16
+
+
+def test_decode_image_stub_contract():
+    w1, h1, f1 = multimodal.decode_image(b"abc")
+    w2, h2, f2 = multimodal.decode_image(b"abc")
+    assert (w1, h1, f1) == (w2, h2, f2)  # deterministic
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"abc", strict=True)
+
+
+def test_streaming_extraction_matches_batch(spark, transcripts_dir, tmp_path):
+    from pdftotext_spark.streaming.pipeline import run_stream_once
+
+    # the file-stream source needs a directory of transcript files
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "transcripts.parquet").symlink_to(f"{transcripts_dir}/transcripts.parquet")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    run_stream_once(spark, str(src), out, ckpt)
+    extracted = spark.read.parquet(out)
+    golden = spark.read.parquet(f"{transcripts_dir}/golden.parquet")
+    joined = extracted.join(golden, ["conv_id", "turn_idx"])
+    assert joined.count() == 200
+    assert joined.filter("extracted_text <> expected_text").count() == 0
+
+
+def test_streaming_checkpoint_no_reprocess(spark, transcripts_dir, tmp_path):
+    from pdftotext_spark.streaming.pipeline import run_stream_once
+
+    src = tmp_path / "src2"
+    src.mkdir()
+    (src / "transcripts.parquet").symlink_to(f"{transcripts_dir}/transcripts.parquet")
+    out = str(tmp_path / "out2")
+    ckpt = str(tmp_path / "ckpt2")
+    run_stream_once(spark, str(src), out, ckpt)
+    n1 = spark.read.parquet(out).count()
+    run_stream_once(spark, str(src), out, ckpt)  # same checkpoint
+    assert spark.read.parquet(out).count() == n1
