@@ -129,6 +129,14 @@ def ascii85_decode(data: bytes) -> bytes:
     if end != -1:
         data = data[:end]
     data = re.sub(rb"\s+", b"", data)
+    # fast path: stdlib a85decode (C) handles the common stream shape;
+    # the manual loop below remains as the tolerant fallback
+    try:
+        import base64
+
+        return base64.a85decode(data)
+    except ValueError:
+        pass
     out = bytearray()
     group: list[int] = []
     for ch in data:

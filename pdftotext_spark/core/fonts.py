@@ -70,6 +70,7 @@ class Font:
     missing_width: float = DEFAULT_CHAR_WIDTH
     _memo: dict[int, str] = field(default_factory=dict)
     _width_memo: dict[str, float] = field(default_factory=dict)
+    _translate_table: dict[int, str] | None = None
 
     @property
     def code_width(self) -> int:
@@ -110,6 +111,25 @@ class Font:
                 out = UNKNOWN_CHAR
         self._memo[code] = out
         return out
+
+    _decoded_bytes: int = 0
+
+    def decode_single_bytes(self, data: bytes) -> str:
+        """Adaptive 1-byte decode. Short documents stay on the
+        per-char memo; once a font has decoded >512 bytes the full
+        256-entry table is built once and ``str.translate`` (C speed)
+        takes over — the reference's per-(font,char) memo buffer
+        (PdfToText.php:6116–6121) taken to its limit."""
+        tbl = self._translate_table
+        if tbl is not None:
+            return data.decode("latin-1").translate(tbl)
+        self._decoded_bytes += len(data)
+        if self._decoded_bytes > 512:
+            tbl = {b: self.map_char(b) for b in range(256)}
+            self._translate_table = tbl
+            return data.decode("latin-1").translate(tbl)
+        mc = self.map_char
+        return "".join(map(mc, data))
 
     def char_width(self, code: int) -> float:
         """Per-char advance in 1/1000 em (PdfToText.php:6459–6577)."""
@@ -189,17 +209,21 @@ class FontTable:
 
     def attach_cmaps(self, decoded: dict[int, bytes]) -> None:
         """Resolve /ToUnicode and /Encoding indirections against the
-        decoded-object map (PdfToText.php:1975–1976 → 6241)."""
+        decoded-object map (PdfToText.php:1975–1976 → 6241).
+        Idempotent: already-attached fonts are skipped (this runs once
+        per page for page-local fonts)."""
         for font in self.fonts.values():
-            if font.tounicode_ref is not None:
+            if font.cmap is None and font.tounicode_ref is not None:
                 body = decoded.get(font.tounicode_ref)
                 if body is not None:
                     font.cmap = ToUnicodeCMap.parse(body)
-            if font.encoding_ref is not None:
+                    font._translate_table = None
+            if font.encoding_map is None and font.encoding_ref is not None:
                 body = decoded.get(font.encoding_ref)
                 if body is not None:
                     font.encoding_map = EncodingMap.parse(body)
                     font.encoding = font.encoding_map.base
+                    font._translate_table = None
 
     def resolve(self, alias: str, page: int | None = None) -> Font | None:
         oid = None

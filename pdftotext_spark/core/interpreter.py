@@ -192,7 +192,7 @@ def decode_pdf_string(tok: Token, font: Font | None) -> str:
             code = int.from_bytes(data[k : k + w], "big")
             out.append(font.map_char(code))
         return "".join(out)
-    return "".join(font.map_char(b) for b in data)
+    return font.decode_single_bytes(data)
 
 
 # ------------------------------------------------------------- raw mode T5

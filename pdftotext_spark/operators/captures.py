@@ -92,40 +92,84 @@ def parse_page_range(expr: str, page_count: int) -> set[int]:
 # ------------------------------------------------------- XML definitions
 
 
+def _rect_bounds(a: dict) -> tuple[float, float, float, float]:
+    left = float(a["left"])
+    top = float(a["top"])
+    right = float(a["right"]) if "right" in a else left + float(a["width"]) - 1
+    bottom = float(a["bottom"]) if "bottom" in a else top - float(a["height"]) + 1
+    return left, top, right, bottom
+
+
 def parse_capture_xml(xml_text: str) -> tuple[list[CaptureArea], list[LinesCapture]]:
-    """Parse a capture-definition XML (L10, shape of the reference's
-    ``<captures><rectangle .../><lines ...><column .../></lines>``)."""
+    """Parse a capture-definition XML (L10).
+
+    Supports both the reference's nested per-page format
+    (``<rectangle name="Title"><page number="1" left=.. right=..
+    top=.. bottom=../></rectangle>`` and ``<lines><page number="2..$"
+    top=.. height=.. bottom=../><column name=.. left=.. width=../>
+    </lines>`` — examples/text-capture/sample-report.xml) and a flat
+    attribute form (coords directly on the shape element)."""
+    xml_text = xml_text.lstrip("﻿")
     root = ET.fromstring(xml_text)
     rects: list[CaptureArea] = []
     lines: list[LinesCapture] = []
     for el in root:
         tag = el.tag.lower()
         if tag == "rectangle":
-            a = el.attrib
-            left = float(a["left"])
-            top = float(a["top"])
-            right = float(a["right"]) if "right" in a else left + float(a["width"]) - 1
-            bottom = float(a["bottom"]) if "bottom" in a else top - float(a["height"]) + 1
-            rects.append(
-                CaptureArea(a["name"], left, top, right, bottom, a.get("pages", "$"))
-            )
+            name = el.attrib["name"]
+            page_children = [c for c in el if c.tag.lower() == "page"]
+            if page_children:
+                for pc in page_children:
+                    left, top, right, bottom = _rect_bounds(pc.attrib)
+                    rects.append(
+                        CaptureArea(
+                            name, left, top, right, bottom,
+                            pc.attrib.get("number", "$"),
+                        )
+                    )
+            else:
+                left, top, right, bottom = _rect_bounds(el.attrib)
+                rects.append(
+                    CaptureArea(name, left, top, right, bottom, el.attrib.get("pages", "$"))
+                )
         elif tag == "lines":
-            a = el.attrib
+            name = el.attrib["name"]
             cols = tuple(
-                (c.attrib["name"], float(c.attrib["left"]), float(c.attrib["right"]))
+                (
+                    c.attrib["name"],
+                    float(c.attrib["left"]),
+                    float(c.attrib["right"])
+                    if "right" in c.attrib
+                    else float(c.attrib["left"]) + float(c.attrib["width"]) - 1,
+                )
                 for c in el
                 if c.tag.lower() == "column"
             )
-            lines.append(
-                LinesCapture(
-                    a["name"],
-                    float(a["top"]),
-                    float(a["height"]),
-                    int(a["count"]),
-                    cols,
-                    a.get("pages", "$"),
+            page_children = [c for c in el if c.tag.lower() == "page"]
+            if page_children:
+                for pc in page_children:
+                    top = float(pc.attrib["top"])
+                    height = float(pc.attrib["height"])
+                    bottom = float(pc.attrib.get("bottom", 0.0))
+                    count = max(1, int((top - bottom) / height))
+                    lines.append(
+                        LinesCapture(
+                            name, top, height, count, cols,
+                            pc.attrib.get("number", "$"),
+                        )
+                    )
+            else:
+                a = el.attrib
+                lines.append(
+                    LinesCapture(
+                        name,
+                        float(a["top"]),
+                        float(a["height"]),
+                        int(a["count"]),
+                        cols,
+                        a.get("pages", "$"),
+                    )
                 )
-            )
     return rects, lines
 
 
