@@ -58,8 +58,10 @@ def extract_payload(
     if kind == "html":
         text = extract_main_content(payload)
         res = ExtractResult(text=text, pages=[text], n_pages=1, kind="html")
+        res.page_offsets = [(0, max(len(text) - 1, 0))]
         return res
     res = ExtractResult(text=payload, pages=[payload], n_pages=1, kind="plain")
+    res.page_offsets = [(0, max(len(payload) - 1, 0))]
     return res
 
 

@@ -67,6 +67,8 @@ class ExtractOptions:
     max_pages: int = 0  # >0 first N, <0 last N (P11)
     page_separator: str = PAGE_SEPARATOR
     want_fragments: bool = False
+    # X5 MarkTextLike: list of (regex, start_marker, end_marker)
+    markers: tuple = ()
     want_images: bool = True
     rtl: bool = True
 
@@ -204,6 +206,10 @@ def extract_document(buf: bytes, options: ExtractOptions | None = None) -> Extra
         if opts.layout or opts.want_fragments:
             frags = extract_fragments(stream, fonts, pno, seq_start=seq)
             seq += len(frags)
+            if opts.markers:
+                from pdftotext_spark.core.interpreter import apply_text_markers
+
+                frags = apply_text_markers(frags, list(opts.markers))
             res.fragments.extend(frags)
             page_text = assemble_fragments(frags)
         else:

@@ -456,6 +456,38 @@ def extract_fragments(
     return frags
 
 
+def apply_text_markers(
+    frags: list[Fragment],
+    markers: list[tuple[str, str, str]],
+) -> list[Fragment]:
+    """Marker injection (X5, ``MarkTextLike``): for each
+    ``(regex, start, end)``, the first fragment whose text matches
+    binds its (font, font-height); every fragment sharing that binding
+    gets wrapped in the start/end markers
+    (PdfToText.php:2565–2573, applied 3701–3728, 5113–5154)."""
+    if not markers or not frags:
+        return frags
+    compiled = [(re.compile(p), s, e) for p, s, e in markers]
+    bindings: list[tuple[tuple[str, float], str, str]] = []
+    for rx, start, end in compiled:
+        for f in sorted(frags, key=lambda f: f.seq):
+            if rx.search(f.text):
+                bindings.append(((f.font, f.font_height), start, end))
+                break
+    if not bindings:
+        return frags
+    out = []
+    for f in frags:
+        text = f.text
+        for key, start, end in bindings:
+            if (f.font, f.font_height) == key:
+                text = f"{start}{text}{end}"
+        if text is not f.text:
+            f = Fragment(f.page, f.seq, f.x, f.y, f.font_height, f.font, text, f.width)
+        out.append(f)
+    return out
+
+
 def assemble_fragments(frags: list[Fragment]) -> str:
     """Line assembly (L2–L4, PdfToText.php:5054–5224).
 

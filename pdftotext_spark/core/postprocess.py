@@ -54,7 +54,11 @@ def rtl_reorder(text: str) -> str:
             run = m.group(0)
             if not _RTL_RE.search(run):
                 return run
-            return run[::-1]
+            # keep boundary whitespace/punct in place; reverse the core
+            prefix_len = len(run) - len(run.lstrip(" .,;:!?()[]'\"-"))
+            suffix_len = len(run) - len(run.rstrip(" .,;:!?()[]'\"-"))
+            core = run[prefix_len : len(run) - suffix_len]
+            return run[:prefix_len] + core[::-1] + run[len(run) - suffix_len :]
 
         out_lines.append(_RTL_RUN_RE.sub(flip, line))
     return "\n".join(out_lines)

@@ -109,6 +109,42 @@ def extract_batches(
         )
 
 
+PAGES_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("page", T.IntegerType()),
+        T.StructField("page_text", T.StringType()),
+        T.StructField("start_offset", T.LongType()),
+        T.StructField("end_offset", T.LongType()),
+    ]
+)
+
+
+def page_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """``mapInPandas`` body emitting one row per extracted page with
+    its char-offset span in the joined text (X3/X6 support:
+    ``Pages[]`` + ``PageLocations``, PdfToText.php:1097, 2035–2047)."""
+    from pdftotext_spark.core.dispatch import extract_payload
+
+    for pdf in batches:
+        rows: dict[str, list] = {k.name: [] for k in PAGES_SCHEMA.fields}
+        for conv_id, turn_idx, payload in zip(
+            pdf["conv_id"], pdf["turn_idx"], pdf["text"]
+        ):
+            res = extract_payload(payload or "")
+            for page_no, (page_text, (start, end)) in enumerate(
+                zip(res.pages, res.page_offsets), start=1
+            ):
+                rows["conv_id"].append(conv_id)
+                rows["turn_idx"].append(int(turn_idx))
+                rows["page"].append(page_no)
+                rows["page_text"].append(page_text)
+                rows["start_offset"].append(start)
+                rows["end_offset"].append(end)
+        yield pd.DataFrame(rows)
+
+
 def fragment_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """``mapInPandas`` body emitting the exploded *fragments* table
     (FIXTURES.md §4) for layout/capture operators — one output row per

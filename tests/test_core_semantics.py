@@ -1,0 +1,206 @@
+"""Unit tests for the remaining §2 operator semantics: RTL reorder
+(X1), header/footer stripping (P8/P10), template inlining (G5), raw
+text-positioning operators (T4/T5), metadata edge cases."""
+
+from pdftotext_spark.core.document import (
+    ExtractOptions,
+    extract_document,
+    is_text_stream,
+    strip_header_footer_spans,
+)
+from pdftotext_spark.core.fonts import FontTable
+from pdftotext_spark.core.interpreter import extract_text_raw, tokenize
+from pdftotext_spark.core.pagemap import is_page_header_or_footer
+from pdftotext_spark.core.postprocess import parse_pdf_date, rtl_reorder
+from pdftotext_spark.sources.pdfbuilder import PdfBuilder
+
+
+def _raw(stream: bytes) -> str:
+    return extract_text_raw(stream, FontTable())
+
+
+# ------------------------------------------------------- interpreter ops
+
+
+def test_quote_operator_advances_line():
+    # ' = T* + show text (PdfToText.php:3897–3921)
+    s = b"BT 14 TL 1 0 0 1 72 720 Tm (first) Tj (second) ' (third) ' ET"
+    assert _raw(s) == "first\nsecond\nthird"
+
+
+def test_tstar_with_leading():
+    s = b"BT 12 TL 1 0 0 1 72 720 Tm (a) Tj T* (b) Tj T* (c) Tj ET"
+    assert _raw(s) == "a\nb\nc"
+
+
+def test_large_dy_emits_blank_lines():
+    # Δy of 3 line-heights → ~3 newlines (PdfToText.php:3793)
+    s = b"BT 12 TL 1 0 0 1 72 720 Tm (top) Tj 0 -36 Td (bottom) Tj ET"
+    assert _raw(s) == "top\n\n\nbottom"
+
+
+def test_same_line_continuation():
+    # Td with dy=0 stays on the same line
+    s = b"BT 1 0 0 1 72 720 Tm (left) Tj 100 0 Td (right) Tj ET"
+    assert _raw(s) == "leftright"
+
+
+def test_moving_up_one_newline():
+    s = b"BT 1 0 0 1 72 100 Tm (low) Tj 0 200 Td (high) Tj ET"
+    assert _raw(s) == "low\nhigh"
+
+
+def test_tj_kerning_threshold():
+    # -150 < MIN_SPACE_WIDTH=200 → no space; -300 → space
+    # (PdfToText.php:1127, 5497–5517)
+    s = b"BT 1 0 0 1 72 720 Tm [ (a) -150 (b) -300 (c) ] TJ ET"
+    assert _raw(s) == "ab c"
+
+
+def test_hex_string_tj():
+    s = b"BT 1 0 0 1 72 720 Tm <48 65 6C6C 6F> Tj ET"
+    assert _raw(s) == "Hello"
+
+
+def test_nested_parens_in_literal():
+    s = b"BT 1 0 0 1 72 720 Tm (outer (inner) tail) Tj ET"
+    assert _raw(s) == "outer (inner) tail"
+
+
+def test_inline_image_prestripped():
+    s = (
+        b"BT 1 0 0 1 72 720 Tm (before) Tj ET\n"
+        b"BI /W 4 /H 4 ID \x00\xff\x28\x29garbage EI\n"
+        b"BT 1 0 0 1 72 700 Tm (after) Tj ET"
+    )
+    out = _raw(s)
+    assert "garbage" not in out
+    # Δy=20 at size 12 → round(20/12)=2 newlines (documented heuristic)
+    assert out == "before\n\nafter"
+
+
+def test_tokenizer_skips_dicts():
+    toks = list(tokenize(b"<< /Type /Font >> (keep) Tj"))
+    assert toks == [("str", b"keep"), ("op", "Tj")]
+
+
+def test_is_text_stream():
+    assert is_text_stream(b"BT (x) Tj ET")
+    assert not is_text_stream(b"0 0 100 100 re f")
+
+
+# ------------------------------------------------------- header/footer
+
+
+def test_pagination_object_detect():
+    assert is_page_header_or_footer(b"<< /Type /Pagination /Subtype /Header >>")
+    assert is_page_header_or_footer(b"<< /Attached [ /Top ] >>")
+    assert not is_page_header_or_footer(b"<< /Type /Page >>")
+
+
+def test_header_footer_span_strip():
+    s = (
+        b"BT (body) Tj ET "
+        b"/Artifact << /Attached /Top /Type /Pagination >> BDC BT (HEADER) Tj ET EMC "
+        b"BT (more body) Tj ET"
+    )
+    out = strip_header_footer_spans(s)
+    assert b"HEADER" not in out
+    assert b"body" in out and b"more body" in out
+
+
+# --------------------------------------------------- template inlining G5
+
+
+def test_form_xobject_do_inlining():
+    """/TPL1 Do splices the form XObject's content
+    (PdfToText.php:8293–8331)."""
+    b = PdfBuilder()
+    catalog, pages_node, font, page, content, tpl = (b.alloc() for _ in range(6))
+    b.add(catalog, f"<< /Type /Catalog /Pages {pages_node} 0 R >>\n".encode())
+    b.add(pages_node, f"<< /Type /Pages /Kids [{page} 0 R] /Count 1 >>\n".encode())
+    b.add(font, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>\n")
+    b.add(
+        page,
+        (
+            f"<< /Type /Page /Parent {pages_node} 0 R /MediaBox [0 0 612 792] "
+            f"/Resources << /Font << /F1 {font} 0 R >> "
+            f"/XObject << /TPL1 {tpl} 0 R >> >> /Contents {content} 0 R >>\n"
+        ).encode(),
+    )
+    b.add_stream(
+        content,
+        b"",
+        b"BT /F1 12 Tf 1 0 0 1 72 720 Tm (before) Tj ET /TPL1 Do "
+        b"BT 1 0 0 1 72 680 Tm (after) Tj ET",
+    )
+    b.add_stream(
+        tpl,
+        b"/Subtype /Form /BBox [0 0 612 792]",
+        b"BT /F1 12 Tf 1 0 0 1 72 700 Tm (from template) Tj ET",
+    )
+    res = extract_document(b.build())
+    assert "from template" in res.text
+    assert res.text.index("before") < res.text.index("from template")
+    assert "after" in res.text
+
+
+# ------------------------------------------------------------------ RTL
+
+
+def test_rtl_hebrew_run_reversed():
+    # visual order in the PDF is reversed; rtl_reorder restores logical
+    line = "שלום" + " hello"
+    out = rtl_reorder(line)
+    assert out.startswith("םולש")  # run reversed
+    assert "hello" in out
+
+
+def test_rtl_noop_for_latin():
+    assert rtl_reorder("plain latin text") == "plain latin text"
+
+
+# ------------------------------------------------------------- metadata
+
+
+def test_pdf_date_variants():
+    assert parse_pdf_date("D:20260101").startswith("2026-01-01T00:00:00")
+    assert parse_pdf_date("D:20170509115932-02'00'").startswith("2017-05-09T11:59:32")
+    assert parse_pdf_date("garbage") is None
+
+
+def test_options_disable_header_footer_strip():
+    s = (
+        b"/Artifact << /Attached /Top >> BDC BT (HEADER) Tj ET EMC "
+        b"BT (body) Tj ET"
+    )
+    kept = extract_text_raw(s, FontTable())
+    assert "body" in kept  # raw interpreter itself doesn't strip spans
+
+
+# ---------------------------------------------------- marker injection X5
+
+
+def test_mark_text_like():
+    """First fragment matching the regex binds its (font, size); all
+    same-binding fragments get wrapped (PdfToText.php:2565–2573)."""
+    from pdftotext_spark.sources import pdfbuilder as pb
+
+    pdf = pb.simple_pdf([["Heading One", "body text", "Heading Two"]])
+    res = extract_document(
+        pdf,
+        ExtractOptions(layout=True, markers=(("Heading", "<h>", "</h>"),)),
+    )
+    # all three lines share one font/size in this fixture, so all wrap
+    assert "<h>Heading One</h>" in res.text
+    assert "<h>Heading Two</h>" in res.text
+
+
+def test_mark_text_like_no_match_is_noop():
+    from pdftotext_spark.sources import pdfbuilder as pb
+
+    pdf = pb.simple_pdf([["nothing to see"]])
+    res = extract_document(
+        pdf, ExtractOptions(layout=True, markers=(("ZZZ", "<m>", "</m>"),))
+    )
+    assert res.text == "nothing to see"
