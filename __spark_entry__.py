@@ -42,6 +42,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fragment_sort_topk": relational.fragment_sort_topk,    # L2 fragment sort
     "pricing_summary": relational.pricing_summary,          # classic OLAP agg
     "segment_revenue": relational.segment_revenue,          # broadcast dim join
+    "daily_activity": relational.daily_activity,            # time-bucket rollup
+    "distinct_users_by_type": relational.distinct_users_by_type,
     # dedup family
     "dedup_exact": dedup.dedup_exact,
     "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
@@ -69,6 +71,8 @@ _ORACLES: dict[str, str] = {
     "fragment_sort_topk": relational.FRAGMENT_SORT_TOPK_SQL,
     "pricing_summary": relational.PRICING_SUMMARY_SQL,
     "segment_revenue": relational.SEGMENT_REVENUE_SQL,
+    "daily_activity": relational.DAILY_ACTIVITY_SQL,
+    "distinct_users_by_type": relational.DISTINCT_USERS_BY_TYPE_SQL,
     "dedup_exact": dedup.DEDUP_EXACT_SQL,
     "ngram_jaccard_pairs": dedup.NGRAM_JACCARD_PAIRS_SQL,
     "minhash_signatures": dedup.MINHASH_SIGNATURES_SQL,

@@ -17,6 +17,7 @@ untouched exactly like the reference (PdfToText.php:8793–8805).
 from __future__ import annotations
 
 import hashlib
+import re
 from collections.abc import Iterator
 
 import pandas as pd
@@ -50,6 +51,59 @@ FEATURE_SCHEMA = T.StructType(
 )
 
 FEATURE_DIM = 16
+
+
+_RASTER_META_RE = {
+    "width": re.compile(rb"/Width\s+(\d+)"),
+    "height": re.compile(rb"/Height\s+(\d+)"),
+    "bpc": re.compile(rb"/BitsPerComponent\s+(\d+)"),
+    "cs": re.compile(rb"/ColorSpace\s*/(\w+)"),
+}
+
+_CS_COMPONENTS = {"DeviceRGB": 3, "DeviceGray": 1, "DeviceCMYK": 4}
+
+
+def decode_raster(dict_part: bytes, data: bytes):
+    """Decode a Flate-inlined raster image XObject to an RGB8 numpy
+    array (M4, PdfToText.php:8815–9208 — the reference's pixel-by-pixel
+    GD loops vectorized with numpy; CMYK→RGB per the same formula).
+
+    Returns ``(height, width, rgb_ndarray)`` or ``None`` when the
+    object is not a supported 8-bit raster.
+    """
+    import numpy as np
+
+    def _int(key: str) -> int | None:
+        m = _RASTER_META_RE[key].search(dict_part)
+        return int(m.group(1)) if m else None
+
+    w, h, bpc = _int("width"), _int("height"), _int("bpc")
+    csm = _RASTER_META_RE["cs"].search(dict_part)
+    cs = csm.group(1).decode() if csm else None
+    ncomp = _CS_COMPONENTS.get(cs or "", None)
+    if not w or not h or bpc != 8 or ncomp is None:
+        return None
+    if len(data) < w * h * ncomp:
+        return None
+    arr = np.frombuffer(data[: w * h * ncomp], dtype=np.uint8).reshape(h, w, ncomp)
+    if ncomp == 1:
+        rgb = np.repeat(arr, 3, axis=2)
+    elif ncomp == 3:
+        rgb = arr.copy()
+    else:  # CMYK → RGB: c' = 255−min(255, c+k) (PdfToText.php:9150–9180)
+        c = arr[:, :, 0].astype(np.uint16)
+        m = arr[:, :, 1].astype(np.uint16)
+        y = arr[:, :, 2].astype(np.uint16)
+        k = arr[:, :, 3].astype(np.uint16)
+        rgb = np.stack(
+            [
+                255 - np.minimum(255, c + k),
+                255 - np.minimum(255, m + k),
+                255 - np.minimum(255, y + k),
+            ],
+            axis=2,
+        ).astype(np.uint8)
+    return h, w, rgb
 
 
 def sniff_format(data: bytes) -> str:

@@ -259,6 +259,47 @@ GROUP BY c_mktsegment
 """
 
 
+def daily_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bucketed rollup (date_trunc + partial agg): the monitoring
+    query shape for the streaming pipeline's batch equivalent."""
+    events = _read(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.date_trunc("day", F.col("ts")).alias("day"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).alias("sum_value"),
+        )
+    )
+
+
+DAILY_ACTIVITY_SQL = """
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       SUM(CAST(value AS DECIMAL(18,4))) AS sum_value
+FROM events GROUP BY date_trunc('day', ts), event_type
+"""
+
+
+def distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct aggregation (two-phase shuffle in Spark)."""
+    events = _read(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        F.count("*").cast("long").alias("n_events"),
+    )
+
+
+DISTINCT_USERS_BY_TYPE_SQL = """
+SELECT event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events GROUP BY event_type
+"""
+
+
 def fragment_sort_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-key fragment sort (L2, PdfToText.php:5174–5185) as a
     deterministic top-k: Spark plans this as TakeOrderedAndProject —

@@ -395,6 +395,31 @@ def image_pdf(line: str = "with image", n_images: int = 1) -> tuple[bytes, bytes
     return b.build(), jpeg
 
 
+def raster_pdf(width: int = 4, height: int = 3, colorspace: str = "DeviceRGB") -> tuple[bytes, bytes, bytes]:
+    """One-page PDF with a Flate-compressed raw raster image XObject
+    (M4). Returns (pdf_bytes, raster_bytes, image_dict_part)."""
+    ncomp = {"DeviceRGB": 3, "DeviceGray": 1, "DeviceCMYK": 4}[colorspace]
+    raster = bytes((x * 31 + 7) % 256 for x in range(width * height * ncomp))
+    b = PdfBuilder()
+    catalog, pages_node, page, content, img = (b.alloc() for _ in range(5))
+    b.add(catalog, f"<< /Type /Catalog /Pages {pages_node} 0 R >>\n".encode())
+    b.add(pages_node, f"<< /Type /Pages /Kids [{page} 0 R] /Count 1 >>\n".encode())
+    b.add(
+        page,
+        (
+            f"<< /Type /Page /Parent {pages_node} 0 R /MediaBox [0 0 612 792] "
+            f"/Resources << /XObject << /Im0 {img} 0 R >> >> /Contents {content} 0 R >>\n"
+        ).encode(),
+    )
+    b.add_stream(content, b"", b"q 100 0 0 100 72 600 cm /Im0 Do Q")
+    dict_extra = (
+        f"/Subtype /Image /Width {width} /Height {height} "
+        f"/ColorSpace /{colorspace} /BitsPerComponent 8"
+    ).encode()
+    b.add_stream(img, dict_extra, raster, "FlateDecode")
+    return b.build(), raster, dict_extra
+
+
 def multipage_pdf(n_pages: int = 3) -> tuple[bytes, list[str]]:
     pages = [[f"Page {i + 1} line one", f"Page {i + 1} line two"] for i in range(n_pages)]
     goldens = ["\n".join(p) for p in pages]

@@ -98,3 +98,44 @@ def test_streaming_checkpoint_no_reprocess(spark, transcripts_dir, tmp_path):
     n1 = spark.read.parquet(out).count()
     run_stream_once(spark, str(src), out, ckpt)  # same checkpoint
     assert spark.read.parquet(out).count() == n1
+
+
+# ------------------------------------------------------ M4 raster decode
+
+
+def test_raster_rgb_roundtrip():
+    import numpy as np
+
+    pdf, raster, dict_part = pb.raster_pdf(4, 3, "DeviceRGB")
+    res = extract_document(pdf, ExtractOptions(want_images=True))
+    assert res.n_images == 1
+    assert res.image_bytes[0] == raster  # Flate round-trip
+    out = multimodal.decode_raster(dict_part, res.image_bytes[0])
+    assert out is not None
+    h, w, rgb = out
+    assert (h, w, rgb.shape) == (3, 4, (3, 4, 3))
+    assert bytes(rgb.tobytes()) == raster  # RGB passthrough
+
+
+def test_raster_gray_expands_to_rgb():
+    pdf, raster, dict_part = pb.raster_pdf(5, 2, "DeviceGray")
+    res = extract_document(pdf, ExtractOptions(want_images=True))
+    h, w, rgb = multimodal.decode_raster(dict_part, res.image_bytes[0])
+    assert rgb.shape == (2, 5, 3)
+    assert rgb[0, 0, 0] == rgb[0, 0, 1] == rgb[0, 0, 2] == raster[0]
+
+
+def test_raster_cmyk_to_rgb():
+    import numpy as np
+
+    pdf, raster, dict_part = pb.raster_pdf(2, 2, "DeviceCMYK")
+    h, w, rgb = multimodal.decode_raster(
+        dict_part, extract_document(pdf, ExtractOptions(want_images=True)).image_bytes[0]
+    )
+    assert rgb.shape == (2, 2, 3)
+    c, k = raster[0], raster[3]
+    assert rgb[0, 0, 0] == 255 - min(255, c + k)  # CMYK formula
+
+
+def test_raster_rejects_non_raster():
+    assert multimodal.decode_raster(b"<< /Subtype /Image /Filter /DCTDecode >>", b"xx") is None
