@@ -63,6 +63,9 @@ def time_extraction(spark, input_path: str, n_partitions: int | None = None) -> 
 
     df = spark.read.parquet(input_path)
     n_turns = df.count()
+    # warm-up pass (JIT, Arrow, Python-worker spin-up) so the reported
+    # number is steady-state throughput, matching the scaling bench
+    extract_turns(df.limit(5000)).agg(F.count("*")).collect()
     t0 = time.perf_counter()
     agg = (
         extract_turns(df, n_partitions=n_partitions)

@@ -1,0 +1,75 @@
+#!/usr/bin/env python
+"""Deployable extraction job (north_rule ship shape):
+
+    spark-submit --py-files pdftotext_spark.zip \\
+        scripts/run_extraction_job.py \\
+        --input  <iceberg table | parquet path> \\
+        --output <parquet/iceberg target> \\
+        --metrics <metrics table path> \\
+        [--run-id r1] [--no-resume] [--repartition N]
+
+Build the zip with
+``python -c "from pdftotext_spark.sources.shipping import build_package_zip; print(build_package_zip('.'))"``.
+When imported as a library instead, every UDF entry point self-ships
+via ``sc.addPyFile`` — the flag is still the right way to deploy.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--metrics", default=None)
+    ap.add_argument("--run-id", default="run-0")
+    ap.add_argument("--no-resume", action="store_true")
+    ap.add_argument(
+        "--repartition",
+        type=int,
+        default=None,
+        help="force a salted repartition (only for pathological file layouts; "
+        "default: shuffle-free scan splits)",
+    )
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    from pdftotext_spark.plans.pipeline import (
+        extract_turns,
+        metrics_manifest,
+        read_transcripts,
+        resume_anti_join,
+        session_confs,
+    )
+
+    builder = SparkSession.builder.appName("pdftotext-spark-extract")
+    for k, v in session_confs().items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+
+    transcripts = read_transcripts(spark, args.input)
+    if not args.no_resume:
+        try:
+            committed = spark.read.parquet(args.output)
+            transcripts = resume_anti_join(transcripts, committed)
+        except Exception:
+            pass  # first run: nothing committed yet
+    extracted = extract_turns(transcripts, n_partitions=args.repartition)
+    extracted.write.mode("append").parquet(args.output)
+    if args.metrics:
+        committed_now = spark.read.parquet(args.output)
+        metrics_manifest(committed_now, args.run_id).write.mode("append").parquet(
+            args.metrics
+        )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
