@@ -69,6 +69,15 @@ class ExtractOptions:
     want_fragments: bool = False
     # X5 MarkTextLike: list of (regex, start_marker, end_marker)
     markers: tuple = ()
+    # M5 PDFOPT_ENHANCED_STATISTICS analog
+    enhanced_statistics: bool = False
+    # PDFOPT_REPEAT_SEPARATOR (T11)
+    repeat_separator: bool = False
+    # per-payload soft time budget in seconds (MaxExecutionTime analog,
+    # PdfToText.php:1056–1068/3399–3415). Checked between pages; on
+    # breach, remaining pages are skipped and a failure is recorded —
+    # never a task kill (SURVEY.md §4).
+    max_seconds: float = 0.0
     want_images: bool = True
     rtl: bool = True
 
@@ -87,6 +96,10 @@ class ExtractResult:
     fragments: list[Fragment] = field(default_factory=list)
     image_bytes: list[bytes] = field(default_factory=list)
     failure_reasons: list[str] = field(default_factory=list)
+    # M5 statistics (populated when options.enhanced_statistics):
+    # text_size/optimized_text_size + per-operator-family counters
+    # (PdfToText.php:1686–1711, 2064–2092)
+    stats: dict[str, int] = field(default_factory=dict)
 
 
 def extract_document(buf: bytes, options: ExtractOptions | None = None) -> ExtractResult:
@@ -172,8 +185,17 @@ def extract_document(buf: bytes, options: ExtractOptions | None = None) -> Extra
     elif opts.max_pages < 0:
         page_numbers = page_numbers[opts.max_pages :]
 
+    import time as _time
+
+    deadline = _time.perf_counter() + opts.max_seconds if opts.max_seconds > 0 else None
     seq = 0
     for pno in page_numbers:
+        if deadline is not None and _time.perf_counter() > deadline:
+            res.decode_failures += 1
+            res.failure_reasons.append(
+                f"time budget exceeded after page {len(res.pages)}"
+            )
+            break
         pi = pagemap.pages[pno]
         for alias, foid in pi.font_aliases.items():
             fonts.alias_map[f"{pno}:{alias}"] = foid
@@ -213,7 +235,13 @@ def extract_document(buf: bytes, options: ExtractOptions | None = None) -> Extra
             res.fragments.extend(frags)
             page_text = assemble_fragments(frags)
         else:
-            page_text = extract_text_raw(stream, fonts, page=pno)
+            page_text = extract_text_raw(
+                stream,
+                fonts,
+                page=pno,
+                stats=res.stats if opts.enhanced_statistics else None,
+                repeat_separator=opts.repeat_separator,
+            )
         if opts.rtl:
             page_text = rtl_reorder(page_text)
         res.pages.append(page_text)

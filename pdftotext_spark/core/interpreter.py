@@ -203,9 +203,23 @@ def extract_text_raw(
     fonts: FontTable,
     page: int | None = None,
     separator: str = " ",
+    stats: dict[str, int] | None = None,
+    repeat_separator: bool = False,
 ) -> str:
-    """Raw-mode extraction (PdfToText.php:3327–3845)."""
+    """Raw-mode extraction (PdfToText.php:3327–3845).
+
+    When ``stats`` is given, instruction-distribution counters are
+    accumulated into it (M5 / PDFOPT_ENHANCED_STATISTICS,
+    PdfToText.php:1686–1711): raw vs stripped stream sizes and counts
+    per operator family.
+    """
+    if stats is not None:
+        stats["text_size"] = stats.get("text_size", 0) + len(stream)
     stream = strip_useless_instructions(stream)
+    if stats is not None:
+        stats["optimized_text_size"] = (
+            stats.get("optimized_text_size", 0) + len(stream)
+        )
     out: list[str] = []
     operands: list[Token] = []
     font: Font | None = fonts.default_font()
@@ -239,12 +253,23 @@ def extract_text_raw(
     def append_text(tok: Token) -> None:
         out.append(decode_pdf_string(tok, font))
 
+    _OP_FAMILIES = {
+        "Tj": "show_ops", "TJ": "show_ops", "'": "show_ops", '"': "show_ops",
+        "Tm": "position_ops", "Td": "position_ops", "TD": "position_ops",
+        "T*": "position_ops", "Tf": "font_ops", "TL": "font_ops",
+        "BT": "bt_et", "ET": "bt_et",
+    }
     for tok in tokenize(stream):
         kind = tok[0]
         if kind in ("num", "str", "hex", "arr", "name"):
+            if stats is not None:
+                stats["operands"] = stats.get("operands", 0) + 1
             operands.append(tok)
             continue
         op = tok[1]
+        if stats is not None:
+            fam = _OP_FAMILIES.get(op, "ignored_ops")
+            stats[fam] = stats.get(fam, 0) + 1
         if op == "BT":
             in_text = True
         elif op == "ET":
@@ -292,7 +317,16 @@ def extract_text_raw(
                     if el[0] in ("str", "hex"):
                         append_text(el)
                     elif el[0] == "num" and el[1] < -MIN_SPACE_WIDTH:
-                        out.append(separator)
+                        if repeat_separator:
+                            # PDFOPT_REPEAT_SEPARATOR: repeat by
+                            # ⌊offset / max(1000, MinSpaceWidth)⌋
+                            # (T11, PdfToText.php:5497–5517)
+                            n_rep = max(
+                                1, int(-el[1] // max(1000.0, MIN_SPACE_WIDTH))
+                            )
+                            out.append(separator * n_rep)
+                        else:
+                            out.append(separator)
         elif op == "Do":
             emit_newlines(1)  # PdfToText.php:3925–3928
         operands.clear()

@@ -204,3 +204,44 @@ def test_mark_text_like_no_match_is_noop():
         pdf, ExtractOptions(layout=True, markers=(("ZZZ", "<m>", "</m>"),))
     )
     assert res.text == "nothing to see"
+
+
+# ------------------------------------------------------ M5 statistics
+
+
+def test_enhanced_statistics():
+    from pdftotext_spark.sources import pdfbuilder as pb
+
+    pdf = pb.simple_pdf([["one", "two", "three"]])
+    res = extract_document(pdf, ExtractOptions(enhanced_statistics=True))
+    assert res.stats["show_ops"] == 3  # three Tj
+    assert res.stats["position_ops"] >= 3  # Tm + two Td
+    assert res.stats["bt_et"] == 2
+    assert res.stats["operands"] > 0
+    assert res.stats["optimized_text_size"] <= res.stats["text_size"]
+    # off by default
+    assert extract_document(pdf).stats == {}
+
+
+def test_repeat_separator_option():
+    from pdftotext_spark.core.interpreter import extract_text_raw
+    from pdftotext_spark.core.fonts import FontTable
+
+    s = b"BT 1 0 0 1 72 720 Tm [ (a) -2500 (b) ] TJ ET"
+    assert extract_text_raw(s, FontTable()) == "a b"
+    assert (
+        extract_text_raw(s, FontTable(), repeat_separator=True) == "a  b"
+    )  # ⌊2500/1000⌋ = 2 separators
+
+
+def test_time_budget_skips_remaining_pages():
+    from pdftotext_spark.sources import pdfbuilder as pb
+
+    pdf, goldens = pb.multipage_pdf(4)
+    res = extract_document(pdf, ExtractOptions(max_seconds=1e-9))
+    assert res.decode_failures >= 1
+    assert res.n_pages < 4
+    assert any("time budget" in r for r in res.failure_reasons)
+    # generous budget extracts everything
+    ok = extract_document(pdf, ExtractOptions(max_seconds=30.0))
+    assert ok.pages == goldens and ok.decode_failures == 0
