@@ -49,10 +49,10 @@ def session_confs() -> dict[str, str]:
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
         "spark.sql.adaptive.skewJoin.enabled": "true",
         "spark.sql.execution.arrow.pyspark.enabled": "true",
-        # measured on the 100k-turn fixture (BENCH/BASELINE.md): 10k-row
-        # Arrow batches beat 2k (fewer pipe round-trips); extraction is
-        # CPU-heavy per byte, so small scan splits keep all cores fed
-        "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+        # measured on the 100k-turn fixture (BENCH/BASELINE.md): large
+        # Arrow batches beat 2k-row ones (fewer pipe round-trips); with
+        # CPU-matched ~1m scan splits a partition is one batch anyway
+        "spark.sql.execution.arrow.maxRecordsPerBatch": "65536",
         # extraction burns ~1 CPU-sec per scanned MB — orders of
         # magnitude above scan cost — so splits far below the IO-optimal
         # 128m keep every core fed and bound straggler tails. Measured
