@@ -53,6 +53,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # similarity search
     "cosine_topk": similarity.cosine_topk,
     "cosine_neardup_pairs": similarity.cosine_neardup_pairs,
+    # IVF ANN: iterative (KMeans) → no SQL oracle; driver records the
+    # rows-only check. cosine_topk is its exact-recall baseline.
+    "ivf_topk": similarity.ivf_topk,
     # text analysis
     "lang_id": textstats.lang_id,
     "quality_score": textstats.quality_score,

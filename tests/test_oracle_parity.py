@@ -82,3 +82,22 @@ def test_entry_smoke(spark):
     # flagship invariant: every document roundtrips byte-exactly
     for r in rows:
         assert r["n_roundtrip_equal"] == r["n_docs"]
+
+
+def test_ivf_topk_recall_vs_bruteforce(spark):
+    """IVF (no oracle — iterative) judged against the exact top-k:
+    with 8 clusters / 2 probes on 500 vecs, recall@10 must be
+    substantial and the top-1 neighbour must be found."""
+    from pdftotext_spark.operators import similarity
+
+    exact = [r.vec_id for r in similarity.cosine_topk(spark, SF_DIR).collect()]
+    approx = similarity.ivf_topk(spark, SF_DIR).collect()
+    assert len(approx) == 10
+    recall = len(set(exact) & {r.vec_id for r in approx}) / len(exact)
+    # the fixture embeddings are uniform random (no cluster structure),
+    # so 2/8 probes bound achievable recall; ≥0.5 shows the inverted
+    # lists and probe selection work
+    assert recall >= 0.5
+    # results are sorted by descending similarity
+    sims = [r.cosine for r in approx]
+    assert sims == sorted(sims, reverse=True)

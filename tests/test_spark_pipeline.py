@@ -120,3 +120,37 @@ def test_extraction_plan_shape(spark, transcripts_dir):
     )
     assert "MapInPandas" in plan or "mapInPandas" in plan.lower()
     assert "junk" not in plan  # pruned: never materialized anywhere
+
+
+def test_mega_conversation_skew(spark, tmp_path):
+    """North-rule skew fixture: one conversation holding half the
+    corpus must (a) extract without a straggler key (extraction is
+    keyless), (b) assemble byte-exactly under AQE."""
+    from pdftotext_spark.sources.transcripts_gen import write_parquet
+
+    out = str(tmp_path / "skew")
+    write_parquet(out, n_turns=3000, seed=11, skew_conv_turns=1500)
+    df = spark.read.parquet(f"{out}/transcripts.parquet")
+    extracted = extract_turns(df)
+    extracted.cache()
+    assert extracted.count() == 3000
+    convs = assemble_conversations(extracted)
+    mega = convs.orderBy(F.desc("n_turns")).first()
+    assert mega.n_turns == 1500
+    golden = spark.read.parquet(f"{out}/golden.parquet")
+    expected_mega = (
+        golden.filter(F.col("conv_id") == mega.conv_id)
+        .groupBy("conv_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("turn_idx", "expected_text"))),
+                    lambda s: s.expected_text,
+                ),
+                "\n",
+            ).alias("expected_conv")
+        )
+        .first()
+    )
+    assert mega.conversation_text == expected_mega.expected_conv
+    extracted.unpersist()
