@@ -95,9 +95,14 @@ def parse_pdf_date(value: str) -> str | None:
     return dt.isoformat()
 
 
+_META_PEEK_RE = re.compile(
+    rb"/(?:Author|Creator|Producer|Title|Subject|Keywords|CreationDate|ModDate)\b"
+)
+
+
 def has_author_information(body: bytes) -> bool:
     """Cheap peek (PdfToText.php:5877–5884)."""
-    return any(b"/" + k in body for k in _META_KEYS)
+    return _META_PEEK_RE.search(body) is not None
 
 
 def retrieve_metadata(

@@ -33,6 +33,8 @@ def unescape_literal(raw: bytes) -> bytes:
     octal escapes, backslash-newline line continuation removed, and an
     unknown escape drops the backslash keeping the character.
     """
+    if b"\\" not in raw:  # overwhelmingly common: no escapes at all
+        return raw
     out = bytearray()
     i = 0
     n = len(raw)
