@@ -113,6 +113,20 @@ def _is_content(text: str, linked_chars: int, prev_was_content: bool) -> bool:
     return prev_was_content and n_words >= 3 and link_density == 0.0
 
 
+_TITLE_RE = re.compile(r"<title[^>]*>(.*?)</title\s*>", re.S | re.I)
+_H1_RE = re.compile(r"<h1[^>]*>(.*?)</h1\s*>", re.S | re.I)
+_INNER_TAG_RE = re.compile(r"<[^>]+>")
+
+
+def extract_title(markup: str) -> str:
+    """Document title: ``<title>`` else first ``<h1>``, tags stripped,
+    whitespace collapsed."""
+    m = _TITLE_RE.search(markup) or _H1_RE.search(markup)
+    if not m:
+        return ""
+    return _WS_RE.sub(" ", _html.unescape(_INNER_TAG_RE.sub(" ", m.group(1)))).strip()
+
+
 def extract_main_content(markup: str) -> str:
     """Strip boilerplate and return the main text content."""
     markup = _COMMENT_RE.sub(" ", markup)

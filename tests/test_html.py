@@ -66,3 +66,12 @@ def test_dispatch_html_route():
     assert res.kind == "html"
     assert ARTICLE in res.text
     assert res.n_pages == 1
+
+
+def test_extract_title():
+    from pdftotext_spark.html.extract import extract_title
+
+    assert extract_title("<html><head><title> My  Page </title></head></html>") == "My Page"
+    assert extract_title("<body><h1>Big <em>Header</em></h1></body>") == "Big Header"
+    assert extract_title("<p>no title</p>") == ""
+    assert extract_title("<title>A &amp; B</title>") == "A & B"

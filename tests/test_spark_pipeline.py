@@ -154,3 +154,28 @@ def test_mega_conversation_skew(spark, tmp_path):
     )
     assert mega.conversation_text == expected_mega.expected_conv
     extracted.unpersist()
+
+
+def test_dedup_turns_exact(spark, extracted):
+    from pdftotext_spark.operators.transcript_ops import dedup_turns_exact
+
+    deduped = dedup_turns_exact(extracted)
+    total_nonempty = extracted.filter(F.length("extracted_text") > 0).count()
+    kept = deduped.count()
+    assert 0 < kept <= total_nonempty
+    # multiplicities account for every non-empty turn
+    assert deduped.agg(F.sum("n_copies")).first()[0] == total_nonempty
+    # deduped digests are unique
+    assert deduped.select("content_md5").distinct().count() == kept
+
+
+def test_conversation_quality(spark, extracted):
+    from pdftotext_spark.operators.transcript_ops import conversation_quality
+
+    q = conversation_quality(extracted)
+    rows = {r.conv_id: r for r in q.collect()}
+    assert sum(r.n_turns for r in rows.values()) == 200
+    for r in rows.values():
+        assert r.failure_rate == 0.0
+        assert r.n_pdf_turns + r.n_html_turns <= r.n_turns
+        assert r.first_ts <= r.last_ts
