@@ -64,13 +64,111 @@ def strip_useless_instructions(stream: bytes) -> bytes:
 Token = tuple
 
 
+# master token pattern: one C-level scan per token instead of a
+# per-byte Python loop. The literal-string alternative matches only
+# NON-nested strings; nested ones (rare) fall back to the manual
+# scanner. `<<` falls back to a balanced skip.
+_MASTER_RE = re.compile(
+    rb"[\x00\t\n\x0c\r ]+"
+    rb"|(?P<str>\((?:[^()\\]|\\.)*\))"
+    rb"|(?P<dict><<)"
+    rb"|(?P<hex><[0-9A-Fa-f\s]*>)"
+    rb"|(?P<arr>\[)"
+    rb"|(?P<arr_close>\])"
+    rb"|(?P<name>/[^\x00\t\n\x0c\r /<>\[\]()]*)"
+    rb"|(?P<num>[+-]?(?:\d+\.?\d*|\.\d+)(?![^\x00\t\n\x0c\r /<>\[\]()]))"
+    rb"|(?P<op>[^\x00\t\n\x0c\r /<>\[\]()]+)"
+    rb"|(?P<lparen>\()"  # nested literal: regex str-alt failed → manual scan
+    rb"|(?P<junk><|\))"
+)
+
+
 def tokenize(stream: bytes):
-    """Single-pass token generator (T2/T3, PdfToText.php:4014–4191).
+    """Single-pass tokenizer (T2/T3, PdfToText.php:4014–4191).
 
     Literal strings are paren-nesting- and escape-aware; hex strings
     tolerate inner whitespace; ``<<…>>`` dicts are skipped whole;
-    arrays yield nested token lists (for TJ).
+    arrays yield nested token lists (for TJ). Returns a list (cheaper
+    than a generator for the interpreter's tight loop).
     """
+    out: list[Token] = []
+    stack: list[list[Token]] = []
+    emit = out.append
+    pos = 0
+    n = len(stream)
+    match = _MASTER_RE.match
+    while pos < n:
+        m = match(stream, pos)
+        if m is None:  # unmatchable byte: skip (parity with old scanner)
+            pos += 1
+            continue
+        pos = m.end()
+        kind = m.lastgroup
+        if kind is None:  # whitespace
+            continue
+        if kind == "str":
+            emit(("str", m.group("str")[1:-1]))
+        elif kind == "lparen":
+            # literal with nested parens — the non-nested alternative
+            # could not match; do the escape-aware balanced scan
+            tok, pos = _scan_literal(stream, m.start())
+            emit(tok)
+        elif kind == "num":
+            emit(("num", float(m.group("num"))))
+        elif kind == "op":
+            emit(("op", m.group("op").decode("latin-1")))
+        elif kind == "name":
+            emit(("name", m.group("name")[1:].decode("latin-1")))
+        elif kind == "hex":
+            emit(("hex", m.group("hex")[1:-1]))
+        elif kind == "arr":
+            stack.append([])  # emissions now land in the array
+            emit = stack[-1].append
+        elif kind == "arr_close":
+            if stack:
+                arr_list = stack.pop()
+                target = stack[-1] if stack else out
+                emit = target.append
+                emit(("arr", arr_list))
+        elif kind == "dict":
+            depth = 1
+            j = pos
+            while j < n - 1 and depth:
+                two = stream[j : j + 2]
+                if two == b"<<":
+                    depth += 1
+                    j += 2
+                elif two == b">>":
+                    depth -= 1
+                    j += 2
+                else:
+                    j += 1
+            pos = j
+        # junk '<' alone: skipped
+    return out
+
+
+def _scan_literal(stream: bytes, i: int) -> tuple[Token, int]:
+    """Manual nesting-aware literal scan starting at the '(' byte."""
+    depth = 1
+    j = i + 1
+    start = j
+    n = len(stream)
+    while j < n and depth:
+        cj = stream[j]
+        if cj == 0x5C:
+            j += 2
+            continue
+        if cj == 0x28:
+            depth += 1
+        elif cj == 0x29:
+            depth -= 1
+        j += 1
+    return ("str", stream[start : j - 1]), j
+
+
+def _tokenize_slow(stream: bytes):
+    """Reference byte-at-a-time scanner kept for differential testing."""
     i = 0
     n = len(stream)
     while i < n:
