@@ -78,12 +78,20 @@ def time_extraction(spark, input_path: str, n_partitions: int | None = None) -> 
     )
     wall = time.perf_counter() - t0
     assert agg["n"] == n_turns
+    # conversation assembly (the one shuffle stage), timed end-to-end
+    from pdftotext_spark.plans.pipeline import assemble_conversations
+
+    t0 = time.perf_counter()
+    n_convs = assemble_conversations(extract_turns(df, n_partitions=n_partitions)).count()
+    assembly_wall = time.perf_counter() - t0
     return {
         "turns": n_turns,
         "wall_sec": round(wall, 3),
         "turns_per_sec": round(n_turns / wall, 1),
         "decode_failures": int(agg["failures"]),
         "extracted_chars": int(agg["chars"]),
+        "assembly_wall_sec": round(assembly_wall, 3),
+        "n_conversations": int(n_convs),
     }
 
 
