@@ -77,7 +77,7 @@ def _pdf_ascii_payload(rng: random.Random) -> tuple[str, str]:
 def _pdf_b64_payload(rng: random.Random) -> tuple[str, str]:
     """Binary PDF (Flate/LZW/ObjStm/ToUnicode/CID variants),
     base64-wrapped behind the %B64% sentinel (SURVEY.md §7.5)."""
-    variant = rng.randrange(6)
+    variant = rng.randrange(7)
     if variant == 0:
         pages = _pdf_lines(rng)
         pdf = pb.simple_pdf(pages, stream_filter="FlateDecode")
@@ -92,8 +92,10 @@ def _pdf_b64_payload(rng: random.Random) -> tuple[str, str]:
         pdf, golden = pb.tounicode_pdf(_sentence(rng, 8), mode="bfrange")
     elif variant == 4:
         pdf, golden = pb.identity_h_pdf(_sentence(rng, 5))
-    else:
+    elif variant == 5:
         pdf, golden = pb.objstm_pdf(_sentence(rng, 7))
+    else:
+        pdf, golden = pb.differences_pdf()
     return "%B64%" + base64.b64encode(pdf).decode("ascii"), golden
 
 
