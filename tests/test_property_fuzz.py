@@ -17,7 +17,7 @@ BYTES = st.binary(max_size=4096)
 TEXT = st.text(max_size=2048)
 
 
-@settings(max_examples=150, deadline=None)
+@settings(derandomize=True, max_examples=150, deadline=None)
 @given(TEXT)
 def test_extract_payload_never_raises(payload):
     res = extract_payload(payload)
@@ -26,39 +26,39 @@ def test_extract_payload_never_raises(payload):
     assert sniff_kind(payload) in ("pdf", "pdf-b64", "html", "plain")
 
 
-@settings(max_examples=100, deadline=None)
+@settings(derandomize=True, max_examples=100, deadline=None)
 @given(TEXT)
 def test_pdf_prefixed_garbage_never_raises(payload):
     res = extract_payload("%PDF-1.4\n" + payload)
     assert isinstance(res.text, str)
 
 
-@settings(max_examples=100, deadline=None)
+@settings(derandomize=True, max_examples=100, deadline=None)
 @given(BYTES)
 def test_lzw_roundtrip_property(data):
     assert filters.lzw_decode(_lzw_encode(data)) == data
 
 
-@settings(max_examples=100, deadline=None)
+@settings(derandomize=True, max_examples=100, deadline=None)
 @given(BYTES)
 def test_a85_roundtrip_property(data):
     assert filters.ascii85_decode(_a85_encode(data)) == data
 
 
-@settings(max_examples=100, deadline=None)
+@settings(derandomize=True, max_examples=100, deadline=None)
 @given(BYTES)
 def test_flate_roundtrip_property(data):
     assert filters.flate_decode(zlib.compress(data)) == data
 
 
-@settings(max_examples=100, deadline=None)
+@settings(derandomize=True, max_examples=100, deadline=None)
 @given(BYTES)
 def test_ascii_hex_roundtrip_property(data):
     enc = data.hex().encode() + b">"
     assert filters.ascii_hex_decode(enc) == data
 
 
-@settings(max_examples=100, deadline=None)
+@settings(derandomize=True, max_examples=100, deadline=None)
 @given(BYTES)
 def test_run_length_decode_never_hangs(data):
     # decoding arbitrary bytes either succeeds or raises DecodeError
@@ -68,27 +68,27 @@ def test_run_length_decode_never_hangs(data):
         pass
 
 
-@settings(max_examples=150, deadline=None)
+@settings(derandomize=True, max_examples=150, deadline=None)
 @given(BYTES)
 def test_unescape_literal_total(raw):
     out = unescape_literal(raw)
     assert isinstance(out, bytes)
 
 
-@settings(max_examples=150, deadline=None)
+@settings(derandomize=True, max_examples=150, deadline=None)
 @given(BYTES)
 def test_hex_string_total(raw):
     assert isinstance(hex_string_bytes(raw), bytes)
 
 
-@settings(max_examples=75, deadline=None)
+@settings(derandomize=True, max_examples=75, deadline=None)
 @given(TEXT)
 def test_html_extraction_total(markup):
     out = extract_main_content("<html><body>" + markup + "</body></html>")
     assert isinstance(out, str)
 
 
-@settings(max_examples=50, deadline=None)
+@settings(derandomize=True, max_examples=50, deadline=None)
 @given(st.binary(min_size=0, max_size=512))
 def test_decode_stream_on_random_flate_bytes(data):
     try:
