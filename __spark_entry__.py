@@ -32,6 +32,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # extraction pipeline exercised through the oracle gate
     "pdf_roundtrip_by_source": extraction_queries.pdf_roundtrip_by_source,
+    "pdf_layout_roundtrip_by_source": extraction_queries.pdf_layout_roundtrip_by_source,
     # SURVEY.md §2 [DF] operators
     "turn_reassembly": relational.turn_reassembly,          # §1.2 window invariant
     "sessionize": relational.sessionize,                    # L3 session grouping
@@ -65,6 +66,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 _ORACLES: dict[str, str] = {
     "pdf_roundtrip_by_source": extraction_queries.PDF_ROUNDTRIP_BY_SOURCE_SQL,
+    "pdf_layout_roundtrip_by_source": extraction_queries.PDF_ROUNDTRIP_BY_SOURCE_SQL,
     "turn_reassembly": relational.TURN_REASSEMBLY_SQL,
     "sessionize": relational.SESSIONIZE_SQL,
     "containment_capture": relational.CONTAINMENT_CAPTURE_SQL,

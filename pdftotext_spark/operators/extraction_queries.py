@@ -47,30 +47,51 @@ def _wrap_payload(doc_id: int, text: str) -> str:
     return "%B64%" + base64.b64encode(pdf).decode("ascii")
 
 
-def _roundtrip_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    for pdf in batches:
-        oks = []
-        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-            payload = _wrap_payload(int(doc_id), text)
-            res = extract_payload(payload)
-            oks.append(1 if res.text == text and res.decode_failures == 0 else 0)
-        yield pd.DataFrame(
-            {"doc_id": pdf["doc_id"], "source": pdf["source"], "ok": oks}
-        )
+def _make_roundtrip_batches(layout: bool):
+    from pdftotext_spark.core.document import ExtractOptions
+
+    opts = ExtractOptions(layout=layout)
+
+    def _roundtrip_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            oks = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                payload = _wrap_payload(int(doc_id), text)
+                res = extract_payload(payload, opts)
+                oks.append(
+                    1 if res.text == text and res.decode_failures == 0 else 0
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "source": pdf["source"], "ok": oks}
+            )
+
+    return _roundtrip_batches
 
 
-def pdf_roundtrip_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _roundtrip_query(spark: SparkSession, sf_dir: str, layout: bool) -> DataFrame:
     from pdftotext_spark.sources.shipping import ship_package
 
     ship_package(spark)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id", "source", "text"
     )
-    rt = docs.mapInPandas(_roundtrip_batches, _ROUNDTRIP_SCHEMA)
+    rt = docs.mapInPandas(_make_roundtrip_batches(layout), _ROUNDTRIP_SCHEMA)
     return rt.groupBy("source").agg(
         F.count("*").cast("long").alias("n_docs"),
         F.sum("ok").cast("long").alias("n_roundtrip_equal"),
     )
+
+
+def pdf_roundtrip_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-mode extraction gated through the oracle."""
+    return _roundtrip_query(spark, sf_dir, layout=False)
+
+
+def pdf_layout_roundtrip_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Layout-mode (fragments → line assembly) gated through the same
+    oracle — the independent T6/L2–L4 implementation must reproduce
+    the identical text."""
+    return _roundtrip_query(spark, sf_dir, layout=True)
 
 
 # The oracle asserts perfect roundtrip: any extraction defect breaks
