@@ -111,7 +111,7 @@ def containment_capture(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("long").alias("n_items"),
             F.min("l_quantity").alias("min_qty"),
             F.max("l_quantity").alias("max_qty"),
-            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("sum_price"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("sum_price"),
         )
     )
 
@@ -121,7 +121,7 @@ SELECT l_returnflag,
        CAST(COUNT(*) AS BIGINT) AS n_items,
        MIN(l_quantity) AS min_qty,
        MAX(l_quantity) AS max_qty,
-       SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
 FROM lineitem
 WHERE l_quantity BETWEEN 10 AND 40
   AND l_extendedprice BETWEEN 1000 AND 50000
@@ -208,11 +208,11 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"),
-            F.sum(price).alias("sum_base_price"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
             # keep full product scale (exact decimal arithmetic) so the
             # oracle needs no rounding-mode assumptions
-            F.sum(price * (F.lit(1).cast("decimal(18,4)") - disc)).alias("sum_disc_price"),
+            F.sum(price * (F.lit(1).cast("decimal(18,4)") - disc)).cast("double").alias("sum_disc_price"),
             F.count("*").cast("long").alias("count_order"),
         )
     )
@@ -220,10 +220,10 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PRICING_SUMMARY_SQL = """
 SELECT l_returnflag, l_linestatus,
-       SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-       SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-       SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
-           (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS sum_disc_price,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+           (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
        CAST(COUNT(*) AS BIGINT) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -244,7 +244,7 @@ def segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("c_mktsegment")
         .agg(
-            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("revenue"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("revenue"),
             F.count("*").cast("long").alias("n_orders"),
         )
     )
@@ -252,7 +252,7 @@ def segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SEGMENT_REVENUE_SQL = """
 SELECT c_mktsegment,
-       SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
        CAST(COUNT(*) AS BIGINT) AS n_orders
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment
@@ -270,7 +270,7 @@ def daily_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count("*").cast("long").alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,4)")).alias("sum_value"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
         )
     )
 
@@ -278,7 +278,7 @@ def daily_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
 DAILY_ACTIVITY_SQL = """
 SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
        CAST(COUNT(*) AS BIGINT) AS n_events,
-       SUM(CAST(value AS DECIMAL(18,4))) AS sum_value
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
 FROM events GROUP BY date_trunc('day', ts), event_type
 """
 
