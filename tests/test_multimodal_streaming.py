@@ -139,3 +139,47 @@ def test_raster_cmyk_to_rgb():
 
 def test_raster_rejects_non_raster():
     assert multimodal.decode_raster(b"<< /Subtype /Image /Filter /DCTDecode >>", b"xx") is None
+
+
+# --------------------------------------- stateful streaming (state API)
+
+
+def test_stateful_conversation_rollup(spark, tmp_path):
+    """applyInPandasWithState running totals must match the batch
+    aggregation, and state must persist across a stream restart."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from pdftotext_spark.plans.pipeline import extract_turns
+    from pdftotext_spark.sources.transcripts_gen import write_parquet
+    from pdftotext_spark.streaming.stateful import run_stateful_stream_once
+
+    write_parquet(str(tmp_path / "in1"), n_turns=80, seed=5)
+    write_parquet(str(tmp_path / "in2"), n_turns=80, seed=5)  # same convs again
+    src = tmp_path / "src"
+    src.mkdir()
+    os.symlink(tmp_path / "in1" / "transcripts.parquet", src / "a.parquet")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    run_stateful_stream_once(spark, str(src), out, ckpt)
+    latest1 = (
+        spark.read.parquet(out).groupBy("conv_id").agg(F.max("turns").alias("turns"))
+    )
+    batch = (
+        extract_turns(spark.read.parquet(str(src / "a.parquet")))
+        .groupBy("conv_id")
+        .agg(F.count("*").alias("bturns"), F.sum(F.length("extracted_text")).alias("bchars"))
+    )
+    j1 = latest1.join(batch, "conv_id")
+    assert j1.filter("turns <> bturns").count() == 0
+    assert j1.count() == batch.count()
+
+    # restart with one more file: state continues, totals double
+    os.symlink(tmp_path / "in2" / "transcripts.parquet", src / "b.parquet")
+    run_stateful_stream_once(spark, str(src), out, ckpt)
+    latest2 = (
+        spark.read.parquet(out).groupBy("conv_id").agg(F.max("turns").alias("turns"))
+    )
+    j2 = latest2.join(batch, "conv_id")
+    assert j2.filter("turns <> 2 * bturns").count() == 0
