@@ -14,11 +14,17 @@ def spark():
 
     from pdftotext_spark.plans.pipeline import session_confs
 
+    import tempfile
+
     builder = (
         SparkSession.builder.master("local[4]")
         .appName("pdftotext-spark-tests")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "4g")
+        .config(
+            "spark.sql.warehouse.dir",
+            tempfile.mkdtemp(prefix="spark_wh_"),
+        )
     )
     for k, v in session_confs().items():
         builder = builder.config(k, v)
