@@ -33,3 +33,35 @@ def test_bucketed_join_eliminates_exchange(spark, transcripts_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10m")
         spark.sql("DROP TABLE IF EXISTS t_bucketed")
         spark.sql("DROP TABLE IF EXISTS g_bucketed")
+
+
+def test_salted_join_equals_plain_join(spark):
+    """Hot-key salting must preserve join semantics exactly."""
+    from pdftotext_spark.plans.skew import salted_join
+
+    # skewed fact: 90% of rows share key 'hot'
+    fact = spark.createDataFrame(
+        [(("hot" if i % 10 else f"k{i}"), i) for i in range(2000)],
+        "key string, v long",
+    )
+    dim = spark.createDataFrame(
+        [("hot", "H"), ("k10", "A"), ("k20", "B"), ("missing", "Z")],
+        "key string, label string",
+    )
+    plain = fact.join(dim, "key")
+    salted = salted_join(fact, dim, on=["key"], salt=8)
+    assert salted.count() == plain.count()
+    a = sorted(tuple(r) for r in plain.collect())
+    b = sorted(tuple(r) for r in salted.collect())
+    assert a == b
+    # the hot key actually spreads over multiple salt shards
+    from pdftotext_spark.plans.skew import _SALT_COL
+
+    hot_salts = (
+        fact.filter("key = 'hot'")
+        .withColumn(_SALT_COL, F.pmod(F.xxhash64("key", "v"), F.lit(8)))
+        .select(_SALT_COL)
+        .distinct()
+        .count()
+    )
+    assert hot_salts > 1
