@@ -51,6 +51,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_signatures": dedup.minhash_signatures,
     "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
     "simhash": dedup.simhash,
+    "simhash_neardup_pairs": dedup.simhash_neardup_pairs,
     # similarity search
     "cosine_topk": similarity.cosine_topk,
     "cosine_neardup_pairs": similarity.cosine_neardup_pairs,
@@ -83,6 +84,7 @@ _ORACLES: dict[str, str] = {
     "minhash_signatures": dedup.MINHASH_SIGNATURES_SQL,
     "minhash_lsh_pairs": dedup.MINHASH_LSH_PAIRS_SQL,
     "simhash": dedup.SIMHASH_SQL,
+    "simhash_neardup_pairs": dedup.SIMHASH_NEARDUP_PAIRS_SQL,
     "cosine_topk": similarity.COSINE_TOPK_SQL,
     "cosine_neardup_pairs": similarity.COSINE_NEARDUP_PAIRS_SQL,
     "lang_id": textstats.LANG_ID_SQL,

@@ -277,6 +277,30 @@ def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HAMMING_THRESHOLD = 3
+
+
+def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-duplicate pairs: Hamming distance ≤ k on the
+    16-bit fingerprints (popcount of XOR). At 100 TB you'd band the
+    fingerprint bits into buckets first (pigeonhole: distance ≤ k ⇒
+    some ⌈bits/(k+1)⌉-bit band matches exactly) — with 16 bits and 500
+    docs the direct pair filter is already cheap and exact."""
+    sig = simhash(spark, sf_dir)
+    a = sig.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"))
+    b = sig.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"))
+    dist = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            dist.cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= HAMMING_THRESHOLD)
+    )
+
+
 SIMHASH_SQL = f"""
 WITH toks AS (
   SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents
@@ -289,4 +313,13 @@ votes AS (
 SELECT CAST(doc_id AS BIGINT) AS doc_id,
        CAST({" + ".join(f"(CASE WHEN v{b} > 0 THEN {2 ** b} ELSE 0 END)" for b in range(SIMHASH_BITS))} AS BIGINT) AS simhash
 FROM votes
+"""
+
+
+SIMHASH_NEARDUP_PAIRS_SQL = f"""
+WITH sig AS ({SIMHASH_SQL.strip().rstrip()})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_THRESHOLD}
 """
