@@ -38,21 +38,26 @@ DEFAULT_CHAR_WIDTH = 500.0  # 1/1000 em units when no /Widths present
 UNKNOWN_CHAR = ""
 
 
+_TYPE_FONT_RE = re.compile(rb"/Type\s*/Font\b")
+# `<</F1 26 0 R …>>` style alias dicts (F- or R-prefixed aliases, the
+# two conventions seen in the wild) or an inline /Font resource dict
+_FONTMAP_RE = re.compile(
+    rb"<<\s*/[FR][A-Za-z0-9]*\s+\d+\s+\d+\s+R|/Font\s*<<"
+)
+
+
 def is_font(body: bytes) -> bool:
     """``IsFont`` (PdfToText.php:529–537): /Type/Font or /BaseFont,
     excluding FontDescriptors."""
-    if b"/FontDescriptor" in body and b"/Type/Font" not in re.sub(rb"\s+", b"", body):
+    has_type_font = _TYPE_FONT_RE.search(body) is not None
+    if b"/FontDescriptor" in body and not has_type_font:
         return False
-    compact = re.sub(rb"\s+", b"", body)
-    return b"/Type/Font" in compact or b"/BaseFont" in compact
+    return has_type_font or b"/BaseFont" in body
 
 
 def is_font_map(body: bytes) -> bool:
     """``IsFontMap`` (PdfToText.php:564–572): a dict of font aliases."""
-    compact = re.sub(rb"\s+", b"", body)
-    return bool(re.search(rb"<</F[A-Za-z0-9]*\d+\d+0R", compact)) or bool(
-        re.search(rb"/Font\s*<<", body)
-    )
+    return _FONTMAP_RE.search(body) is not None
 
 
 @dataclass
@@ -153,7 +158,7 @@ def parse_font(obj_id: int, body: bytes) -> Font:
     bm = _BASEFONT_RE.search(body)
     if bm:
         font.base_font = bm.group(1).decode("latin-1")
-    if _IDENTITY_H_RE.search(re.sub(rb"\s+", b"", body)):
+    if _IDENTITY_H_RE.search(body):
         font.cid = True
         font.encoding = "cid"
     tm = _TOUNICODE_RE.search(body)
@@ -166,10 +171,9 @@ def parse_font(obj_id: int, body: bytes) -> Font:
         im = _ENCODING_INLINE_RE.search(body)
         if im:
             font.encoding_map = EncodingMap.parse(im.group(0))
-    compact = re.sub(rb"\s+", b"", body)
-    if b"/WinAnsiEncoding" in compact and font.encoding_map is None:
+    if b"/WinAnsiEncoding" in body and font.encoding_map is None:
         font.encoding = "winansi"
-    elif b"/MacRomanEncoding" in compact and font.encoding_map is None:
+    elif b"/MacRomanEncoding" in body and font.encoding_map is None:
         font.encoding = "macroman"
     fm = _FIRSTCHAR_RE.search(body)
     if fm:
