@@ -286,7 +286,9 @@ def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprint bits into buckets first (pigeonhole: distance ≤ k ⇒
     some ⌈bits/(k+1)⌉-bit band matches exactly) — with 16 bits and 500
     docs the direct pair filter is already cheap and exact."""
-    sig = simhash(spark, sf_dir)
+    # cache: the fingerprint table is tiny but expensive to derive, and
+    # the self-join would otherwise compute it twice
+    sig = simhash(spark, sf_dir).cache()
     a = sig.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"))
     b = sig.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"))
     dist = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
