@@ -16,7 +16,14 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
-from pdftotext_spark.operators import dedup, extraction_queries, relational, similarity, textstats  # noqa: E402
+from pdftotext_spark.operators import (  # noqa: E402
+    dedup,
+    extraction_queries,
+    relational,
+    similarity,
+    temporal,
+    textstats,
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -45,6 +52,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "segment_revenue": relational.segment_revenue,          # broadcast dim join
     "daily_activity": relational.daily_activity,            # time-bucket rollup
     "distinct_users_by_type": relational.distinct_users_by_type,
+    # custom operators Spark lacks natively (guide §OLAP patterns)
+    "asof_join_events": temporal.asof_join_events,          # applyInPandas merge_asof
+    "range_join_tiers": temporal.range_join_tiers,          # broadcast theta join
+    "median_value_by_type": temporal.median_value_by_type,  # exact percentile
     # dedup family
     "dedup_exact": dedup.dedup_exact,
     "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
@@ -79,6 +90,9 @@ _ORACLES: dict[str, str] = {
     "segment_revenue": relational.SEGMENT_REVENUE_SQL,
     "daily_activity": relational.DAILY_ACTIVITY_SQL,
     "distinct_users_by_type": relational.DISTINCT_USERS_BY_TYPE_SQL,
+    "asof_join_events": temporal.ASOF_JOIN_EVENTS_SQL,
+    "range_join_tiers": temporal.RANGE_JOIN_TIERS_SQL,
+    "median_value_by_type": temporal.MEDIAN_VALUE_BY_TYPE_SQL,
     "dedup_exact": dedup.DEDUP_EXACT_SQL,
     "ngram_jaccard_pairs": dedup.NGRAM_JACCARD_PAIRS_SQL,
     "minhash_signatures": dedup.MINHASH_SIGNATURES_SQL,
