@@ -22,7 +22,7 @@ from pdftotext_spark.core.interpreter import (
     extract_fragments,
     extract_text_raw,
 )
-from pdftotext_spark.core.cmaps import is_character_map, ToUnicodeCMap
+from pdftotext_spark.core.cmaps import is_character_map
 from pdftotext_spark.core.pagemap import (
     PageMap,
     is_form_xobject,

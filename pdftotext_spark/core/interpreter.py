@@ -29,7 +29,7 @@ Newline heuristics (documented contract, tested by construction):
 from __future__ import annotations
 
 import re
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 from pdftotext_spark.core.fonts import Font, FontTable
 from pdftotext_spark.core.strings import hex_string_bytes, unescape_literal

@@ -123,7 +123,7 @@ def ivf_topk(spark: SparkSession, sf_dir: str, n_clusters: int = 8, n_probe: int
     ``cosine_topk`` above is the exact-recall baseline it is judged
     against in tests)."""
     from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.ml.functions import array_to_vector
 
     emb = _read(spark, sf_dir, "embeddings")
     vecs = emb.withColumn(

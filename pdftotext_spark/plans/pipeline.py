@@ -2,15 +2,17 @@
 
 Scale design (BASELINE.json north_rule — 10^12 turns, 1000 executors):
 
-- **Salted repartition on conv_id** before the CPU-bound extraction
-  stage: a mega-conversation (Zipf skew fixture, FIXTURES.md §1) must
-  not pin one task. Salt = ``pmod(xxhash64(conv_id, turn_idx), SALT)``
-  so one conversation spreads over SALT partitions while staying
-  deterministic. Extraction itself is per-turn (no cross-turn state),
-  so any partitioning is *correct*; the salt is purely anti-skew.
-- **Conversation assembly** is the only shuffle-by-key stage; it uses
-  a window over ``(conv_id, turn_idx)`` — AQE handles residual skew
-  (``spark.sql.adaptive.enabled`` + skew-join settings in
+- **Shuffle-free extraction by default**: per-turn work is keyless, so
+  the parquet scan's byte splits already balance it (mega-conversation
+  skew is a *key* phenomenon — it cannot skew a byte-split scan). The
+  deterministic salted repartition
+  (``pmod(xxhash64(conv_id, turn_idx), SALT)``) remains available for
+  pathological file layouts; measured, skipping it is ~2× end-to-end
+  (BENCH/BASELINE.md).
+- **Conversation assembly** is the only shuffle-by-key stage
+  (groupBy + array_sort(collect_list), optional two-level chunking for
+  unbounded conversation sizes) — AQE handles residual skew
+  (``spark.sql.adaptive.enabled`` + skew settings in
   :func:`session_confs`).
 - **Resumability**: ``resume_anti_join`` drops `(conv_id, turn_idx)`
   pairs already committed to the target table (Iceberg snapshot or
@@ -26,7 +28,7 @@ Scale design (BASELINE.json north_rule — 10^12 turns, 1000 executors):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pdftotext_spark.functions.extract import (
