@@ -78,12 +78,16 @@ def time_extraction(spark, input_path: str, n_partitions: int | None = None) -> 
     )
     wall = time.perf_counter() - t0
     assert agg["n"] == n_turns
-    # conversation assembly (the one shuffle stage), timed end-to-end
+    # conversation assembly (the one shuffle stage), timed in isolation
+    # over a cached extraction so the number is assembly-only
     from pdftotext_spark.plans.pipeline import assemble_conversations
 
+    extracted = extract_turns(df, n_partitions=n_partitions).cache()
+    extracted.count()
     t0 = time.perf_counter()
-    n_convs = assemble_conversations(extract_turns(df, n_partitions=n_partitions)).count()
+    n_convs = assemble_conversations(extracted).count()
     assembly_wall = time.perf_counter() - t0
+    extracted.unpersist()
     return {
         "turns": n_turns,
         "wall_sec": round(wall, 3),
