@@ -73,12 +73,24 @@ def run_level(cpus: int, input_path: str) -> dict:
     return json.loads(proc.stdout.strip().splitlines()[-1])
 
 
+ROUNDS = 2  # interleaved rounds per level; best-of wins
+
+
 def main() -> None:
     from bench import ensure_bench_transcripts
 
     input_path = ensure_bench_transcripts()
     hw = hardware_baseline()
-    results = {n: run_level(n, input_path) for n in LEVELS}
+    # interleave levels across rounds and keep the best rate per level:
+    # this host carries external tenant load that comes and goes, and a
+    # single sequential sweep attributes whoever's noise-window each
+    # level landed in to the level itself
+    results: dict[int, dict] = {}
+    for _ in range(ROUNDS):
+        for n in LEVELS:
+            r = run_level(n, input_path)
+            if n not in results or r["turns_per_sec"] > results[n]["turns_per_sec"]:
+                results[n] = r
 
     pair_reports = []
     for lo, hi in PAIRS:
@@ -132,7 +144,10 @@ def main() -> None:
         "",
         "Method: identical job (`extract_turns`, shuffle-free scan path, 256k splits)",
         "over the seed-42 100k-turn transcripts fixture; separate JVM per level;",
-        "in-process warm-up pass discarded; rate = 3 timed passes. Hardware ceiling =",
+        "in-process warm-up pass discarded; rate = 3 timed passes; levels interleaved",
+        f"over {ROUNDS} rounds, best-of per level (external tenant noise on this",
+        "shared host otherwise biases whichever level lands in a noise window).",
+        "Hardware ceiling =",
         "tight-loop multiprocessing scaling at the same level pair — this host has 32",
         "SMT threads on 16 physical cores, so 8→32 is hardware-capped below 1.0;",
         "2→8 stays within physical cores and is the clean executor-scaling analog",
