@@ -574,15 +574,27 @@ def extract_fragments(
                 if font:
                     advance_x(font.string_width(t, font_size))
         elif op == "TJ":
+            # one fragment per TJ op (the reference's granularity,
+            # PdfToText.php:4475–4513): elements concatenate, kerning
+            # offsets below −MIN_SPACE_WIDTH become separator spaces
             if operands and operands[-1][0] == "arr":
+                parts: list[str] = []
+                start_tm = tm
                 for el in operands[-1][1]:
                     if el[0] in ("str", "hex"):
                         t = decode_pdf_string(el, font)
-                        emit(t)
+                        parts.append(t)
                         if font:
                             advance_x(font.string_width(t, font_size))
                     elif el[0] == "num":
+                        if el[1] < -MIN_SPACE_WIDTH:
+                            parts.append(" ")
                         advance_x(-el[1] / 1000.0 * font_size)
+                if parts:
+                    saved_tm = tm
+                    tm = start_tm  # fragment anchored at the op start
+                    emit("".join(parts))
+                    tm = saved_tm
         operands.clear()
 
     return frags

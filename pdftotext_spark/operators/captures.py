@@ -41,7 +41,7 @@ class CaptureArea:
     top: float
     right: float
     bottom: float
-    pages: str = "$"  # page-range expression
+    pages: str = "1..$"  # page-range expression (default: every page)
 
 
 @dataclass(frozen=True)
@@ -53,7 +53,7 @@ class LinesCapture:
     height: float  # per-line height used to tile downward
     count: int  # number of lines
     columns: tuple[tuple[str, float, float], ...]  # (col name, left, right)
-    pages: str = "$"
+    pages: str = "1..$"
 
 
 # --------------------------------------------------- page-range algebra
@@ -87,6 +87,45 @@ def parse_page_range(expr: str, page_count: int) -> set[int]:
         else:
             pages.add(value(part))
     return {p for p in pages if 1 <= p <= page_count}
+
+
+def _parse_bound(tok: str) -> tuple[str, int]:
+    """A range bound is either ('abs', n) or ('rel', offset-from-$)."""
+    tok = tok.strip()
+    m = re.fullmatch(r"\$\s*(?:(-|\+)\s*(\d+))?", tok)
+    if m:
+        off = int(m.group(2) or 0)
+        return ("rel", -off if m.group(1) == "-" else off)
+    if re.fullmatch(r"\d+", tok):
+        return ("abs", int(tok))
+    raise ValueError(f"bad page expression: {tok!r}")
+
+
+def page_range_predicate(expr: str, page_col, max_page_col):
+    """DataFrame-native page-set predicate: builds a boolean Column
+    from the reference's page syntax, resolving ``$`` against a
+    per-document ``max_page`` column (so one plan serves documents of
+    any page count — no driver-side expansion)."""
+    def bound_col(kind: str, v: int):
+        return F.lit(v) if kind == "abs" else max_page_col + F.lit(v)
+
+    pred = F.lit(False)
+    for part in expr.split(","):
+        part = part.strip()
+        if not part:
+            continue
+        if ".." in part:
+            lo_t, hi_t = part.split("..", 1)
+            lo_k, lo_v = _parse_bound(lo_t)
+            hi_k, hi_v = _parse_bound(hi_t)
+            pred = pred | (
+                (page_col >= bound_col(lo_k, lo_v))
+                & (page_col <= bound_col(hi_k, hi_v))
+            )
+        else:
+            k, v = _parse_bound(part)
+            pred = pred | (page_col == bound_col(k, v))
+    return pred
 
 
 # ------------------------------------------------------- XML definitions
@@ -187,6 +226,8 @@ def rectangle_capture(
     (PdfToText.php:11896–11902). Fragment order inside a capture is
     reading order: (y desc, x asc, seq) (11088–11103).
     """
+    from pyspark.sql import Window
+
     area_rows = [
         (a.name, float(a.left), float(a.top), float(a.right), float(a.bottom))
         for a in areas
@@ -195,7 +236,11 @@ def rectangle_capture(
     areas_df = spark.createDataFrame(
         area_rows, "shape string, a_left double, a_top double, a_right double, a_bottom double"
     )
-    f = fragments
+    # per-document page count resolves $-relative page ranges
+    f = fragments.withColumn(
+        "max_page",
+        F.max("page").over(Window.partitionBy("conv_id", "turn_idx")),
+    )
     joined = f.join(
         F.broadcast(areas_df),
         (F.col("x") >= F.col("a_left"))
@@ -203,6 +248,14 @@ def rectangle_capture(
         & (F.col("y") >= F.col("a_bottom"))
         & (F.col("y") + F.col("font_height") <= F.col("a_top")),
     )
+    # per-shape page-range filter (each area's `pages` expression)
+    page_pred = F.lit(False)
+    for a in areas:
+        page_pred = page_pred | (
+            (F.col("shape") == a.name)
+            & page_range_predicate(a.pages, F.col("page"), F.col("max_page"))
+        )
+    joined = joined.filter(page_pred)
     return (
         joined.groupBy("conv_id", "turn_idx", "page", "shape")
         .agg(

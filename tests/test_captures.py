@@ -91,3 +91,42 @@ def test_captures_projection(spark, fragments):
     m = proj[0].pages_map
     assert m[1] == "Page 1 line one" and m[2] == "Page 2 line one"
     assert proj[0].n_pages_hit == 2
+
+
+def test_rectangle_capture_respects_page_ranges(spark, fragments):
+    # same area, page-scoped: "1" hits page 1 only; "$" hits the last
+    areas = [
+        cap.CaptureArea("first_only", 0, 740, 612, 715, pages="1"),
+        cap.CaptureArea("last_only", 0, 740, 612, 715, pages="$"),
+        cap.CaptureArea("everything", 0, 740, 612, 715, pages="1..$"),
+    ]
+    got = cap.rectangle_capture(fragments, areas)
+    rows = {(r.shape, r.page) for r in got.collect()}
+    assert ("first_only", 1) in rows and ("first_only", 2) not in rows
+    assert ("last_only", 2) in rows and ("last_only", 1) not in rows
+    assert ("everything", 1) in rows and ("everything", 2) in rows
+
+
+def test_reference_capture_xml_end_to_end(spark):
+    """The reference's own sample-report.xml + sample-report.pdf driven
+    through the DataFrame captures path: the page-1 Title rectangle
+    must capture 'REPORT HEADER' and nothing on page 2."""
+    from pathlib import Path
+
+    ex = Path("/root/reference/examples/text-capture")
+    if not ex.exists():
+        pytest.skip("reference examples not available")
+    xml = (ex / "sample-report.xml").read_text(encoding="utf-8-sig")
+    rects, _lines = cap.parse_capture_xml(xml)
+    payload = (ex / "sample-report.pdf").read_bytes()
+    import base64
+
+    df = spark.createDataFrame(
+        [("r0", 0, "%B64%" + base64.b64encode(payload).decode())],
+        "conv_id string, turn_idx int, text string",
+    )
+    frags = extract_fragments_df(df)
+    got = cap.rectangle_capture(frags, rects).collect()
+    assert len(got) == 1
+    assert got[0].shape == "Title" and got[0].page == 1
+    assert "REPORT HEADER" in got[0].captured_text
