@@ -308,7 +308,13 @@ def lines_capture(fragments: DataFrame, cap: LinesCapture) -> DataFrame:
         "line_no int, column_name string, c_left double, c_right double, "
         "band_top double, band_bottom double",
     )
-    joined = fragments.join(
+    from pyspark.sql import Window
+
+    f = fragments.withColumn(
+        "max_page",
+        F.max("page").over(Window.partitionBy("conv_id", "turn_idx")),
+    ).filter(page_range_predicate(cap.pages, F.col("page"), F.col("max_page")))
+    joined = f.join(
         F.broadcast(grid),
         (F.col("x") >= F.col("c_left"))
         & (F.col("x") <= F.col("c_right"))

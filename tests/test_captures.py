@@ -130,3 +130,35 @@ def test_reference_capture_xml_end_to_end(spark):
     assert len(got) == 1
     assert got[0].shape == "Title" and got[0].page == 1
     assert "REPORT HEADER" in got[0].captured_text
+
+
+def test_reference_lines_capture_end_to_end(spark):
+    """The reference's ReportLines lines-capture (page-1 spec, Column1
+    spanning x 70..399) over the real sample-report.pdf: the four data
+    rows L1C1..L4C3 land in consecutive line cells."""
+    from pathlib import Path
+
+    ex = Path("/root/reference/examples/text-capture")
+    if not ex.exists():
+        pytest.skip("reference examples not available")
+    xml = (ex / "sample-report.xml").read_text(encoding="utf-8-sig")
+    _rects, lines = cap.parse_capture_xml(xml)
+    page1_spec = next(ln for ln in lines if ln.pages == "1")
+    import base64
+
+    payload = (ex / "sample-report.pdf").read_bytes()
+    df = spark.createDataFrame(
+        [("r0", 0, "%B64%" + base64.b64encode(payload).decode())],
+        "conv_id string, turn_idx int, text string",
+    )
+    frags = extract_fragments_df(df)
+    got = (
+        cap.lines_capture(frags, page1_spec)
+        .orderBy("line_no")
+        .collect()
+    )
+    assert all(r.page == 1 for r in got)
+    cells = [r.cell_text for r in got]
+    joined = " | ".join(cells)
+    for token in ("L1C1", "L2C1", "L3C1", "L4C1"):
+        assert token in joined
