@@ -89,11 +89,16 @@ def cosine_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-duplicate pairs within coarse buckets (label):
     the bucketed self-join is the IVF scale shape — pair count is
     Σ bucket_size², not N²."""
-    emb = _read(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    # norms computed once per vector (N), not per pair (N²/buckets)
+    emb = (
+        _read(spark, sf_dir, "embeddings")
+        .select("vec_id", "label", "embedding")
+        .withColumn("nrm", _norm(F.col("embedding")))
+    )
     a = emb.alias("a")
     b = emb.alias("b")
     cos = _dot(F.col("a.embedding"), F.col("b.embedding")) / (
-        _norm(F.col("a.embedding")) * _norm(F.col("b.embedding"))
+        F.col("a.nrm") * F.col("b.nrm")
     )
     return (
         a.join(
