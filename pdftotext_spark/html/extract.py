@@ -127,6 +127,32 @@ def extract_title(markup: str) -> str:
     return _WS_RE.sub(" ", _html.unescape(_INNER_TAG_RE.sub(" ", m.group(1)))).strip()
 
 
+_ERROR_MARKERS = (
+    "404", "not found", "page not found", "403", "forbidden",
+    "access denied", "error occurred", "500", "internal server error",
+    "service unavailable", "page does not exist", "page doesn't exist",
+)
+
+
+def is_error_page(markup: str, main_text: str | None = None) -> bool:
+    """Soft-404 / error-page heuristic (a standard crawl-corpus
+    filter): an error marker in the title or h1, or a marker-bearing
+    page whose main content is near-empty."""
+    title = extract_title(markup).lower()
+    if any(m in title for m in _ERROR_MARKERS):
+        return True
+    text = (main_text if main_text is not None else extract_main_content(markup)).lower()
+    if len(text) < 200:
+        # near-empty main content: check the whole visible text (the
+        # boilerplate stripper drops short error blurbs as non-content)
+        visible = _WS_RE.sub(
+            " ", _html.unescape(_INNER_TAG_RE.sub(" ", _COMMENT_RE.sub(" ", markup)))
+        ).lower()
+        if len(visible) < 600 and any(m in visible for m in _ERROR_MARKERS):
+            return True
+    return False
+
+
 def extract_main_content(markup: str) -> str:
     """Strip boilerplate and return the main text content."""
     markup = _COMMENT_RE.sub(" ", markup)

@@ -75,3 +75,45 @@ def test_extract_title():
     assert extract_title("<body><h1>Big <em>Header</em></h1></body>") == "Big Header"
     assert extract_title("<p>no title</p>") == ""
     assert extract_title("<title>A &amp; B</title>") == "A & B"
+
+
+def test_is_error_page():
+    from pdftotext_spark.html.extract import is_error_page
+
+    assert is_error_page("<html><title>404 Not Found</title><body></body></html>")
+    assert is_error_page("<html><body><h1>Page not found</h1></body></html>")
+    assert is_error_page(
+        "<html><body><p>Sorry, an error occurred.</p></body></html>"
+    )
+    # long real content mentioning 404 is NOT an error page
+    long_article = "<html><title>HTTP status codes</title><body><p>" + (
+        "The 404 status code indicates a missing resource and this "
+        "article discusses it at length with many words. " * 10
+    ) + "</p></body></html>"
+    assert not is_error_page(long_article)
+    assert not is_error_page(page([ARTICLE]))
+
+
+def test_structural_markup_variants():
+    # lists and tables keep their text; blocks split at block tags
+    html = (
+        "<html><body><article>"
+        "<ul><li>alpha item with several words inside it</li>"
+        "<li>beta item also with several words inside it</li></ul>"
+        "<table><tr><td>cell one has words</td><td>cell two has words</td></tr></table>"
+        "<p>" + ARTICLE + "</p></article></body></html>"
+    )
+    out = extract_main_content(html)
+    assert ARTICLE in out
+    # structural text survives (as continuation or standalone blocks)
+    assert "alpha item" in out or "beta item" in out or "cell one" in out
+
+
+def test_comment_with_markup_inside():
+    html = (
+        "<html><body><!-- <p>ghost content</p> --><p>"
+        + ARTICLE
+        + "</p></body></html>"
+    )
+    out = extract_main_content(html)
+    assert "ghost" not in out and ARTICLE in out
