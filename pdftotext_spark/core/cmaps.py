@@ -33,6 +33,19 @@ _DIFFS_RE = re.compile(rb"/Differences\s*\[(.*?)\]", re.S)
 _DIFF_TOKEN_RE = re.compile(rb"(\d+)|/([^\s/\[\]<>()]+)")
 
 
+def _pua_fixup(text: str) -> str:
+    """0xF0xx private-use quirk (F10, PdfToText.php:7592–7675 applied
+    at 6852–6853/6889–6892): symbol fonts emit ASCII shifted into the
+    U+F000 private-use block (e.g. U+F030 for '0'); map printable ones
+    back to their base characters."""
+    if not any("\uf020" <= c <= "\uf07e" for c in text):
+        return text
+    return "".join(
+        chr(ord(c) - 0xF000) if "\uf020" <= c <= "\uf07e" else c
+        for c in text
+    )
+
+
 def _hex_to_text(h: bytes) -> str:
     """A bf target hex value is UTF-16BE text (possibly multi-char)."""
     h = re.sub(rb"\s+", b"", h)
@@ -44,7 +57,7 @@ def _hex_to_text(h: bytes) -> str:
     if len(raw) % 2:
         raw += b"\x00"
     try:
-        return raw.decode("utf-16-be")
+        return _pua_fixup(raw.decode("utf-16-be"))
     except UnicodeDecodeError:
         return "".join(chr(b) for b in raw)
 

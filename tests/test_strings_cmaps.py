@@ -112,3 +112,14 @@ def test_is_character_map():
     assert is_character_map(b"... beginbfchar ...")
     assert is_character_map(b"<< /Differences [1 /a] >>")
     assert not is_character_map(b"<< /Type /Page >>")
+
+
+def test_pua_f0xx_quirk():
+    """0xF0xx private-use fixup (F10, PdfToText.php:7592–7675):
+    symbol-font bfchar targets in U+F020–F07E map back to ASCII."""
+    cmap = ToUnicodeCMap.parse(
+        b"beginbfchar\n<41> <F030>\n<42> <F041>\n<43> <E000>\nendbfchar"
+    )
+    assert cmap.lookup(0x41) == "0"
+    assert cmap.lookup(0x42) == "A"
+    assert cmap.lookup(0x43) == ""  # outside the quirk window: kept
