@@ -119,12 +119,25 @@ class Font:
 
     _decoded_bytes: int = 0
 
+    @property
+    def _is_trivial(self) -> bool:
+        """No cmap, no differences, standard base encoding: decoding
+        is byte-identity (chr(b) == latin-1)."""
+        return (
+            self.cmap is None
+            and self.encoding_map is None
+            and self.encoding == "standard"
+        )
+
     def decode_single_bytes(self, data: bytes) -> str:
-        """Adaptive 1-byte decode. Short documents stay on the
-        per-char memo; once a font has decoded >512 bytes the full
-        256-entry table is built once and ``str.translate`` (C speed)
-        takes over — the reference's per-(font,char) memo buffer
-        (PdfToText.php:6116–6121) taken to its limit."""
+        """Adaptive 1-byte decode. Trivial fonts decode as straight
+        latin-1 (C speed, provably equal to per-char map_char); mapped
+        fonts stay on the per-char memo until >512 bytes, then a full
+        256-entry ``str.translate`` table takes over — the reference's
+        per-(font,char) memo buffer (PdfToText.php:6116–6121) taken to
+        its limit."""
+        if self._is_trivial:
+            return data.decode("latin-1")
         tbl = self._translate_table
         if tbl is not None:
             return data.decode("latin-1").translate(tbl)
