@@ -88,3 +88,18 @@ def test_extract_forms_dataframe(spark, w9_pdf, w9_template):
     assert out[0].form_fields["SSN"] == "123-45-6789"
     assert out[0].n_fields > 10
     assert out[1].n_fields == 0
+
+
+def test_shipped_form_template_parses():
+    """The reference's FormTemplates/US-IRS-W9.xml (the library's own
+    shipped template, distinct from the example's) parses and maps."""
+    from pathlib import Path
+
+    p = Path("/root/reference/FormTemplates/US-IRS-W9.xml")
+    if not p.exists():
+        pytest.skip("shipped template not available")
+    t = parse_form_template(p.read_text(encoding="utf-8-sig"))
+    assert t.form_class == "W9"
+    assert len(t.fields) >= 15
+    assert {g.name for g in t.groups} == {"SSN", "EIN"}
+    assert any(f.type == "choice" and f.cases for f in t.fields)
