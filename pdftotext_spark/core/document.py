@@ -73,6 +73,9 @@ class ExtractOptions:
     enhanced_statistics: bool = False
     # PDFOPT_REPEAT_SEPARATOR (T11)
     repeat_separator: bool = False
+    # F13: ligature/typographic simplification toward ASCII
+    # (Maps/unicode-to-ansi.map analog); off by default
+    simplify_unicode: bool = False
     # per-payload soft time budget in seconds (MaxExecutionTime analog,
     # PdfToText.php:1056–1068/3399–3415). Checked between pages; on
     # breach, remaining pages are skipped and a failure is recorded —
@@ -247,6 +250,10 @@ def extract_document(buf: bytes, options: ExtractOptions | None = None) -> Extra
         res.pages.append(page_text)
 
     res.n_pages = len(res.pages)
+    if opts.simplify_unicode:
+        from pdftotext_spark.core.postprocess import simplify_to_ansi
+
+        res.pages = [simplify_to_ansi(p) for p in res.pages]
     text = opts.page_separator.join(res.pages)
     if opts.no_hyphenated_words:
         text = dehyphenate(text)

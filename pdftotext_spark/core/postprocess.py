@@ -33,6 +33,28 @@ def page_offsets(pages: list[str], separator: str = "\n") -> list[tuple[int, int
     return offsets
 
 
+# ------------------------------------------- unicode simplification (F13)
+
+# The reference ships Maps/unicode-to-ansi.map: ligatures and
+# typographic spaces/dashes/quotes simplified toward ASCII
+# (PdfToText.php:220–245). Public equivalents (NFKC-adjacent, but
+# pinned so output is stable across Python versions):
+_SIMPLIFY_TABLE = {
+    0xFB00: "ff", 0xFB01: "fi", 0xFB02: "fl", 0xFB03: "ffi", 0xFB04: "ffl",
+    0x2018: "'", 0x2019: "'", 0x201A: "'", 0x201C: '"', 0x201D: '"',
+    0x201E: '"', 0x2013: "-", 0x2014: "-", 0x2212: "-", 0x2026: "...",
+    0x00A0: " ", 0x2002: " ", 0x2003: " ", 0x2009: " ", 0x202F: " ",
+    0x2000: " ", 0x2001: " ", 0x2004: " ", 0x2005: " ", 0x2006: " ",
+    0x2007: " ", 0x2008: " ", 0x200A: " ", 0x2022: "*", 0x00B7: "*",
+}
+
+
+def simplify_to_ansi(text: str) -> str:
+    """Opt-in ligature/typographic simplification toward ASCII
+    (F13 analog of ``Maps/unicode-to-ansi.map``)."""
+    return text.translate(_SIMPLIFY_TABLE)
+
+
 # ----------------------------------------------------------- RTL (X1)
 
 _RTL_RE = re.compile(r"[֐-׿؀-ۿݐ-ݿיִ-﷿ﹰ-﻿]")

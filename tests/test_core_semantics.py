@@ -245,3 +245,16 @@ def test_time_budget_skips_remaining_pages():
     # generous budget extracts everything
     ok = extract_document(pdf, ExtractOptions(max_seconds=30.0))
     assert ok.pages == goldens and ok.decode_failures == 0
+
+
+def test_simplify_unicode_option():
+    """F13 unicode-to-ansi analog: ligatures/typographic chars → ASCII."""
+    from pdftotext_spark.core.postprocess import simplify_to_ansi
+    from pdftotext_spark.sources import pdfbuilder as pb
+
+    assert simplify_to_ansi("ﬁnal — “quote”… café") == 'final - "quote"... café'
+    pdf, _ = pb.tounicode_pdf("ﬁn—x", mode="bfchar")
+    plain = extract_document(pdf)
+    simplified = extract_document(pdf, ExtractOptions(simplify_unicode=True))
+    assert plain.text == "ﬁn—x"
+    assert simplified.text == "fin-x"
