@@ -194,3 +194,28 @@ def test_two_level_assembly_identical(spark, extracted):
         assert single[cid].n_turns == chunked[cid].n_turns
         assert single[cid].decode_failures == chunked[cid].decode_failures
         assert single[cid].last_ts == chunked[cid].last_ts
+
+
+def test_real_reference_pdfs_through_pipeline(spark):
+    """The reference's shipped example PDFs as %B64% payloads through
+    the full mapInPandas pipeline — real-world documents, distributed
+    path."""
+    import base64
+    from pathlib import Path
+
+    ex = Path("/root/reference/examples")
+    if not ex.exists():
+        pytest.skip("reference examples not available")
+    rows = []
+    for i, name in enumerate(["example01", "example02", "example03", "text-capture"]):
+        pdfs = sorted((ex / name).glob("*.pdf"))
+        payload = "%B64%" + base64.b64encode(pdfs[0].read_bytes()).decode()
+        rows.append(("real", i, "user", payload, "pdf-b64"))
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string"
+    ).withColumn("ts", F.current_timestamp())
+    out = {r.turn_idx: r for r in extract_turns(df).collect()}
+    assert all(r.decode_failures == 0 for r in out.values())
+    assert "hiboux" in out[0].extracted_text  # Baudelaire, example01
+    assert out[1].n_pages == 1 and len(out[1].extracted_text) > 20
+    assert "REPORT HEADER" in out[3].extracted_text
