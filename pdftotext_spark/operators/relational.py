@@ -300,6 +300,30 @@ FROM events GROUP BY event_type
 """
 
 
+def cumulative_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running total per ordered group — the window shape behind
+    page-offset bookkeeping (X3) and incremental corpus accounting."""
+    docs = _read(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.sum(F.length("text")).over(w).cast("long").alias("cum_chars"),
+    )
+
+
+CUMULATIVE_CHARS_SQL = """
+SELECT doc_id, lang,
+       CAST(SUM(length(text)) OVER (PARTITION BY lang ORDER BY doc_id
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_chars
+FROM documents
+"""
+
+
 def fragment_sort_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-key fragment sort (L2, PdfToText.php:5174–5185) as a
     deterministic top-k: Spark plans this as TakeOrderedAndProject —
