@@ -154,3 +154,81 @@ def test_dispatch_never_raises_on_garbage():
     assert res.decode_failures >= 0  # no exception; text may be empty
     res2 = extract_payload("%B64%!!!notbase64???")
     assert res2.text == ""
+
+
+def test_winansi_high_bytes_end_to_end():
+    """WinAnsi font: bytes 0x80–0x9F decode through the cp1252 fixups
+    (F9) — curly quotes, euro, em-dash."""
+    from pdftotext_spark.sources.pdfbuilder import PdfBuilder
+
+    b = PdfBuilder()
+    catalog, pages_node, font, page, content = (b.alloc() for _ in range(5))
+    b.add(catalog, f"<< /Type /Catalog /Pages {pages_node} 0 R >>\n".encode())
+    b.add(pages_node, f"<< /Type /Pages /Kids [{page} 0 R] /Count 1 >>\n".encode())
+    b.add(font, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica /Encoding /WinAnsiEncoding >>\n")
+    b.add(
+        page,
+        (
+            f"<< /Type /Page /Parent {pages_node} 0 R /MediaBox [0 0 612 792] "
+            f"/Resources << /Font << /F1 {font} 0 R >> >> /Contents {content} 0 R >>\n"
+        ).encode(),
+    )
+    # \x93quoted\x94 \x80 100 \x97 dash
+    b.add_stream(
+        content, b"",
+        b"BT /F1 12 Tf 1 0 0 1 72 720 Tm (\x93quoted\x94 \x80 \x97) Tj ET",
+    )
+    res = extract_document(b.build())
+    assert res.text == "“quoted” € —"
+
+
+def test_macroman_high_bytes_end_to_end():
+    from pdftotext_spark.sources.pdfbuilder import PdfBuilder
+
+    b = PdfBuilder()
+    catalog, pages_node, font, page, content = (b.alloc() for _ in range(5))
+    b.add(catalog, f"<< /Type /Catalog /Pages {pages_node} 0 R >>\n".encode())
+    b.add(pages_node, f"<< /Type /Pages /Kids [{page} 0 R] /Count 1 >>\n".encode())
+    b.add(font, b"<< /Type /Font /Subtype /Type1 /BaseFont /Times /Encoding /MacRomanEncoding >>\n")
+    b.add(
+        page,
+        (
+            f"<< /Type /Page /Parent {pages_node} 0 R /MediaBox [0 0 612 792] "
+            f"/Resources << /Font << /F1 {font} 0 R >> >> /Contents {content} 0 R >>\n"
+        ).encode(),
+    )
+    b.add_stream(content, b"", b"BT /F1 12 Tf 1 0 0 1 72 720 Tm (caf\x8e) Tj ET")
+    res = extract_document(b.build())
+    assert res.text == "café"
+
+
+def test_header_footer_content_object_excluded():
+    """A /Type/Pagination content object on the page is dropped from
+    page text when ignore_headers_and_footers (P8, default ON) and
+    kept when the option is off."""
+    from pdftotext_spark.sources.pdfbuilder import PdfBuilder
+
+    b = PdfBuilder()
+    catalog, pages_node, font, page, body_c, hdr_c = (b.alloc() for _ in range(6))
+    b.add(catalog, f"<< /Type /Catalog /Pages {pages_node} 0 R >>\n".encode())
+    b.add(pages_node, f"<< /Type /Pages /Kids [{page} 0 R] /Count 1 >>\n".encode())
+    b.add(font, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>\n")
+    b.add(
+        page,
+        (
+            f"<< /Type /Page /Parent {pages_node} 0 R /MediaBox [0 0 612 792] "
+            f"/Resources << /Font << /F1 {font} 0 R >> >> "
+            f"/Contents [{body_c} 0 R {hdr_c} 0 R] >>\n"
+        ).encode(),
+    )
+    b.add_stream(body_c, b"", b"BT /F1 12 Tf 1 0 0 1 72 700 Tm (body text) Tj ET")
+    b.add_stream(
+        hdr_c,
+        b"/Type /Pagination /Subtype /Header",
+        b"BT /F1 9 Tf 1 0 0 1 72 780 Tm (RUNNING HEADER) Tj ET",
+    )
+    pdf = b.build()
+    default = extract_document(pdf)
+    assert "body text" in default.text and "RUNNING HEADER" not in default.text
+    kept = extract_document(pdf, ExtractOptions(ignore_headers_and_footers=False))
+    assert "RUNNING HEADER" in kept.text
