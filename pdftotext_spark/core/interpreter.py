@@ -324,7 +324,6 @@ def extract_text_raw(
     font_size = DEFAULT_FONT_SIZE
     leading = 0.0
     last_y: float | None = None
-    in_text = False
 
     def newline_count(dy: float) -> int:
         if dy >= 0:
@@ -368,11 +367,7 @@ def extract_text_raw(
         if stats is not None:
             fam = _OP_FAMILIES.get(op, "ignored_ops")
             stats[fam] = stats.get(fam, 0) + 1
-        if op == "BT":
-            in_text = True
-        elif op == "ET":
-            in_text = False
-        elif op == "Tf":
+        if op == "Tf":
             if operands and operands[-1][0] == "num":
                 font_size = abs(operands[-1][1]) or DEFAULT_FONT_SIZE
             if len(operands) >= 2 and operands[-2][0] == "name":
