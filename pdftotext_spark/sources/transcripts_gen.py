@@ -180,10 +180,13 @@ def write_parquet(
     n_turns: int,
     seed: int = 42,
     skew_conv_turns: int = 0,
+    n_files: int = 1,
 ) -> tuple[str, str]:
     """Write ``transcripts.parquet`` + ``golden.parquet`` under
     ``out_dir`` (pyarrow direct — no Spark needed at generation time).
-    Returns the two file paths."""
+    ``n_files > 1`` writes a *directory* of part files instead (the
+    realistic many-files layout of a large table). Returns the two
+    paths (transcripts path may be a directory)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
     import os
@@ -206,7 +209,19 @@ def write_parquet(
     # small row groups: parquet scans parallelize per row group, and
     # extraction is CPU-heavy per byte — 4096-row groups give local[32]
     # plenty of splits without a repartition shuffle
-    pq.write_table(table, t_path, row_group_size=4096)
+    if n_files <= 1:
+        pq.write_table(table, t_path, row_group_size=4096)
+    else:
+        os.makedirs(t_path, exist_ok=True)
+        step = (len(rows) + n_files - 1) // n_files
+        for i in range(n_files):
+            part = table.slice(i * step, step)
+            if part.num_rows:
+                pq.write_table(
+                    part,
+                    os.path.join(t_path, f"part-{i:05d}.parquet"),
+                    row_group_size=4096,
+                )
     gschema = pa.schema(
         [("conv_id", pa.string()), ("turn_idx", pa.int32()), ("expected_text", pa.string())]
     )

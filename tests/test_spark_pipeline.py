@@ -219,3 +219,32 @@ def test_real_reference_pdfs_through_pipeline(spark):
     assert "hiboux" in out[0].extracted_text  # Baudelaire, example01
     assert out[1].n_pages == 1 and len(out[1].extracted_text) > 20
     assert "REPORT HEADER" in out[3].extracted_text
+
+
+def test_null_payload_rows(spark):
+    """NULL text payloads must flow through as empty extraction with a
+    failure count of zero (nothing to decode is not a decode failure)."""
+    df = spark.createDataFrame(
+        [("n0", 0, "user", None, "plain"), ("n0", 1, "user", "real text", "plain")],
+        "conv_id string, turn_idx int, role string, text string, tool string",
+    ).withColumn("ts", F.current_timestamp())
+    out = {r.turn_idx: r for r in extract_turns(df).collect()}
+    assert out[0].extracted_text == "" and out[0].decode_failures == 0
+    assert out[1].extracted_text == "real text"
+
+
+def test_multi_file_fixture_layout(spark, tmp_path):
+    """n_files>1 writes a directory of parts (the realistic large-table
+    layout); extraction + goldens behave identically."""
+    from pdftotext_spark.sources.transcripts_gen import write_parquet
+
+    t_path, g_path = write_parquet(str(tmp_path), 120, seed=9, n_files=4)
+    import os
+
+    assert os.path.isdir(t_path) and len(os.listdir(t_path)) == 4
+    df = spark.read.parquet(t_path)
+    assert df.count() == 120
+    extracted = extract_turns(df)
+    golden = spark.read.parquet(g_path)
+    j = extracted.join(golden, ["conv_id", "turn_idx"])
+    assert j.filter("extracted_text <> expected_text").count() == 0
