@@ -49,6 +49,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "topn_per_key": relational.topn_per_key,                # P11 page selection
     "fragment_sort_topk": relational.fragment_sort_topk,    # L2 fragment sort
     "cumulative_chars": relational.cumulative_chars,        # X3 running-offset shape
+    "json_props_stats": relational.json_props_stats,        # semi-structured column
     "pricing_summary": relational.pricing_summary,          # classic OLAP agg
     "segment_revenue": relational.segment_revenue,          # broadcast dim join
     "daily_activity": relational.daily_activity,            # time-bucket rollup
@@ -88,6 +89,7 @@ _ORACLES: dict[str, str] = {
     "topn_per_key": relational.TOPN_PER_KEY_SQL,
     "fragment_sort_topk": relational.FRAGMENT_SORT_TOPK_SQL,
     "cumulative_chars": relational.CUMULATIVE_CHARS_SQL,
+    "json_props_stats": relational.JSON_PROPS_STATS_SQL,
     "pricing_summary": relational.PRICING_SUMMARY_SQL,
     "segment_revenue": relational.SEGMENT_REVENUE_SQL,
     "daily_activity": relational.DAILY_ACTIVITY_SQL,

@@ -300,6 +300,35 @@ FROM events GROUP BY event_type
 """
 
 
+def json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured column handling: extract a JSON field from the
+    events ``props`` string (get_json_object — JVM-side, no UDF) and
+    aggregate it. The per-row JSON parse is the pattern for metadata
+    blobs riding along a 100 TB table."""
+    events = _read(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        events.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").cast("long").alias("sum_k"),
+            F.min("k").cast("long").alias("min_k"),
+            F.max("k").cast("long").alias("max_k"),
+            F.count("k").cast("long").alias("n_with_k"),
+        )
+    )
+
+
+JSON_PROPS_STATS_SQL = """
+SELECT event_type,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+       CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+       CAST(COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS n_with_k
+FROM events GROUP BY event_type
+"""
+
+
 def cumulative_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Running total per ordered group — the window shape behind
     page-offset bookkeeping (X3) and incremental corpus accounting."""
