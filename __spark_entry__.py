@@ -50,6 +50,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fragment_sort_topk": relational.fragment_sort_topk,    # L2 fragment sort
     "cumulative_chars": relational.cumulative_chars,        # X3 running-offset shape
     "json_props_stats": relational.json_props_stats,        # semi-structured column
+    "regional_revenue": relational.regional_revenue,        # Q5-shaped snowflake rollup
+    "parts_by_brand": relational.parts_by_brand,            # dimension profiling
     "pricing_summary": relational.pricing_summary,          # classic OLAP agg
     "segment_revenue": relational.segment_revenue,          # broadcast dim join
     "daily_activity": relational.daily_activity,            # time-bucket rollup
@@ -90,6 +92,8 @@ _ORACLES: dict[str, str] = {
     "fragment_sort_topk": relational.FRAGMENT_SORT_TOPK_SQL,
     "cumulative_chars": relational.CUMULATIVE_CHARS_SQL,
     "json_props_stats": relational.JSON_PROPS_STATS_SQL,
+    "regional_revenue": relational.REGIONAL_REVENUE_SQL,
+    "parts_by_brand": relational.PARTS_BY_BRAND_SQL,
     "pricing_summary": relational.PRICING_SUMMARY_SQL,
     "segment_revenue": relational.SEGMENT_REVENUE_SQL,
     "daily_activity": relational.DAILY_ACTIVITY_SQL,

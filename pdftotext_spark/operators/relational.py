@@ -353,6 +353,72 @@ FROM documents
 """
 
 
+def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped multi-join across the star schema
+    (orders ⋈ customer ⋈ nation ⋈ region): every dimension broadcasts,
+    so the fact side never shuffles for the joins — the canonical
+    snowflake rollup at scale."""
+    orders = _read(spark, sf_dir, "orders")
+    customer = _read(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = _read(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    region = _read(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("revenue"),
+            F.count("*").cast("long").alias("n_orders"),
+        )
+    )
+
+
+REGIONAL_REVENUE_SQL = """
+SELECT r_name, n_name,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+def parts_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension profiling over part + supplier balance stats — covers
+    the remaining star-schema tables."""
+    part = _read(spark, sf_dir, "part")
+    supplier = _read(spark, sf_dir, "supplier")
+    brands = part.groupBy("p_brand").agg(
+        F.count("*").cast("long").alias("n_parts"),
+        F.round(F.avg("p_retailprice"), 2).alias("avg_price"),
+        F.max("p_size").cast("int").alias("max_size"),
+    )
+    supp = supplier.agg(
+        F.count("*").cast("long").alias("n_suppliers"),
+        F.round(F.avg("s_acctbal"), 2).alias("avg_balance"),
+    )
+    return brands.crossJoin(F.broadcast(supp))
+
+
+PARTS_BY_BRAND_SQL = """
+WITH supp AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+         ROUND(AVG(s_acctbal), 2) AS avg_balance
+  FROM supplier
+)
+SELECT p_brand,
+       CAST(COUNT(*) AS BIGINT) AS n_parts,
+       ROUND(AVG(p_retailprice), 2) AS avg_price,
+       CAST(MAX(p_size) AS INT) AS max_size,
+       supp.n_suppliers, supp.avg_balance
+FROM part, supp
+GROUP BY p_brand, supp.n_suppliers, supp.avg_balance
+"""
+
+
 def fragment_sort_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-key fragment sort (L2, PdfToText.php:5174–5185) as a
     deterministic top-k: Spark plans this as TakeOrderedAndProject —
