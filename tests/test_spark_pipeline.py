@@ -248,3 +248,16 @@ def test_multi_file_fixture_layout(spark, tmp_path):
     golden = spark.read.parquet(g_path)
     j = extracted.join(golden, ["conv_id", "turn_idx"])
     assert j.filter("extracted_text <> expected_text").count() == 0
+
+
+def test_read_transcripts_table_name(spark, transcripts_dir):
+    """read_transcripts resolves a catalog/table name (the Iceberg
+    deployment path) before falling back to parquet paths."""
+    from pdftotext_spark.plans.pipeline import read_transcripts
+
+    spark.read.parquet(f"{transcripts_dir}/transcripts.parquet").createOrReplaceTempView(
+        "transcripts_view"
+    )
+    by_name = read_transcripts(spark, "transcripts_view")
+    by_path = read_transcripts(spark, f"{transcripts_dir}/transcripts.parquet")
+    assert by_name.count() == by_path.count() == 200
