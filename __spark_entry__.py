@@ -52,6 +52,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "json_props_stats": relational.json_props_stats,        # semi-structured column
     "regional_revenue": relational.regional_revenue,        # Q5-shaped snowflake rollup
     "parts_by_brand": relational.parts_by_brand,            # dimension profiling
+    "rolling_value_7d": relational.rolling_value_7d,        # time-range window
+    "vocab_richness": relational.vocab_richness,            # lexical diversity
     "pricing_summary": relational.pricing_summary,          # classic OLAP agg
     "segment_revenue": relational.segment_revenue,          # broadcast dim join
     "daily_activity": relational.daily_activity,            # time-bucket rollup
@@ -94,6 +96,8 @@ _ORACLES: dict[str, str] = {
     "json_props_stats": relational.JSON_PROPS_STATS_SQL,
     "regional_revenue": relational.REGIONAL_REVENUE_SQL,
     "parts_by_brand": relational.PARTS_BY_BRAND_SQL,
+    "rolling_value_7d": relational.ROLLING_VALUE_7D_SQL,
+    "vocab_richness": relational.VOCAB_RICHNESS_SQL,
     "pricing_summary": relational.PRICING_SUMMARY_SQL,
     "segment_revenue": relational.SEGMENT_REVENUE_SQL,
     "daily_activity": relational.DAILY_ACTIVITY_SQL,

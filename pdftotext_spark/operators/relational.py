@@ -300,6 +300,68 @@ FROM events GROUP BY event_type
 """
 
 
+def rolling_value_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-range rolling window: per event, the user's value total
+    over the trailing 7 days (RANGE frame on epoch seconds — the
+    time-series primitive). Decimal accumulation keeps the window sum
+    engine-exact."""
+    events = _read(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-7 * 86400, 0)
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        F.sum(F.col("value").cast("decimal(18,4)"))
+        .over(w)
+        .cast("double")
+        .alias("rolling_7d_value"),
+    )
+
+
+ROLLING_VALUE_7D_SQL = """
+SELECT event_id, user_id,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER (
+            PARTITION BY user_id ORDER BY epoch(ts)
+            RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW) AS DOUBLE)
+       AS rolling_7d_value
+FROM events
+"""
+
+
+def vocab_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-token ratio per document (a lexical-diversity quality
+    feature): explode → distinct → count, all built-ins."""
+    docs = _read(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    per_doc = toks.groupBy("doc_id").agg(
+        F.countDistinct("tok").cast("long").alias("n_distinct"),
+        F.count("*").cast("long").alias("n_tokens"),
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_distinct",
+        "n_tokens",
+        F.round(F.col("n_distinct") / F.col("n_tokens"), 4).alias("richness"),
+    )
+
+
+VOCAB_RICHNESS_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents
+)
+SELECT doc_id,
+       CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_distinct,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       ROUND(COUNT(DISTINCT tok) * 1.0 / COUNT(*), 4) AS richness
+FROM toks WHERE tok <> '' GROUP BY doc_id
+"""
+
+
 def json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured column handling: extract a JSON field from the
     events ``props`` string (get_json_object — JVM-side, no UDF) and
