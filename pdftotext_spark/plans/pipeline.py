@@ -82,6 +82,7 @@ def extract_turns(
     transcripts: DataFrame,
     n_partitions: int | None = None,
     salt: int = DEFAULT_SALT,
+    options=None,
 ) -> DataFrame:
     """Per-turn extraction via ``mapInPandas`` — shuffle-free by
     default.
@@ -111,7 +112,16 @@ def extract_turns(
             n_partitions,
             F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(salt)),
         )
-    return df.mapInPandas(extract_batches, EXTRACT_SCHEMA)
+    if options is None:
+        return df.mapInPandas(extract_batches, EXTRACT_SCHEMA)
+    # ExtractOptions is a plain picklable dataclass: close over it so
+    # per-turn behavior (layout mode, de-hyphenation, markers, page
+    # selection, time budget, ...) is configurable at the pipeline level
+
+    def batches_with_options(it):
+        return extract_batches(it, options)
+
+    return df.mapInPandas(batches_with_options, EXTRACT_SCHEMA)
 
 
 def extract_fragments_df(transcripts: DataFrame, n_partitions: int | None = None) -> DataFrame:

@@ -261,3 +261,33 @@ def test_read_transcripts_table_name(spark, transcripts_dir):
     by_name = read_transcripts(spark, "transcripts_view")
     by_path = read_transcripts(spark, f"{transcripts_dir}/transcripts.parquet")
     assert by_name.count() == by_path.count() == 200
+
+
+def test_extract_turns_with_options(spark):
+    """ExtractOptions flow through the pipeline: de-hyphenation and
+    unicode simplification change per-turn output."""
+    import base64
+
+    from pdftotext_spark.core.document import ExtractOptions
+    from pdftotext_spark.sources import pdfbuilder as pb
+
+    ascii_pdf = pb.simple_pdf([["hyphen-", "ation joined"]]).decode("latin-1")
+    uni_pdf, _ = pb.tounicode_pdf("ﬁn—x", mode="bfchar")
+    b64 = "%B64%" + base64.b64encode(uni_pdf).decode()
+    df = spark.createDataFrame(
+        [
+            ("o0", 0, "user", ascii_pdf, "pdf-ascii"),
+            ("o0", 1, "user", b64, "pdf-b64"),
+        ],
+        "conv_id string, turn_idx int, role string, text string, tool string",
+    ).withColumn("ts", F.current_timestamp())
+    plain = {r.turn_idx: r.extracted_text for r in extract_turns(df).collect()}
+    tuned = {
+        r.turn_idx: r.extracted_text
+        for r in extract_turns(
+            df,
+            options=ExtractOptions(no_hyphenated_words=True, simplify_unicode=True),
+        ).collect()
+    }
+    assert plain[0] == "hyphen-\nation joined" and tuned[0] == "hyphenation joined"
+    assert plain[1] == "ﬁn—x" and tuned[1] == "fin-x"
