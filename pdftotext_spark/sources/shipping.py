@@ -27,7 +27,10 @@ def build_package_zip(dest_dir: str | None = None) -> str:
     import pdftotext_spark
 
     pkg_dir = os.path.dirname(os.path.abspath(pdftotext_spark.__file__))
-    dest_dir = dest_dir or tempfile.mkdtemp(prefix="pdftotext_spark_ship_")
+    if dest_dir is None:
+        dest_dir = tempfile.mkdtemp(prefix="pdftotext_spark_ship_")
+    else:
+        os.makedirs(dest_dir, exist_ok=True)
     zip_path = os.path.join(dest_dir, "pdftotext_spark.zip")
     with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as zf:
         for root, _dirs, files in os.walk(pkg_dir):
