@@ -154,19 +154,31 @@ def is_error_page(markup: str, main_text: str | None = None) -> bool:
 
 
 def extract_main_content(markup: str) -> str:
-    """Strip boilerplate and return the main text content."""
+    """Strip boilerplate and return the main text content.
+
+    Two passes: (1) mark long, low-link-density blocks as content;
+    (2) adopt short link-free blocks *adjacent* to content (headings
+    before an article body, short closing paragraphs after it) — the
+    Boilerpipe neighbour rule."""
     markup = _COMMENT_RE.sub(" ", markup)
     prev = None
     while prev != markup:  # nested drop-tags
         prev = markup
         markup = _DROP_RE.sub(" ", markup)
     blocks = _segment_blocks(markup)
+
+    is_core = [
+        len(text.split()) >= _MIN_WORDS and (linked / len(text)) <= _MAX_LINK_DENSITY
+        for text, linked in blocks
+    ]
     out: list[str] = []
-    prev_content = False
-    for text, linked in blocks:
-        if _is_content(text, linked, prev_content):
+    for i, (text, linked) in enumerate(blocks):
+        keep = is_core[i]
+        if not keep and linked == 0 and len(text.split()) >= 3:
+            neighbour = (i > 0 and is_core[i - 1]) or (
+                i + 1 < len(blocks) and is_core[i + 1]
+            )
+            keep = neighbour
+        if keep:
             out.append(text)
-            prev_content = True
-        else:
-            prev_content = False
     return "\n".join(out)

@@ -117,3 +117,21 @@ def test_comment_with_markup_inside():
     )
     out = extract_main_content(html)
     assert "ghost" not in out and ARTICLE in out
+
+
+def test_heading_before_article_kept():
+    html = (
+        "<html><body><h2>Short Headline Here</h2><p>"
+        + ARTICLE
+        + "</p></body></html>"
+    )
+    out = extract_main_content(html)
+    assert "Short Headline Here" in out and ARTICLE in out
+
+
+def test_isolated_short_block_still_dropped():
+    html = (
+        "<html><body><p>tiny fragment here</p>"
+        "<div>" + "x " * 3 + "</div></body></html>"
+    )
+    assert extract_main_content(html) == ""
