@@ -277,6 +277,21 @@ def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def apply_dedup(
+    docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Apply near-dup pairs to a corpus: drop every document that
+    appears as the *larger* id in a pair (the min-id member survives).
+
+    With pairs ordered ``doc_a < doc_b``, dropping all ``doc_b`` keeps
+    exactly one representative per connected chain reachable via
+    ascending ids — the standard one-pass policy for dedup pipelines
+    (full connected components would need iteration; at 100 TB this
+    anti-join is one broadcastable/AQE-planned shuffle)."""
+    losers = pairs.select(F.col("doc_b").alias(id_col)).distinct()
+    return docs.join(losers, on=id_col, how="left_anti")
+
+
 HAMMING_THRESHOLD = 3
 
 

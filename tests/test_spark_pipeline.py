@@ -291,3 +291,25 @@ def test_extract_turns_with_options(spark):
     }
     assert plain[0] == "hyphen-\nation joined" and tuned[0] == "hyphenation joined"
     assert plain[1] == "ﬁn—x" and tuned[1] == "fin-x"
+
+
+def test_apply_dedup_end_to_end(spark):
+    """Detection + application: duplicated docs collapse to one
+    canonical survivor via the min-id policy."""
+    from pdftotext_spark.operators.dedup import apply_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "the quick brown fox jumps over the lazy dog today"),  # dup of 1
+            (3, "completely different content that stands alone fine"),
+            (4, "the quick brown fox jumps over the lazy dog today"),  # dup of 1
+        ],
+        "doc_id long, text string",
+    )
+    # exact-dup pairs (a < b) from digest equality
+    a = docs.selectExpr("doc_id as doc_a", "md5(text) as h")
+    b = docs.selectExpr("doc_id as doc_b", "md5(text) as h")
+    pairs = a.join(b, "h").filter("doc_a < doc_b").select("doc_a", "doc_b")
+    kept = apply_dedup(docs, pairs)
+    assert sorted(r.doc_id for r in kept.collect()) == [1, 3]
