@@ -69,6 +69,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
     "simhash": dedup.simhash,
     "simhash_neardup_pairs": dedup.simhash_neardup_pairs,
+    "winnowing_fingerprints": dedup.winnowing_fingerprints,
     # similarity search
     "cosine_topk": similarity.cosine_topk,
     "cosine_neardup_pairs": similarity.cosine_neardup_pairs,
@@ -111,6 +112,7 @@ _ORACLES: dict[str, str] = {
     "minhash_lsh_pairs": dedup.MINHASH_LSH_PAIRS_SQL,
     "simhash": dedup.SIMHASH_SQL,
     "simhash_neardup_pairs": dedup.SIMHASH_NEARDUP_PAIRS_SQL,
+    "winnowing_fingerprints": dedup.WINNOWING_FINGERPRINTS_SQL,
     "cosine_topk": similarity.COSINE_TOPK_SQL,
     "cosine_neardup_pairs": similarity.COSINE_NEARDUP_PAIRS_SQL,
     "lang_id": textstats.LANG_ID_SQL,

@@ -277,6 +277,61 @@ def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+WINNOW_WINDOW = 4
+
+
+def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD 2003):
+    hash every k-gram, slide a w-window over the hash sequence, keep
+    each window's minimum — guarantees shared substrings of length
+    ≥ k+w−1 share a fingerprint. All built-ins: positioned shingles →
+    windowed min → distinct. The digest plays the rolling hash's role
+    (selection only needs *a* deterministic hash per k-gram)."""
+    from pyspark.sql import Window
+
+    docs = _read(spark, sf_dir, "documents")
+    positioned = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, greatest(least(length(text) - {SHINGLE_LEN - 1}, "
+                f"{SHINGLE_SPAN}), 1)), i -> substring(text, i, {SHINGLE_LEN}))"
+            )
+        ).alias("pos", "sh"),
+    ).withColumn("h", F.md5("sh"))
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(0, WINNOW_WINDOW - 1)
+    )
+    selected = positioned.select(
+        "doc_id", F.min("h").over(w).alias("fp")
+    ).distinct()
+    return selected.groupBy(F.col("doc_id").cast("long").alias("doc_id")).agg(
+        F.count("*").cast("long").alias("n_fingerprints"),
+        F.min("fp").alias("min_fp"),
+    )
+
+
+WINNOWING_FINGERPRINTS_SQL = f"""
+WITH positioned AS (
+  SELECT doc_id, i AS pos, md5(substr(text, CAST(i AS INT), {SHINGLE_LEN})) AS h
+  FROM documents, (SELECT unnest(range(1, {SHINGLE_SPAN + 1})) AS i) r
+  WHERE i <= greatest(length(text) - {SHINGLE_LEN - 1}, 1)
+),
+selected AS (
+  SELECT DISTINCT doc_id,
+         MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND {WINNOW_WINDOW - 1} FOLLOWING) AS fp
+  FROM positioned
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_fingerprints,
+       MIN(fp) AS min_fp
+FROM selected GROUP BY doc_id
+"""
+
+
 def apply_dedup(
     docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
 ) -> DataFrame:
