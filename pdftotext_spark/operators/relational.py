@@ -75,8 +75,11 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SESSIONIZE_SQL = """
 WITH flagged AS (
+  -- floor(epoch()) mirrors Spark's second-truncating unix_timestamp,
+  -- so sub-second components cannot flip boundary gaps
   SELECT user_id, ts, event_id,
-         CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 3600
+         CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                   - CAST(floor(epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT) > 3600
               THEN 1 ELSE 0 END AS new_sess
   FROM events
 ), sess AS (
@@ -324,7 +327,7 @@ def rolling_value_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
 ROLLING_VALUE_7D_SQL = """
 SELECT event_id, user_id,
        CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER (
-            PARTITION BY user_id ORDER BY epoch(ts)
+            PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
             RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW) AS DOUBLE)
        AS rolling_7d_value
 FROM events
