@@ -207,10 +207,10 @@ def write_parquet(
     )
     table = pa.Table.from_pylist(rows, schema=schema)
     # small row groups: parquet scans parallelize per row group, and
-    # extraction is CPU-heavy per byte — 4096-row groups give local[32]
+    # extraction is CPU-heavy per byte — 1024-row groups give local[32]
     # plenty of splits without a repartition shuffle
     if n_files <= 1:
-        pq.write_table(table, t_path, row_group_size=4096)
+        pq.write_table(table, t_path, row_group_size=1024)
     else:
         os.makedirs(t_path, exist_ok=True)
         step = (len(rows) + n_files - 1) // n_files
@@ -220,7 +220,7 @@ def write_parquet(
                 pq.write_table(
                     part,
                     os.path.join(t_path, f"part-{i:05d}.parquet"),
-                    row_group_size=4096,
+                    row_group_size=1024,
                 )
     gschema = pa.schema(
         [("conv_id", pa.string()), ("turn_idx", pa.int32()), ("expected_text", pa.string())]
