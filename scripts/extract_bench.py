@@ -23,7 +23,7 @@ def main() -> None:
     ap.add_argument("--cpus", type=int, required=True)
     ap.add_argument("--input", required=True)
     ap.add_argument("--repeat", type=int, default=3)
-    ap.add_argument("--max-partition-bytes", default="256k")
+    ap.add_argument("--max-partition-bytes", default="1m")
     args = ap.parse_args()
 
     from pyspark.sql import functions as F

@@ -142,7 +142,7 @@ def main() -> None:
         )
     lines += [
         "",
-        "Method: identical job (`extract_turns`, shuffle-free scan path, 256k splits)",
+        "Method: identical job (`extract_turns`, shuffle-free scan path, 1m splits)",
         "over the seed-42 100k-turn transcripts fixture; separate JVM per level;",
         "in-process warm-up pass discarded; rate = 3 timed passes; levels interleaved",
         f"over {ROUNDS} rounds, best-of per level (external tenant noise on this",
