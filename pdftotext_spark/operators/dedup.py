@@ -332,6 +332,67 @@ FROM selected GROUP BY doc_id
 """
 
 
+def dedup_groups(pairs: DataFrame, max_iterations: int = 10) -> DataFrame:
+    """Connected components over near-dup pairs: every doc maps to its
+    group's minimum doc id (the canonical representative), transitive
+    closure included — ``apply_dedup``'s one-pass policy upgraded to
+    full groups.
+
+    Iterated label propagation with pointer jumping: each round every
+    node adopts the minimum label among itself and its neighbours,
+    then labels compress one level (``group_id := label(group_id)``)
+    — O(log n) rounds instead of O(diameter), two shuffle joins per
+    round on two-column frames (the standard Spark CC-without-GraphX
+    shape). Returns (doc_id, group_id) for every doc in a pair.
+    """
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .distinct()
+    )
+    labels = edges.select(F.col("src").alias("doc_id")).distinct().withColumn(
+        "group_id", F.col("doc_id")
+    )
+    for _ in range(max_iterations):
+        neighbour_min = (
+            edges.join(labels, edges.dst == labels.doc_id)
+            .groupBy("src")
+            .agg(F.min("group_id").alias("n_min"))
+        )
+        updated = (
+            labels.join(neighbour_min, labels.doc_id == neighbour_min.src, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("group_id"), F.coalesce(F.col("n_min"), F.col("group_id"))
+                ).alias("group_id"),
+            )
+        )
+        # pointer jumping: compress one indirection level
+        roots = updated.select(
+            F.col("doc_id").alias("r_id"), F.col("group_id").alias("r_group")
+        )
+        updated = (
+            updated.join(roots, updated.group_id == roots.r_id, "left")
+            .select(
+                "doc_id",
+                F.coalesce(F.col("r_group"), F.col("group_id")).alias("group_id"),
+            )
+        )
+        updated = updated.localCheckpoint()  # cut the growing lineage
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), "doc_id")
+            .filter(F.col("u.group_id") != F.col("l.group_id"))
+            .limit(1)
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            break
+    return labels
+
+
 def apply_dedup(
     docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
 ) -> DataFrame:

@@ -313,3 +313,32 @@ def test_apply_dedup_end_to_end(spark):
     pairs = a.join(b, "h").filter("doc_a < doc_b").select("doc_a", "doc_b")
     kept = apply_dedup(docs, pairs)
     assert sorted(r.doc_id for r in kept.collect()) == [1, 3]
+
+
+def test_dedup_groups_transitive_closure(spark):
+    """Connected components: chains collapse to one group id (the
+    minimum member), across multiple hops."""
+    from pdftotext_spark.operators.dedup import dedup_groups
+
+    # two chains: 1-2-3-4 (via consecutive pairs) and 10-11; 20 isolated-pairless
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "doc_a long, doc_b long"
+    )
+    groups = {r.doc_id: r.group_id for r in dedup_groups(pairs).collect()}
+    assert groups == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_dedup_groups_on_lsh_pairs(spark):
+    """CC over real LSH candidate pairs from the documents table:
+    every group id is the minimum doc in its group (fixpoint sanity)."""
+    from pdftotext_spark.operators.dedup import dedup_groups, minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(spark, "/root/testdata/sf0.001")
+    if pairs.count() == 0:
+        pytest.skip("no candidate pairs at this sf")
+    groups = dedup_groups(pairs)
+    # fixpoint: no doc's neighbour has a smaller group id
+    g = groups.collect()
+    gmap = {r.doc_id: r.group_id for r in g}
+    for p in pairs.collect():
+        assert gmap[p.doc_a] == gmap[p.doc_b]
