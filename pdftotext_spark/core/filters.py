@@ -208,11 +208,12 @@ def lzw_decode(data: bytes) -> bytes:
             if prev is not None:
                 table[next_code] = prev + entry[:1]
                 next_code += 1
-                # grow width at 511/1023/2047 thresholds
-                # (PdfToText.php:2836–2841). EarlyChange=1 semantics:
-                # the decoder lags the encoder by one pending entry, so
-                # it must widen at 2^len - 2.
-                if next_code == (1 << code_len) - 2 and code_len < 12:
+                # grow width at 511/1023/2047 thresholds, checked
+                # post-increment — the convention shared by the
+                # reference (PdfToText.php:2836–2841, DictionaryLengths
+                # keyed on dictionary_index after ++) and pdf.js/TCPDF.
+                # This is PDF EarlyChange=1: widen at 2^len - 1.
+                if next_code == (1 << code_len) - 1 and code_len < 12:
                     code_len += 1
             prev = entry
     return bytes(out)

@@ -96,23 +96,6 @@ def _segment_blocks(markup: str) -> list[tuple[str, int]]:
     return blocks
 
 
-def _is_content(text: str, linked_chars: int, prev_was_content: bool) -> bool:
-    """Shallow-feature block classifier (Boilerpipe-style)."""
-    n_chars = len(text)
-    if n_chars == 0:
-        return False
-    words = text.split()
-    n_words = len(words)
-    link_density = linked_chars / n_chars
-    if link_density > _MAX_LINK_DENSITY:
-        return False
-    if n_words >= _MIN_WORDS:
-        return True
-    # short block: keep only as continuation of surrounding content
-    # (headings/short paragraphs inside an article)
-    return prev_was_content and n_words >= 3 and link_density == 0.0
-
-
 _TITLE_RE = re.compile(r"<title[^>]*>(.*?)</title\s*>", re.S | re.I)
 _H1_RE = re.compile(r"<h1[^>]*>(.*?)</h1\s*>", re.S | re.I)
 _INNER_TAG_RE = re.compile(r"<[^>]+>")

@@ -28,7 +28,10 @@ def _lzw_encode(data: bytes) -> bytes:
             out_bits.append((table[w], code_len))
             table[wc] = next_code
             next_code += 1
-            if next_code == (1 << code_len) - 1 and code_len < 12:
+            # EarlyChange=1, decoder-lag adjusted: the decoder widens
+            # post-add at 2^len - 1 and trails this encoder by exactly
+            # one entry, so the encoder widens at 2^len.
+            if next_code == (1 << code_len) and code_len < 12:
                 code_len += 1
             if next_code >= 4095:
                 out_bits.append((256, code_len))
@@ -41,7 +44,7 @@ def _lzw_encode(data: bytes) -> bytes:
         # phantom add: the decoder registers an entry for this final
         # code too, so mirror its width-growth check before EOD
         next_code += 1
-        if next_code == (1 << code_len) - 1 and code_len < 12:
+        if next_code == (1 << code_len) and code_len < 12:
             code_len += 1
     out_bits.append((257, code_len))
     buf = 0

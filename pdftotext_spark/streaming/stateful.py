@@ -62,6 +62,11 @@ def _accumulate(
 
 def conversation_state_stream(extracted_stream: DataFrame) -> DataFrame:
     """extracted turns stream → running per-conversation totals."""
+    # _accumulate is pickled by module reference; executors need the
+    # package shipped even when the upstream stages were JVM-only
+    from pdftotext_spark.sources.shipping import ship_package
+
+    ship_package(extracted_stream.sparkSession)
     return (
         extracted_stream.groupBy("conv_id").applyInPandasWithState(
             _accumulate,
