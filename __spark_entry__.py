@@ -70,6 +70,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash": dedup.simhash,
     "simhash_neardup_pairs": dedup.simhash_neardup_pairs,
     "winnowing_fingerprints": dedup.winnowing_fingerprints,
+    # detect→group→apply chains (iterative CC checked against a
+    # recursive-CTE transitive closure in DuckDB)
+    "dedup_groups_minhash": dedup.dedup_groups_minhash,
+    "dedup_apply_minhash": dedup.dedup_apply_minhash,
     # similarity search
     "cosine_topk": similarity.cosine_topk,
     "cosine_neardup_pairs": similarity.cosine_neardup_pairs,
@@ -113,6 +117,8 @@ _ORACLES: dict[str, str] = {
     "simhash": dedup.SIMHASH_SQL,
     "simhash_neardup_pairs": dedup.SIMHASH_NEARDUP_PAIRS_SQL,
     "winnowing_fingerprints": dedup.WINNOWING_FINGERPRINTS_SQL,
+    "dedup_groups_minhash": dedup.DEDUP_GROUPS_MINHASH_SQL,
+    "dedup_apply_minhash": dedup.DEDUP_APPLY_MINHASH_SQL,
     "cosine_topk": similarity.COSINE_TOPK_SQL,
     "cosine_neardup_pairs": similarity.COSINE_NEARDUP_PAIRS_SQL,
     "lang_id": textstats.LANG_ID_SQL,

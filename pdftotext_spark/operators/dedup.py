@@ -408,29 +408,140 @@ def apply_dedup(
     return docs.join(losers, on=id_col, how="left_anti")
 
 
+def dedup_groups_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full detect→group chain: banded-LSH candidate pairs →
+    connected components. Returns (doc_id, group_id) where group_id is
+    the minimum doc id of each near-dup component (transitive closure
+    — A~B, B~C ⇒ all three share a group even if A and C never paired).
+
+    The DuckDB oracle expresses the same closure as a recursive CTE,
+    so the iterative Spark CC gets a *full* value-hash check, not just
+    a rows-only one."""
+    pairs = minhash_lsh_pairs(spark, sf_dir)
+    return dedup_groups(pairs).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("group_id").cast("long").alias("group_id"),
+    )
+
+
+DEDUP_GROUPS_MINHASH_SQL = f"""
+WITH RECURSIVE s AS ({_SHINGLES_SQL}),
+sig AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         {", ".join(f"MIN(md5('{k}:' || sh)) AS h{k}" for k in range(N_MINHASH))}
+  FROM s GROUP BY doc_id
+),
+bands AS ({_BANDS_SQL}),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach AS (
+  SELECT src, dst AS r FROM edges
+  UNION
+  SELECT e.src, reach.r FROM edges e JOIN reach ON reach.src = e.dst
+)
+SELECT CAST(src AS BIGINT) AS doc_id,
+       CAST(LEAST(src, MIN(r)) AS BIGINT) AS group_id
+FROM reach GROUP BY src
+"""
+
+
+def dedup_apply_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full detect→apply chain: banded-LSH candidate pairs →
+    anti-join survivor policy (min-id member of each pair survives)."""
+    docs = _read(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(spark, sf_dir)
+    return apply_dedup(docs, pairs).select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    )
+
+
+DEDUP_APPLY_MINHASH_SQL = f"""
+WITH s AS ({_SHINGLES_SQL}),
+sig AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         {", ".join(f"MIN(md5('{k}:' || sh)) AS h{k}" for k in range(N_MINHASH))}
+  FROM s GROUP BY doc_id
+),
+bands AS ({_BANDS_SQL}),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents
+WHERE doc_id NOT IN (SELECT doc_b FROM pairs)
+"""
+
+
 HAMMING_THRESHOLD = 3
+
+
+SIMHASH_BANDS = HAMMING_THRESHOLD + 1  # pigeonhole: ≤k diffs ⇒ a band matches
+_BAND_WIDTH = SIMHASH_BITS // SIMHASH_BANDS  # 16 bits / 4 bands = 4 bits
 
 
 def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-duplicate pairs: Hamming distance ≤ k on the
-    16-bit fingerprints (popcount of XOR). At 100 TB you'd band the
-    fingerprint bits into buckets first (pigeonhole: distance ≤ k ⇒
-    some ⌈bits/(k+1)⌉-bit band matches exactly) — with 16 bits and 500
-    docs the direct pair filter is already cheap and exact."""
+    16-bit fingerprints (popcount of XOR).
+
+    Candidate generation is *banded* (pigeonhole): split the bits into
+    k+1 = 4 bands; distance ≤ k forces at least one band to match
+    exactly, so candidates come from an equi-join on
+    ``(band_idx, band_bits)`` and only candidates pay the exact
+    popcount filter — the same bucketed shape as
+    :func:`minhash_lsh_pairs`, replacing the former cartesian
+    self-join. Pairs matching in several bands are deduped with one
+    aggregate. At 100 TB you would widen the fingerprint (64-bit
+    simhash → 16-bit bands → 65 536 buckets per band); with 16-bit
+    fingerprints each band has only 2^4 buckets, so the shuffle is
+    coarse, but the join stays an equi-join the planner can hash."""
     # cache: the fingerprint table is tiny but expensive to derive, and
     # the self-join would otherwise compute it twice
     sig = simhash(spark, sf_dir).cache()
-    a = sig.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"))
-    b = sig.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"))
+    banded = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        F.shiftright("simhash", i * _BAND_WIDTH)
+                        .bitwiseAND(F.lit((1 << _BAND_WIDTH) - 1))
+                        .alias("band_bits"),
+                    )
+                    for i in range(SIMHASH_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "simhash", "band.band_idx", "band.band_bits")
+    a = banded.select(
+        "band_idx", "band_bits",
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"),
+    )
+    b = banded.select(
+        "band_idx", "band_bits",
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"),
+    )
     dist = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     return (
-        a.join(b, F.col("doc_a") < F.col("doc_b"))
-        .select(
-            "doc_a",
-            "doc_b",
-            dist.cast("int").alias("hamming"),
-        )
+        a.join(b, ["band_idx", "band_bits"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", dist.cast("int").alias("hamming"))
         .filter(F.col("hamming") <= HAMMING_THRESHOLD)
+        # a pair may collide in up to 4 bands — emit it once
+        .groupBy("doc_a", "doc_b")
+        .agg(F.first("hamming").alias("hamming"))
     )
 
 
