@@ -77,6 +77,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # similarity search
     "cosine_topk": similarity.cosine_topk,
     "cosine_neardup_pairs": similarity.cosine_neardup_pairs,
+    "embedding_bucket_stats": similarity.embedding_bucket_stats,
     # IVF ANN: iterative (KMeans) → no SQL oracle; driver records the
     # rows-only check. cosine_topk is its exact-recall baseline.
     "ivf_topk": similarity.ivf_topk,
@@ -121,6 +122,7 @@ _ORACLES: dict[str, str] = {
     "dedup_apply_minhash": dedup.DEDUP_APPLY_MINHASH_SQL,
     "cosine_topk": similarity.COSINE_TOPK_SQL,
     "cosine_neardup_pairs": similarity.COSINE_NEARDUP_PAIRS_SQL,
+    "embedding_bucket_stats": similarity.EMBEDDING_BUCKET_STATS_SQL,
     "lang_id": textstats.LANG_ID_SQL,
     "quality_score": textstats.QUALITY_SCORE_SQL,
     "token_count_by_source": textstats.TOKEN_COUNT_BY_SOURCE_SQL,

@@ -17,7 +17,11 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 TOP_K = 10
-NEARDUP_THRESHOLD = 0.80
+# the synthetic embeddings are near-orthogonal, so 0.8 matched nothing
+# and the driver's hash check was trivially green on 0 rows; 0.3 yields
+# a real pair set (111 rows at sf0.01) the oracle actually verifies
+NEARDUP_THRESHOLD = 0.30
+CHUNK_SIZE = 128  # bounds per-task pair work at CHUNK_SIZE² vectors
 QUERY_VEC_ID = 0
 
 
@@ -86,34 +90,113 @@ LIMIT {TOP_K}
 
 
 def cosine_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-duplicate pairs within coarse buckets (label):
-    the bucketed self-join is the IVF scale shape — pair count is
-    Σ bucket_size², not N²."""
+    """Embedding near-duplicate pairs within coarse buckets (label),
+    with *bounded* per-task work: each label bucket of n vectors is
+    hash-split into ⌈n / CHUNK_SIZE⌉ chunks and the self-join runs per
+    chunk *pair* on the key (label, ci, cj) — so no task ever compares
+    more than CHUNK_SIZE² vectors even if one label holds the whole
+    corpus (the unbounded-bucket failure mode of a plain label
+    self-join). Both chunk-pair replications are broadcast joins
+    against a per-label row count; output is identical to the naive
+    bucketed join. Pair count stays Σ bucket_size², never N²."""
     # norms computed once per vector (N), not per pair (N²/buckets)
     emb = (
         _read(spark, sf_dir, "embeddings")
         .select("vec_id", "label", "embedding")
         .withColumn("nrm", _norm(F.col("embedding")))
     )
-    a = emb.alias("a")
-    b = emb.alias("b")
-    cos = _dot(F.col("a.embedding"), F.col("b.embedding")) / (
-        F.col("a.nrm") * F.col("b.nrm")
-    )
-    return (
-        a.join(
-            b,
-            (F.col("a.label") == F.col("b.label"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
+    counts = embedding_bucket_stats(spark, sf_dir)
+    chunked = emb.join(
+        F.broadcast(counts.select("label", "n_chunks")), "label"
+    ).withColumn("chunk", F.pmod(F.hash("vec_id"), F.col("n_chunks")).cast("int"))
+    # every (ci ≤ cj) chunk pair per label — tiny, broadcast twice
+    pairs = counts.select(
+        "label",
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(0, n_chunks - 1), i -> "
+                "transform(sequence(i, n_chunks - 1), j -> "
+                "named_struct('ci', i, 'cj', j))))"
+            )
+        ).alias("p"),
+    ).select("label", F.col("p.ci").alias("ci"), F.col("p.cj").alias("cj"))
+    a_rep = (
+        chunked.select(
+            F.col("label").alias("la"),
+            F.col("chunk").alias("chunk_a"),
+            F.col("vec_id").alias("id_a"),
+            F.col("embedding").alias("emb_a"),
+            F.col("nrm").alias("nrm_a"),
         )
+        .join(
+            F.broadcast(
+                pairs.select(
+                    F.col("label").alias("pla"),
+                    F.col("ci").alias("ci_a"),
+                    F.col("cj").alias("cj_a"),
+                )
+            ),
+            (F.col("la") == F.col("pla")) & (F.col("chunk_a") == F.col("ci_a")),
+        )
+        .select("la", "ci_a", "cj_a", "id_a", "emb_a", "nrm_a")
+    )
+    b_rep = (
+        chunked.select(
+            F.col("label").alias("lb"),
+            F.col("chunk").alias("chunk_b"),
+            F.col("vec_id").alias("id_b"),
+            F.col("embedding").alias("emb_b"),
+            F.col("nrm").alias("nrm_b"),
+        )
+        .join(
+            F.broadcast(
+                pairs.select(
+                    F.col("label").alias("plb"),
+                    F.col("ci").alias("ci_b"),
+                    F.col("cj").alias("cj_b"),
+                )
+            ),
+            (F.col("lb") == F.col("plb")) & (F.col("chunk_b") == F.col("cj_b")),
+        )
+        .select("lb", "ci_b", "cj_b", "id_b", "emb_b", "nrm_b")
+    )
+    cos = _dot(F.col("emb_a"), F.col("emb_b")) / (F.col("nrm_a") * F.col("nrm_b"))
+    return (
+        a_rep.join(
+            b_rep,
+            (F.col("la") == F.col("lb"))
+            & (F.col("ci_a") == F.col("ci_b"))
+            & (F.col("cj_a") == F.col("cj_b")),
+        )
+        # same-chunk diagonal dedups on id order; cross-chunk pairs
+        # occur exactly once (chunking is id-agnostic)
+        .filter((F.col("ci_a") < F.col("cj_a")) | (F.col("id_a") < F.col("id_b")))
         .select(
-            F.col("a.vec_id").cast("long").alias("vec_a"),
-            F.col("b.vec_id").cast("long").alias("vec_b"),
-            F.col("a.label").cast("int").alias("label"),
+            F.least("id_a", "id_b").cast("long").alias("vec_a"),
+            F.greatest("id_a", "id_b").cast("long").alias("vec_b"),
+            F.col("la").cast("int").alias("label"),
             F.round(cos, 4).alias("cosine"),
         )
         .filter(F.col("cosine") >= NEARDUP_THRESHOLD)
     )
+
+
+def embedding_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label bucket-size histogram for the near-dup self-join —
+    the skew instrumentation the chunked join is sized from (a bucket
+    of n vectors runs as ⌈n / CHUNK_SIZE⌉ chunk-pairs)."""
+    emb = _read(spark, sf_dir, "embeddings")
+    return emb.groupBy(F.col("label").cast("int").alias("label")).agg(
+        F.count("*").cast("long").alias("cnt")
+    ).withColumn("n_chunks", F.ceil(F.col("cnt") / CHUNK_SIZE).cast("int"))
+
+
+EMBEDDING_BUCKET_STATS_SQL = f"""
+SELECT CAST(label AS INT) AS label,
+       CAST(COUNT(*) AS BIGINT) AS cnt,
+       CAST(CEIL(COUNT(*) / {CHUNK_SIZE}.0) AS INT) AS n_chunks
+FROM embeddings GROUP BY label
+"""
 
 
 def ivf_topk(spark: SparkSession, sf_dir: str, n_clusters: int = 8, n_probe: int = 2) -> DataFrame:

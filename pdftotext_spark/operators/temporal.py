@@ -6,11 +6,10 @@ compose existing ops if semantics allow, else applyInPandas").
   ``applyInPandas`` (the grouped-map strategy); the DuckDB oracle uses
   its native ``ASOF JOIN``, so two entirely different implementations
   must agree row-for-row.
-- :func:`range_join_tiers` — theta/range join against a small tier
-  table: broadcast + BETWEEN predicate (BroadcastNestedLoopJoin). At
-  scale with a *large* range side you'd bucketize the range key and
-  equi-join on bucket + residual filter; with a broadcastable dim this
-  plan is already shuffle-free.
+- :func:`range_join_tiers` — range join against a *static* tier
+  table, compiled to a map-side CASE projection (no join node at
+  all). At scale with a *large* range side you'd bucketize the range
+  key and equi-join on bucket + residual filter.
 - :func:`median_value_by_type` — exact percentile parity
   (Spark ``percentile`` ≡ DuckDB ``quantile_cont``).
 """
@@ -97,19 +96,28 @@ TIERS = ((0.0, 100.0, "low"), (100.0, 500.0, "mid"), (500.0, 10_000.0, "high"))
 
 
 def range_join_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Range (theta) join: events × value tiers on
-    ``lo <= value < hi``. The tier side broadcasts, so the plan is a
-    shuffle-free BroadcastNestedLoopJoin; counts roll up per tier."""
+    """Range join: events × value tiers on ``lo <= value < hi``.
+
+    The tier table is *static and non-overlapping*, so the range join
+    compiles to a map-side CASE projection — zero join nodes, the scan
+    feeds whole-stage codegen directly, and the only shuffle is the
+    3-group rollup. (A general range join against a dynamic dim would
+    broadcast + BETWEEN, or bucketize the range key for a big range
+    side; the oracle SQL keeps the definitional join form.)"""
     events = _read(spark, sf_dir, "events")
-    tiers = spark.createDataFrame(list(TIERS), "lo double, hi double, tier string")
-    joined = events.join(
-        F.broadcast(tiers),
-        (F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi")),
-    )
-    return joined.groupBy("tier").agg(
-        F.count("*").cast("long").alias("n_events"),
-        F.min("value").alias("min_value"),
-        F.max("value").alias("max_value"),
+    tier_col = None
+    for lo, hi, name in TIERS:
+        cond = (F.col("value") >= lo) & (F.col("value") < hi)
+        tier_col = F.when(cond, name) if tier_col is None else tier_col.when(cond, name)
+    return (
+        events.withColumn("tier", tier_col)
+        .filter(F.col("tier").isNotNull())  # inner-join semantics
+        .groupBy("tier")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
     )
 
 

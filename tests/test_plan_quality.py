@@ -54,6 +54,56 @@ def test_jaccard_broadcasts_candidates(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_range_join_tiers_has_no_join_node(spark):
+    # static tiers compile to a map-side CASE projection
+    from pdftotext_spark.operators import temporal
+
+    plan = _plan(temporal.range_join_tiers(spark, SF))
+    assert "Join" not in plan and "CartesianProduct" not in plan
+
+
+def test_simhash_neardup_is_banded_equi_join(spark):
+    # pigeonhole banding: an equi-join on (band_idx, band_bits), never
+    # a cartesian / nested-loop pair generator
+    plan = _plan(dedup.simhash_neardup_pairs(spark, SF))
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+
+def test_cosine_neardup_chunked_equals_naive(spark, monkeypatch):
+    # force multi-chunk buckets (CHUNK_SIZE 8 « bucket sizes) and check
+    # the bounded chunk-pair join emits exactly the naive bucketed
+    # join's pair set
+    from pyspark.sql import functions as F
+
+    monkeypatch.setattr(similarity, "CHUNK_SIZE", 8)
+    chunked = {
+        (r.vec_a, r.vec_b, r.label, r.cosine)
+        for r in similarity.cosine_neardup_pairs(spark, SF).collect()
+    }
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    a, b = emb.alias("a"), emb.alias("b")
+    cos = similarity._dot(F.col("a.embedding"), F.col("b.embedding")) / (
+        similarity._norm(F.col("a.embedding")) * similarity._norm(F.col("b.embedding"))
+    )
+    naive = {
+        (r.vec_a, r.vec_b, r.label, r.cosine)
+        for r in a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").cast("long").alias("vec_a"),
+            F.col("b.vec_id").cast("long").alias("vec_b"),
+            F.col("a.label").cast("int").alias("label"),
+            F.round(cos, 4).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= similarity.NEARDUP_THRESHOLD)
+        .collect()
+    }
+    assert chunked == naive and len(naive) > 0
+
+
 def test_aggregations_are_partial(spark):
     # map-side combine: two HashAggregate levels around the exchange
     plan = _plan(relational.pricing_summary(spark, SF))
