@@ -76,6 +76,8 @@ class Font:
     _memo: dict[int, str] = field(default_factory=dict)
     _width_memo: dict[str, float] = field(default_factory=dict)
     _translate_table: dict[int, str] | None = None
+    _cid_map: object | None = None  # lazily-resolved cidmaps.CIDMap
+    _alt_pending: int | None = None  # reference ALT_CID prefix state
 
     @property
     def code_width(self) -> int:
@@ -103,11 +105,17 @@ class Font:
                 out = base_encoding_char(self.encoding_map.base, code)
         if out is None:
             if self.cid:
-                # Identity-H without usable ToUnicode: CID == code point
-                # fallback (the reference consults external .cid tables
-                # here, PdfToText.php:7685–7925; our fixtures always
-                # carry ToUnicode so this is the degraded path)
-                out = chr(code) if 0x20 <= code < 0x110000 else UNKNOWN_CHAR
+                # Identity-H without usable ToUnicode: resolve through
+                # the CID-table cascade (variant override → default
+                # MS-standard-order table), reference parity with the
+                # external .cid lookup (PdfToText.php:7685–7925);
+                # unmapped CIDs drop to '' like the reference's
+                # UNKNOWN_CID path (7866–7875)
+                m = self._get_cid_map()
+                if m.alt:
+                    # accent-prefix tables are stateful: bypass the memo
+                    return self._cid_lookup_stateful(m, code)
+                out = m.lookup(code)
             elif self.encoding in ("winansi", "macroman"):
                 out = base_encoding_char(self.encoding, code)
             elif 0 <= code < 0x110000:
@@ -116,6 +124,25 @@ class Font:
                 out = UNKNOWN_CHAR
         self._memo[code] = out
         return out
+
+    def _get_cid_map(self):
+        if self._cid_map is None:
+            from pdftotext_spark.core.cidmaps import lookup_cid_map
+
+            self._cid_map = lookup_cid_map(self.base_font)
+        return self._cid_map
+
+    def _cid_lookup_stateful(self, m, code: int) -> str:
+        """ALT_CID prefix semantics (PdfToText.php:7877–7901): a prefix
+        CID emits nothing and routes the next CID through its accent
+        sub-table; a missing alt entry drops to ''."""
+        if code in m.alt:
+            self._alt_pending = code
+            return ""
+        pending, self._alt_pending = self._alt_pending, None
+        if pending is not None:
+            return m.alt[pending].get(code, "")
+        return m.lookup(code)
 
     _decoded_bytes: int = 0
 

@@ -69,8 +69,116 @@ _EXTENDED = {
     "zcaron": 0x017E, "Lslash": 0x0141, "lslash": 0x0142,
 }
 
+# Broader AGL repertoire (public Adobe Glyph List): Latin Extended-A/B
+# (Central-European fonts), Greek, Cyrillic (afii names), math/symbol
+# and superior/fraction glyphs that show up in real /Differences arrays
+_AGL_WIDE = {
+    # superiors / fractions (WinAnsi leftovers + Number Forms)
+    "onesuperior": 0xB9, "twosuperior": 0xB2, "threesuperior": 0xB3,
+    "onethird": 0x2153, "twothirds": 0x2154, "oneeighth": 0x215B,
+    "threeeighths": 0x215C, "fiveeighths": 0x215D, "seveneighths": 0x215E,
+    "estimated": 0x212E, "sfthyphen": 0xAD,
+    # Latin Extended-A/B (AGL names)
+    "Amacron": 0x100, "amacron": 0x101, "Abreve": 0x102, "abreve": 0x103,
+    "Aogonek": 0x104, "aogonek": 0x105, "Cacute": 0x106, "cacute": 0x107,
+    "Ccaron": 0x10C, "ccaron": 0x10D, "Dcaron": 0x10E, "dcaron": 0x10F,
+    "Dcroat": 0x110, "dcroat": 0x111, "Emacron": 0x112, "emacron": 0x113,
+    "Edotaccent": 0x116, "edotaccent": 0x117, "Eogonek": 0x118,
+    "eogonek": 0x119, "Ecaron": 0x11A, "ecaron": 0x11B, "Gbreve": 0x11E,
+    "gbreve": 0x11F, "Gcommaaccent": 0x122, "gcommaaccent": 0x123,
+    "Imacron": 0x12A, "imacron": 0x12B, "Iogonek": 0x12E, "iogonek": 0x12F,
+    "Idotaccent": 0x130, "Kcommaaccent": 0x136, "kcommaaccent": 0x137,
+    "Lacute": 0x139, "lacute": 0x13A, "Lcommaaccent": 0x13B,
+    "lcommaaccent": 0x13C, "Lcaron": 0x13D, "lcaron": 0x13E,
+    "Nacute": 0x143, "nacute": 0x144, "Ncommaaccent": 0x145,
+    "ncommaaccent": 0x146, "Ncaron": 0x147, "ncaron": 0x148,
+    "Eng": 0x14A, "eng": 0x14B, "Omacron": 0x14C, "omacron": 0x14D,
+    "Ohungarumlaut": 0x150, "ohungarumlaut": 0x151, "Racute": 0x154,
+    "racute": 0x155, "Rcommaaccent": 0x156, "rcommaaccent": 0x157,
+    "Rcaron": 0x158, "rcaron": 0x159, "Sacute": 0x15A, "sacute": 0x15B,
+    "Scedilla": 0x15E, "scedilla": 0x15F, "Tcedilla": 0x162,
+    "tcedilla": 0x163, "Tcaron": 0x164, "tcaron": 0x165, "Umacron": 0x16A,
+    "umacron": 0x16B, "Uring": 0x16E, "uring": 0x16F,
+    "Uhungarumlaut": 0x170, "uhungarumlaut": 0x171, "Uogonek": 0x172,
+    "uogonek": 0x173, "Wcircumflex": 0x174, "wcircumflex": 0x175,
+    "Ycircumflex": 0x176, "ycircumflex": 0x177, "Zacute": 0x179,
+    "zacute": 0x17A, "Zdotaccent": 0x17B, "zdotaccent": 0x17C,
+    "Scommaaccent": 0x218, "scommaaccent": 0x219, "Tcommaaccent": 0x21A,
+    "tcommaaccent": 0x21B,
+    # Greek (AGL: Delta/Omega/mu keep their Letterlike mappings)
+    "Alpha": 0x391, "Beta": 0x392, "Gamma": 0x393, "Epsilon": 0x395,
+    "Zeta": 0x396, "Eta": 0x397, "Theta": 0x398, "Iota": 0x399,
+    "Kappa": 0x39A, "Lambda": 0x39B, "Mu": 0x39C, "Nu": 0x39D,
+    "Xi": 0x39E, "Omicron": 0x39F, "Pi": 0x3A0, "Rho": 0x3A1,
+    "Sigma": 0x3A3, "Tau": 0x3A4, "Upsilon": 0x3A5, "Phi": 0x3A6,
+    "Chi": 0x3A7, "Psi": 0x3A8, "Delta": 0x2206, "Omega": 0x2126,
+    "alpha": 0x3B1, "beta": 0x3B2, "gamma": 0x3B3, "delta": 0x3B4,
+    "epsilon": 0x3B5, "zeta": 0x3B6, "eta": 0x3B7, "theta": 0x3B8,
+    "iota": 0x3B9, "kappa": 0x3BA, "lambda": 0x3BB, "nu": 0x3BD,
+    "xi": 0x3BE, "omicron": 0x3BF, "pi": 0x3C0, "rho": 0x3C1,
+    "sigma1": 0x3C2, "sigma": 0x3C3, "tau": 0x3C4, "upsilon": 0x3C5,
+    "phi": 0x3C6, "chi": 0x3C7, "psi": 0x3C8, "omega": 0x3C9,
+    "theta1": 0x3D1, "phi1": 0x3D5, "omega1": 0x3D6,
+    "alphatonos": 0x3AC, "epsilontonos": 0x3AD, "etatonos": 0x3AE,
+    "iotatonos": 0x3AF, "omicrontonos": 0x3CC, "upsilontonos": 0x3CD,
+    "omegatonos": 0x3CE, "iotadieresis": 0x3CA, "upsilondieresis": 0x3CB,
+    "tonos": 0x384, "dieresistonos": 0x385, "anoteleia": 0x387,
+    # math / symbols
+    "approxequal": 0x2248, "arrowboth": 0x2194, "arrowdown": 0x2193,
+    "arrowleft": 0x2190, "arrowright": 0x2192, "arrowup": 0x2191,
+    "arrowupdn": 0x2195, "asteriskmath": 0x2217, "congruent": 0x2245,
+    "dotmath": 0x22C5, "element": 0x2208, "emptyset": 0x2205,
+    "equivalence": 0x2261, "existential": 0x2203, "gradient": 0x2207,
+    "greaterequal": 0x2265, "infinity": 0x221E, "integral": 0x222B,
+    "intersection": 0x2229, "lessequal": 0x2264, "logicaland": 0x2227,
+    "logicalor": 0x2228, "lozenge": 0x25CA, "notelement": 0x2209,
+    "notequal": 0x2260, "partialdiff": 0x2202, "perpendicular": 0x22A5,
+    "product": 0x220F, "propersubset": 0x2282, "propersuperset": 0x2283,
+    "proportional": 0x221D, "radical": 0x221A, "reflexsubset": 0x2286,
+    "reflexsuperset": 0x2287, "similar": 0x223C, "suchthat": 0x220B,
+    "summation": 0x2211, "therefore": 0x2234, "union": 0x222A,
+    "universal": 0x2200,
+    # geometric / dingbat-ish glyphs (symbol-font Differences)
+    "filledbox": 0x25A0, "filledrect": 0x25AC, "triagup": 0x25B2,
+    "triagrt": 0x25BA, "triagdn": 0x25BC, "triaglf": 0x25C4,
+    "circle": 0x25CB, "openbullet": 0x25E6, "invbullet": 0x25D8,
+    "invcircle": 0x25D9, "smileface": 0x263A, "invsmileface": 0x263B,
+    "sun": 0x263C, "female": 0x2640, "male": 0x2642,
+    "spade": 0x2660, "club": 0x2663, "heart": 0x2665, "diamond": 0x2666,
+    "musicalnote": 0x266A, "musicalnotedbl": 0x266B,
+    "exclamdbl": 0x203C, "quotereversed": 0x201B,
+    # currency
+    "colonmonetary": 0x20A1, "franc": 0x20A3, "lira": 0x20A4,
+    "peseta": 0x20A7, "dong": 0x20AB, "won": 0x20A9,
+    # Cyrillic (AGL afii names; uppercase block, Ё out of sequence)
+    "afii10023": 0x401, "afii10051": 0x402, "afii10052": 0x403,
+    "afii10053": 0x404, "afii10054": 0x405, "afii10055": 0x406,
+    "afii10056": 0x407, "afii10057": 0x408, "afii10058": 0x409,
+    "afii10059": 0x40A, "afii10060": 0x40B, "afii10061": 0x40C,
+    "afii10062": 0x40E, "afii10145": 0x40F,
+    "afii10071": 0x451, "afii10099": 0x452, "afii10100": 0x453,
+    "afii10101": 0x454, "afii10102": 0x455, "afii10103": 0x456,
+    "afii10104": 0x457, "afii10105": 0x458, "afii10106": 0x459,
+    "afii10107": 0x45A, "afii10108": 0x45B, "afii10109": 0x45C,
+    "afii10110": 0x45E, "afii10193": 0x45F,
+    # misc afii punctuation
+    "afii61352": 0x2116,  # №
+    "afii61289": 0x2113,  # ℓ
+    "afii00208": 0x2015,  # horizontal bar
+}
+# Cyrillic main blocks in AGL afii order: А..Е, then Ё (U+0401)
+# inserted, then Ж..Я — so afii10017..10049 spans 33 names; the
+# lowercase block afii10065..10097 mirrors it with ё (U+0451)
+_CYR_UPPER = list(range(0x410, 0x416)) + [0x401] + list(range(0x416, 0x430))
+for _i, _cp in enumerate(_CYR_UPPER):
+    _AGL_WIDE[f"afii{10017 + _i}"] = _cp
+_CYR_LOWER = list(range(0x430, 0x436)) + [0x451] + list(range(0x436, 0x450))
+for _i, _cp in enumerate(_CYR_LOWER):
+    _AGL_WIDE[f"afii{10065 + _i}"] = _cp
+
 GLYPH_TO_UNICODE: dict[str, int] = {}
 GLYPH_TO_UNICODE.update(_ASCII)
+GLYPH_TO_UNICODE.update(_AGL_WIDE)
 GLYPH_TO_UNICODE.update(_EXTENDED)
 # single letters and digits name themselves: A->0x41, a->0x61
 for _c in range(ord("A"), ord("Z") + 1):

@@ -21,9 +21,12 @@ Scale design (BASELINE.json north_rule — 10^12 turns, 1000 executors):
   small and AQE-converts otherwise.
 - **Metrics manifest** (north_rule lineage requirement): per-partition
   rows `{run_id, partition_id, turns_parsed, decode_failures,
-  images_extracted, wall_ms}` derived from the extraction output with
-  ``spark_partition_id()`` — one extra narrow aggregation, no second
-  pass over payloads.
+  images_extracted, wall_ms}`. ``run_extraction`` stamps
+  ``(run_id, partition_id)`` onto every output row *before* the write,
+  so the manifest aggregates exactly this run's increment from the
+  committed files (resume never double-counts) and partition ids are
+  extraction-task ids — one extra narrow aggregation, no second pass
+  over payloads.
 """
 
 from __future__ import annotations
@@ -185,9 +188,16 @@ def assemble_conversations(
 
 
 def metrics_manifest(extracted: DataFrame, run_id: str) -> DataFrame:
-    """Per-partition lineage/metrics manifest (north_rule)."""
+    """Per-partition lineage/metrics manifest (north_rule).
+
+    If the frame already carries a ``partition_id`` column (stamped at
+    extraction time by :func:`run_extraction`), it is trusted — so the
+    manifest reflects the *extraction tasks*, not whatever scan
+    partitioning a later read-back happens to have."""
+    if "partition_id" not in extracted.columns:
+        extracted = extracted.withColumn("partition_id", F.spark_partition_id())
     return (
-        extracted.withColumn("partition_id", F.spark_partition_id())
+        extracted
         .groupBy("partition_id")
         .agg(
             F.count("*").alias("turns_parsed"),
@@ -231,10 +241,22 @@ def run_extraction(
             pass  # nothing committed yet
     extracted = extract_turns(transcripts)
     if output_path is not None:
-        extracted.write.mode("append").parquet(output_path)
+        # lineage columns stamped before the write: every output row
+        # records which run committed it and which extraction task
+        # produced it, so the manifest can be derived from the written
+        # files without a second extraction pass, counts ONLY this
+        # run's increment on resume, and partition ids are extraction
+        # task ids (not read-back scan splits)
+        (
+            extracted.withColumn("partition_id", F.spark_partition_id())
+            .withColumn("run_id", F.lit(run_id))
+            .write.mode("append")
+            .parquet(output_path)
+        )
         extracted = spark.read.parquet(output_path)
         if metrics_path is not None:
-            metrics_manifest(extracted, run_id).write.mode("append").parquet(
+            increment = extracted.filter(F.col("run_id") == run_id).drop("run_id")
+            metrics_manifest(increment, run_id).write.mode("append").parquet(
                 metrics_path
             )
     return extracted

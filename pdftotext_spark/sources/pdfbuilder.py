@@ -278,6 +278,38 @@ def identity_h_pdf(text: str) -> tuple[bytes, str]:
     return b.build(), text
 
 
+def identity_h_no_tounicode_pdf(text: str, base_font: str = "ABCDEE+Arial") -> tuple[bytes, str]:
+    """Identity-H CID font with NO /ToUnicode: codes are raw glyph ids
+    in the MS-core-font standard order (gid = codepoint − 29), the
+    layout the CID-table fallback (core/cidmaps.py, F11) must recover.
+    ``text`` must be printable ASCII."""
+    b = PdfBuilder()
+    catalog, pages_node, font, page, content = (b.alloc() for _ in range(5))
+    b.add(catalog, f"<< /Type /Catalog /Pages {pages_node} 0 R >>\n".encode())
+    b.add(pages_node, f"<< /Type /Pages /Kids [{page} 0 R] /Count 1 >>\n".encode())
+    b.add(
+        font,
+        (
+            f"<< /Type /Font /Subtype /Type0 /BaseFont /{base_font} "
+            f"/Encoding /Identity-H >>\n"
+        ).encode(),
+    )
+    b.add(
+        page,
+        (
+            f"<< /Type /Page /Parent {pages_node} 0 R /MediaBox [0 0 612 792] "
+            f"/Resources << /Font << /F1 {font} 0 R >> >> /Contents {content} 0 R >>\n"
+        ).encode(),
+    )
+    hexcodes = "".join(f"{ord(c) - 29:04X}" for c in text)
+    b.add_stream(
+        content,
+        b"",
+        f"BT /F1 12 Tf 1 0 0 1 72 720 Tm <{hexcodes}> Tj ET".encode(),
+    )
+    return b.build(), text
+
+
 def differences_pdf() -> tuple[bytes, str]:
     """/Encoding dict with /Differences mapping codes to named glyphs,
     ``uniXXXX`` forms and base-encoding fallthrough (F7/F8)."""

@@ -66,6 +66,52 @@ def test_identity_h_two_byte_cids():
     assert extract_document(pdf).text == golden
 
 
+def test_identity_h_without_tounicode_default_table():
+    # F11: CID font with NO /ToUnicode — glyph ids resolve through the
+    # default MS-standard-order table (gid = codepoint - 29), not
+    # chr(cid) mojibake (regression: pre-round-2 emitted '\x27\x48...')
+    pdf, golden = pb.identity_h_no_tounicode_pdf("Dear Mr. Smith, (ref #42)")
+    assert extract_document(pdf).text == golden
+
+
+def test_identity_h_without_tounicode_unmapped_cid_drops():
+    # unmapped CIDs decode to '' like the reference's UNKNOWN_CID path
+    # (PdfToText.php:7866-7875): gid 0x3000 is outside every table
+    from pdftotext_spark.core import cidmaps
+
+    pdf, _ = pb.identity_h_no_tounicode_pdf("Hi")  # codes 002B 004C
+    mangled = pdf.replace(b"<002B004C>", b"<002B3000004C>")
+    assert mangled != pdf
+    assert extract_document(mangled).text == "Hi"
+    assert cidmaps.lookup_cid_map("NOSUCH+Font").lookup(0x3000) == ""
+
+
+def test_identity_h_variant_override_cascade():
+    # per-font override table: registered for the subset prefix, found
+    # via the most-specific-first cascade (PdfToText.php:7794-7840)
+    from pdftotext_spark.core import cidmaps
+
+    cidmaps.register_cid_map(
+        "ZYXWVU",
+        plain={1: "A", 2: "B", 3: "C"},
+        alt={0: {1: "Á"}},  # ALT_CID prefix: 0 then 1 composes Á
+    )
+    try:
+        assert cidmaps.variant_candidates("ZYXWVU+Weird-Font") == [
+            "ZYXWVU+Weird-Font",
+            "ZYXWVU+Weird",
+            "ZYXWVU",
+        ]
+        pdf, _ = pb.identity_h_no_tounicode_pdf("x", base_font="ZYXWVU+Weird-Font")
+        # codes: 1, 2, (0,1) prefix pair, 3 → "AB" + "Á" + "C"
+        mangled = pdf.replace(b"<005B>", b"<00010002000000010003>")  # 'x' = gid 0x5B
+        assert mangled != pdf
+        pdf = mangled
+        assert extract_document(pdf).text == "ABÁC"
+    finally:
+        cidmaps.clear_registry()
+
+
 def test_differences_encoding():
     pdf, golden = pb.differences_pdf()
     assert extract_document(pdf).text == golden

@@ -88,6 +88,31 @@ def test_metrics_manifest(extracted):
     }
 
 
+def test_resumed_run_manifest_counts_only_new_turns(spark, transcripts_dir, tmp_path):
+    # regression (VERDICT r01 item 4): the manifest used to re-read the
+    # whole output, so a resumed run re-counted previously committed
+    # turns under the new run_id
+    from pdftotext_spark.plans.pipeline import run_extraction
+
+    out_dir, m_dir = str(tmp_path / "out"), str(tmp_path / "metrics")
+    src = f"{transcripts_dir}/transcripts.parquet"
+    run_extraction(spark, src, output_path=out_dir, metrics_path=m_dir, run_id="r1")
+    m1 = spark.read.parquet(m_dir)
+    total = spark.read.parquet(src).count()
+    assert m1.agg(F.sum("turns_parsed")).first()[0] == total
+    # full resume: nothing new → the second run's manifest adds 0 turns
+    run_extraction(spark, src, output_path=out_dir, metrics_path=m_dir, run_id="r2")
+    m2 = spark.read.parquet(m_dir)
+    assert m2.filter(F.col("run_id") == "r2").agg(
+        F.coalesce(F.sum("turns_parsed"), F.lit(0))
+    ).first()[0] == 0
+    assert m2.filter(F.col("run_id") == "r1").agg(F.sum("turns_parsed")).first()[0] == total
+    # output rows carry lineage: committing run + extraction task id
+    out = spark.read.parquet(out_dir)
+    assert out.count() == total
+    assert {"run_id", "partition_id"} <= set(out.columns)
+
+
 def test_resume_anti_join(spark, transcripts_dir):
     df = spark.read.parquet(f"{transcripts_dir}/transcripts.parquet")
     committed = df.limit(50).select("conv_id", "turn_idx")

@@ -55,6 +55,29 @@ def test_glyph_names():
     assert glyph_to_char("nosuchglyph") == "?"
 
 
+def test_glyph_names_wide_agl_sample():
+    # sampled sweep across the extended AGL families (round-2 widening)
+    samples = {
+        # Latin Extended (Central-European)
+        "Aogonek": "Ą", "lcaron": "ľ", "Ohungarumlaut": "Ő",
+        "scommaaccent": "ș", "Zdotaccent": "Ż", "dcroat": "đ",
+        # Greek incl. the AGL Letterlike quirks
+        "Gamma": "Γ", "Delta": "∆", "Omega": "Ω", "sigma1": "ς",
+        "pi": "π", "alphatonos": "ά",
+        # Cyrillic afii block incl. the Ё insertion
+        "afii10017": "А", "afii10022": "Е", "afii10023": "Ё",
+        "afii10024": "Ж", "afii10049": "Я", "afii10065": "а",
+        "afii10071": "ё", "afii10097": "я", "afii10051": "Ђ",
+        "afii10110": "ў",
+        # math / symbols / superiors
+        "summation": "∑", "notequal": "≠", "partialdiff": "∂",
+        "greaterequal": "≥", "heart": "♥", "twosuperior": "²",
+        "onethird": "⅓", "afii61352": "№",
+    }
+    for name, want in samples.items():
+        assert glyph_to_char(name) == want, name
+
+
 def test_bfchar_multi_target():
     # undocumented multi-target bfchar (PdfToText.php:6824–6860)
     cmap = ToUnicodeCMap.parse(
