@@ -27,6 +27,10 @@ REPO = Path(__file__).resolve().parent
 sys.path.insert(0, str(REPO))
 
 BENCH_TURNS = int(os.environ.get("SPARK_GRAFT_BENCH_TURNS", "100000"))
+# best-of-N per measurement: this host sees ±50% tenant-noise swings
+# (BENCH/BASELINE.md), so single-shot numbers are not comparable
+# across rounds
+BENCH_REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
 SKEW_TURNS = BENCH_TURNS // 10
 CACHE_DIR = REPO / ".cache" / f"bench_transcripts_{BENCH_TURNS}"
 
@@ -66,27 +70,31 @@ def time_extraction(spark, input_path: str, n_partitions: int | None = None) -> 
     # warm-up pass (JIT, Arrow, Python-worker spin-up) so the reported
     # number is steady-state throughput, matching the scaling bench
     extract_turns(df.limit(5000)).agg(F.count("*")).collect()
-    t0 = time.perf_counter()
-    agg = (
-        extract_turns(df, n_partitions=n_partitions)
-        .agg(
-            F.count("*").alias("n"),
-            F.sum("decode_failures").alias("failures"),
-            F.sum(F.length("extracted_text")).alias("chars"),
+    wall = float("inf")
+    for _ in range(BENCH_REPS):
+        t0 = time.perf_counter()
+        agg = (
+            extract_turns(df, n_partitions=n_partitions)
+            .agg(
+                F.count("*").alias("n"),
+                F.sum("decode_failures").alias("failures"),
+                F.sum(F.length("extracted_text")).alias("chars"),
+            )
+            .collect()[0]
         )
-        .collect()[0]
-    )
-    wall = time.perf_counter() - t0
-    assert agg["n"] == n_turns
+        wall = min(wall, time.perf_counter() - t0)
+        assert agg["n"] == n_turns
     # conversation assembly (the one shuffle stage), timed in isolation
     # over a cached extraction so the number is assembly-only
     from pdftotext_spark.plans.pipeline import assemble_conversations
 
     extracted = extract_turns(df, n_partitions=n_partitions).cache()
     extracted.count()
-    t0 = time.perf_counter()
-    n_convs = assemble_conversations(extracted).count()
-    assembly_wall = time.perf_counter() - t0
+    assembly_wall = float("inf")
+    for _ in range(BENCH_REPS):
+        t0 = time.perf_counter()
+        n_convs = assemble_conversations(extracted).count()
+        assembly_wall = min(assembly_wall, time.perf_counter() - t0)
     extracted.unpersist()
     return {
         "turns": n_turns,
@@ -114,9 +122,12 @@ def main() -> None:
 
     query_secs: dict[str, float] = {}
     for name, fn in sorted(entrymod.queries().items()):
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).collect()
-        query_secs[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(BENCH_REPS):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).collect()
+            best = min(best, time.perf_counter() - t0)
+        query_secs[name] = round(best, 3)
 
     total = round(sum(query_secs.values()) + extraction["wall_sec"], 3)
     print(
@@ -129,6 +140,7 @@ def main() -> None:
                 "sf": sf,
                 "extraction": extraction,
                 "cpus": cpus,
+                "reps": BENCH_REPS,
             }
         )
     )

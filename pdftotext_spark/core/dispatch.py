@@ -50,6 +50,20 @@ def extract_payload(
             res = ExtractResult(kind="pdf-b64", decode_failures=1)
             res.failure_reasons.append("bad base64")
             return res
+        # route by decoded CONTENT: binary payloads may wrap HTML in a
+        # non-UTF-8 charset (BOMs, UTF-16, cp1252, ...) just as well as
+        # a PDF — charset-sniff a probe before deciding
+        if b"%PDF-" not in buf[:1024]:
+            from pdftotext_spark.html import decode_html_bytes
+
+            probe = decode_html_bytes(buf[:4096]).lstrip("\ufeff \t\r\n")
+            if _HTML_RE.search(probe) or len(_HTML_LOOSE_RE.findall(probe)) >= 2:
+                text = extract_main_content(
+                    decode_html_bytes(buf).lstrip("\ufeff")
+                )
+                res = ExtractResult(text=text, pages=[text], n_pages=1, kind="html")
+                res.page_offsets = [(0, max(len(text) - 1, 0))]
+                return res
         res = _extract_pdf(buf, options)
         res.kind = "pdf-b64"
         return res

@@ -72,9 +72,32 @@ def extract_batches(
     state, matching the reference's per-``__load`` reset
     (PdfToText.php:1632–1668), which is what makes this
     embarrassingly parallel.
+
+    Set ``SPARK_GRAFT_TRACE_DIR`` (on the executors, e.g. via
+    ``spark.executorEnv.*``; in local mode plain env works) to append
+    per-batch timing lines ``{pid, rows, arrow_read_us, parse_us,
+    frame_build_us, emit_gap_us}`` — the floor-instrumentation view of
+    where a task's wall time goes (Arrow ingest vs Python parse vs
+    result construction vs post-yield serialization).
     """
+    import os
+
+    trace_dir = os.environ.get("SPARK_GRAFT_TRACE_DIR")
+    trace_f = None
+    if trace_dir:
+        os.makedirs(trace_dir, exist_ok=True)
+        trace_f = open(f"{trace_dir}/extract_trace_{os.getpid()}.jsonl", "a")
+
     opts = options or ExtractOptions()
-    for pdf in batches:
+    it = iter(batches)
+    last_yield_ns = None
+    while True:
+        t_read0 = time.perf_counter_ns()
+        try:
+            pdf = next(it)
+        except StopIteration:
+            break
+        t_read1 = time.perf_counter_ns()
         n = len(pdf)
         texts: list[str] = [""] * n
         n_pages = [0] * n
@@ -92,7 +115,8 @@ def extract_batches(
             failures[i] = res.decode_failures
             kinds[i] = res.kind
             elapsed[i] = (time.perf_counter_ns() - t0) // 1000
-        yield pd.DataFrame(
+        t_parse1 = time.perf_counter_ns()
+        out = pd.DataFrame(
             {
                 "conv_id": pdf["conv_id"],
                 "turn_idx": pdf["turn_idx"],
@@ -107,6 +131,32 @@ def extract_batches(
                 "extract_us": elapsed,
             }
         )
+        t_build1 = time.perf_counter_ns()
+        if trace_f is not None:
+            import json as _json
+
+            trace_f.write(
+                _json.dumps(
+                    {
+                        "pid": os.getpid(),
+                        "rows": n,
+                        "arrow_read_us": (t_read1 - t_read0) // 1000,
+                        "parse_us": (t_parse1 - t_read1) // 1000,
+                        "frame_build_us": (t_build1 - t_parse1) // 1000,
+                        "emit_gap_us": (
+                            (t_read0 - last_yield_ns) // 1000
+                            if last_yield_ns is not None
+                            else None
+                        ),
+                    }
+                )
+                + "\n"
+            )
+            trace_f.flush()
+        last_yield_ns = time.perf_counter_ns()
+        yield out
+    if trace_f is not None:
+        trace_f.close()
 
 
 PAGES_SCHEMA = T.StructType(

@@ -22,7 +22,7 @@ from __future__ import annotations
 import html as _html
 import re
 
-HEURISTICS_VERSION = 1
+HEURISTICS_VERSION = 2
 
 _DROP_SUBTREE_TAGS = (
     "script",
@@ -38,7 +38,12 @@ _DROP_SUBTREE_TAGS = (
     "template",
     "select",
     "button",
+    "head",
+    "title",
 )
+# <!DOCTYPE ...>, CDATA and other <!...> declarations are markup, not
+# text — the tag tokenizer below only matches real elements
+_DECL_RE = re.compile(r"<![^>]*>")
 
 _BLOCK_TAGS = frozenset(
     "p div section article main h1 h2 h3 h4 h5 h6 li ul ol table tr td th "
@@ -136,24 +141,60 @@ def is_error_page(markup: str, main_text: str | None = None) -> bool:
     return False
 
 
+def _classify_blocks(blocks: list[tuple[str, int]]) -> list[bool]:
+    """Densitometric block classification: the published
+    NumWordsRulesClassifier decision tree (Kohlschütter, Fankhauser &
+    Nejdl, *Boilerplate Detection using Shallow Text Features*, WSDM
+    2010; Boilerpipe, Apache-2.0) over (prev, curr, next) context —
+    link density gates, then word-count thresholds smoothed across
+    neighbouring blocks."""
+    n = len(blocks)
+    words = [len(t.split()) for t, _ in blocks]
+    ld = [(linked / len(t)) if t else 1.0 for t, linked in blocks]
+    out: list[bool] = []
+    for i in range(n):
+        prev_w = words[i - 1] if i > 0 else 0
+        next_w = words[i + 1] if i + 1 < n else 0
+        prev_ld = ld[i - 1] if i > 0 else 0.0
+        if ld[i] > _MAX_LINK_DENSITY:
+            out.append(False)
+        elif prev_ld <= 0.555556:
+            if words[i] <= 16:
+                if next_w <= 15:
+                    out.append(prev_w > 4)
+                else:
+                    out.append(True)
+            else:
+                out.append(True)
+        else:
+            # heavily-linked predecessor: demand more local evidence
+            if words[i] <= 40:
+                out.append(next_w > 17)
+            else:
+                out.append(True)
+    return out
+
+
 def extract_main_content(markup: str) -> str:
     """Strip boilerplate and return the main text content.
 
-    Two passes: (1) mark long, low-link-density blocks as content;
+    Three passes: (1) the densitometric NumWordsRules classifier over
+    (prev, curr, next) block context (:func:`_classify_blocks`);
     (2) adopt short link-free blocks *adjacent* to content (headings
     before an article body, short closing paragraphs after it) — the
-    Boilerpipe neighbour rule."""
+    Boilerpipe neighbour rule; (3) if nothing survives, keep the
+    largest link-free block of at least ``_MIN_WORDS`` words (the
+    KeepLargestBlock fallback), so a one-paragraph document is not
+    emptied by the context rules."""
     markup = _COMMENT_RE.sub(" ", markup)
+    markup = _DECL_RE.sub(" ", markup)
     prev = None
     while prev != markup:  # nested drop-tags
         prev = markup
         markup = _DROP_RE.sub(" ", markup)
     blocks = _segment_blocks(markup)
 
-    is_core = [
-        len(text.split()) >= _MIN_WORDS and (linked / len(text)) <= _MAX_LINK_DENSITY
-        for text, linked in blocks
-    ]
+    is_core = _classify_blocks(blocks)
     out: list[str] = []
     for i, (text, linked) in enumerate(blocks):
         keep = is_core[i]
@@ -164,4 +205,53 @@ def extract_main_content(markup: str) -> str:
             keep = neighbour
         if keep:
             out.append(text)
+    if not out and blocks:
+        best = max(blocks, key=lambda b: len(b[0].split()))
+        text, linked = best
+        if len(text.split()) >= _MIN_WORDS and (linked / len(text)) <= _MAX_LINK_DENSITY:
+            return text
     return "\n".join(out)
+
+
+# --------------------------------------------------- charset sniffing
+
+_META_CHARSET_RE = re.compile(
+    rb"<meta[^>]+charset\s*=\s*[\"']?\s*([A-Za-z0-9_.:-]+)", re.I
+)
+_XML_ENCODING_RE = re.compile(rb"<\?xml[^>]*encoding\s*=\s*[\"']([A-Za-z0-9_.:-]+)")
+
+
+def sniff_charset(raw: bytes) -> str:
+    """Best-effort charset detection for HTML byte payloads: BOM, then
+    ``<meta charset=…>`` / ``<meta http-equiv … charset=…>`` / XML
+    declaration within the first 4 KiB, then strict-UTF-8 probe, then
+    the WHATWG-recommended windows-1252 fallback."""
+    import codecs
+
+    if raw[:3] == b"\xef\xbb\xbf":
+        return "utf-8-sig"
+    if raw[:2] in (b"\xff\xfe", b"\xfe\xff"):
+        return "utf-16"  # stdlib codec consumes the BOM
+    head = raw[:4096]
+    m = _META_CHARSET_RE.search(head) or _XML_ENCODING_RE.search(head)
+    if m:
+        name = m.group(1).decode("ascii", "replace")
+        try:
+            codecs.lookup(name)
+            return name
+        except LookupError:
+            pass
+    try:
+        raw.decode("utf-8")
+        return "utf-8"
+    except UnicodeDecodeError:
+        return "cp1252"
+
+
+def decode_html_bytes(raw: bytes) -> str:
+    """Bytes → text via :func:`sniff_charset` (errors replaced, never
+    raises — the extraction no-raise invariant)."""
+    try:
+        return raw.decode(sniff_charset(raw), errors="replace")
+    except Exception:
+        return raw.decode("latin-1", errors="replace")

@@ -135,3 +135,66 @@ def test_isolated_short_block_still_dropped():
         "<div>" + "x " * 3 + "</div></body></html>"
     )
     assert extract_main_content(html) == ""
+
+
+def test_densitometric_linked_prev_context():
+    # NumWordsRules decision-tree branches (prev_ld > 0.5556): after a
+    # heavily-linked block, a <=40-word block is content only with a
+    # >17-word successor; a >40-word block is content unconditionally
+    from pdftotext_spark.html.extract import _classify_blocks
+
+    linkbar = ("one two three four five six", 27)  # fully linked
+    medium = ("word " * 20, 0)
+    assert _classify_blocks([linkbar, medium, ("tail", 0)])[1] is False
+    assert _classify_blocks([linkbar, medium, ("tok " * 25, 0)])[1] is True
+    assert _classify_blocks([linkbar, ("word " * 45, 0), ("tail", 0)])[1] is True
+    # the linked bar itself is always boilerplate
+    assert _classify_blocks([linkbar, medium, ("tail", 0)])[0] is False
+
+
+def test_largest_block_fallback_single_paragraph():
+    # a lone 12-word paragraph survives via the KeepLargestBlock
+    # fallback even though the context rules alone would drop it
+    html = "<html><body><p>" + ("alpha " * 12) + "</p></body></html>"
+    assert "alpha" in extract_main_content(html)
+
+
+def test_nav_heavy_page_interleaved_links():
+    # link bars around real paragraphs (not inside <nav>) are dropped
+    # purely by density — no tag hints
+    bar = '<div>' + " ".join(f'<a href="/{i}">item{i}</a>' for i in range(10)) + "</div>"
+    html = f"<html><body>{bar}<p>{ARTICLE}</p><p>{PARA2}</p>{bar}</body></html>"
+    out = extract_main_content(html)
+    assert ARTICLE in out and PARA2 in out
+    assert "item3" not in out
+
+
+def test_charset_sniffing():
+    from pdftotext_spark.html.extract import decode_html_bytes, sniff_charset
+
+    assert sniff_charset("﻿hi".encode("utf-8")) == "utf-8-sig"
+    assert sniff_charset("hällo".encode("utf-16")) == "utf-16"
+    assert decode_html_bytes("hällo".encode("utf-16")) == "hällo"
+    raw = b'<html><head><meta charset="windows-1252"></head><body>caf\x92s \x80100</body></html>'
+    assert sniff_charset(raw) == "windows-1252"
+    assert "caf’s €100" in decode_html_bytes(raw)
+    xml = b'<?xml version="1.0" encoding="ISO-8859-1"?><html><body>caf\xe9</body></html>'
+    assert decode_html_bytes(xml).count("café") == 1
+    assert sniff_charset(b"plain ascii") == "utf-8"
+    assert sniff_charset(b"bad \xff\xfa bytes") == "cp1252"
+    # bogus declared charset falls through to the probe
+    assert sniff_charset(b'<meta charset="no-such-enc">caf\xc3\xa9') == "utf-8"
+
+
+def test_b64_html_payload_routed_by_content():
+    import base64
+
+    from pdftotext_spark.core.dispatch import B64_SENTINEL
+
+    page_txt = "<html><body><p>" + ARTICLE + "</p></body></html>"
+    raw = ("﻿" + page_txt).encode("utf-8")  # BOM-carrying bytes
+    payload = B64_SENTINEL + base64.b64encode(raw).decode("ascii")
+    res = extract_payload(payload)
+    assert res.kind == "html"
+    assert ARTICLE in res.text
+    assert res.decode_failures == 0
