@@ -59,9 +59,63 @@ def _asof_group(pdf: pd.DataFrame) -> pd.DataFrame:
 
 def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """For every click: the most recent purchase (same user) at or
-    before it. groupBy(user).applyInPandas(merge_asof) — per-group
-    state never leaves one partition, so the plan is one shuffle on
-    the group key regardless of total size."""
+    before it — the as-of join Spark lacks natively, expressed
+    entirely JVM-side: union both event streams, one window per user
+    ordered ``(ts, purchase-before-click, event_id)``, and
+    ``last(..., ignorenulls)`` carries the latest purchase forward.
+    One shuffle + sort, whole-stage codegen, no Python worker.
+
+    Ordering ties match ``pd.merge_asof(direction='backward',
+    allow_exact_matches=True)``: a purchase at the same timestamp as a
+    click is visible to it, and among equal-ts purchases the highest
+    event_id wins (the asof 'last position ≤' rule).
+
+    :func:`asof_join_events_pandas` keeps the grouped
+    ``applyInPandas(merge_asof)`` formulation (the custom-operator
+    escape hatch); a pytest asserts both produce identical rows."""
+    from pyspark.sql import Window
+
+    events = _read(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(ASOF_LEFT_TYPE, ASOF_RIGHT_TYPE)
+    )
+    is_click = (F.col("event_type") == ASOF_LEFT_TYPE).cast("int")
+    tagged = events.select(
+        "user_id",
+        "event_id",
+        "ts",
+        is_click.alias("is_click"),
+        F.when(F.col("event_type") == ASOF_RIGHT_TYPE, F.col("event_id"))
+        .alias("p_id"),
+        F.when(F.col("event_type") == ASOF_RIGHT_TYPE, F.col("value"))
+        .alias("p_value"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_click", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        tagged.select(
+            "user_id",
+            "event_id",
+            "is_click",
+            F.last("p_id", ignorenulls=True).over(w).alias("prior_purchase_id"),
+            F.round(
+                F.last("p_value", ignorenulls=True).over(w), 4
+            ).alias("prior_purchase_value"),
+        )
+        .filter(F.col("is_click") == 1)
+        .drop("is_click")
+    )
+
+
+def asof_join_events_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped ``applyInPandas(merge_asof)`` formulation of
+    :func:`asof_join_events` — per-group state never leaves one
+    partition, so the plan is one shuffle on the group key regardless
+    of total size. Retained as the custom-stateful-operator pattern
+    demo and as an independent implementation the JVM window version
+    is tested against."""
     from pdftotext_spark.sources.shipping import ship_package
 
     ship_package(spark)

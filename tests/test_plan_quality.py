@@ -104,6 +104,27 @@ def test_cosine_neardup_chunked_equals_naive(spark, monkeypatch):
     assert chunked == naive and len(naive) > 0
 
 
+def test_asof_window_equals_pandas_merge_asof(spark):
+    # two independent implementations of the as-of join must agree
+    # row-for-row (JVM window carry-forward vs pd.merge_asof)
+    from pdftotext_spark.operators import temporal
+
+    jvm = {
+        tuple(r) for r in temporal.asof_join_events(spark, SF).collect()
+    }
+    pdx = {
+        tuple(r) for r in temporal.asof_join_events_pandas(spark, SF).collect()
+    }
+    assert jvm == pdx and len(jvm) > 0
+
+
+def test_asof_join_is_python_free(spark):
+    from pdftotext_spark.operators import temporal
+
+    plan = _plan(temporal.asof_join_events(spark, SF))
+    assert "FlatMapGroupsInPandas" not in plan and "EvalPython" not in plan
+
+
 def test_aggregations_are_partial(spark):
     # map-side combine: two HashAggregate levels around the exchange
     plan = _plan(relational.pricing_summary(spark, SF))
