@@ -100,13 +100,44 @@ class FormTemplate:
     groups: list[GroupDef]
 
 
+def parse_form_templates(xml_text: str) -> list[FormTemplate]:
+    """All ``<form version=…>`` variants in a template file — the
+    reference allows one definition per form revision under a single
+    ``<forms class=…>`` (PdfToText.php:10362–10380)."""
+    root = ET.fromstring(xml_text.lstrip("﻿"))
+    return [
+        _parse_form_el(root.attrib.get("class", ""), el)
+        for el in root
+        if _strip_ns(el.tag) == "form"
+    ]
+
+
+def select_form_template(
+    templates: list[FormTemplate], version: str | None
+) -> FormTemplate:
+    """Pick the definition whose version matches the document's form
+    revision string; fall back to the first (the reference errors on
+    an unknown version — we degrade gracefully instead, keeping the
+    never-raise invariant)."""
+    if version:
+        for t in templates:
+            if t.version == version:
+                return t
+    return templates[0]
+
+
 def parse_form_template(xml_text: str) -> FormTemplate:
     """Parse the reference's form-definition XML
     (``<forms class><form version><field .../><group .../></form>``,
     e.g. examples/formdata-extraction/sample.xml,
-    FormTemplates/US-IRS-W9.xml)."""
+    FormTemplates/US-IRS-W9.xml). Single-form convenience wrapper
+    around :func:`parse_form_templates`."""
     root = ET.fromstring(xml_text.lstrip("﻿"))
     form_el = next(el for el in root if _strip_ns(el.tag) == "form")
+    return _parse_form_el(root.attrib.get("class", ""), form_el)
+
+
+def _parse_form_el(form_class: str, form_el: ET.Element) -> FormTemplate:
     fields: list[FieldDef] = []
     groups: list[GroupDef] = []
     for el in form_el:
@@ -133,7 +164,7 @@ def parse_form_template(xml_text: str) -> FormTemplate:
                 )
             )
     return FormTemplate(
-        root.attrib.get("class", ""), form_el.attrib.get("version", ""), fields, groups
+        form_class, form_el.attrib.get("version", ""), fields, groups
     )
 
 

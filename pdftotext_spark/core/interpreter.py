@@ -49,9 +49,28 @@ _PRESTRIP_RES = [
 _NUM_RE = re.compile(rb"[+-]?(?:\d+\.?\d*|\.\d+)")
 _WS = b"\x00\t\n\x0c\r "
 
+# operator → M5 statistics family (PDFOPT_ENHANCED_STATISTICS)
+_OP_FAMILIES = {
+    "Tj": "show_ops", "TJ": "show_ops", "'": "show_ops", '"': "show_ops",
+    "Tm": "position_ops", "Td": "position_ops", "TD": "position_ops",
+    "T*": "position_ops", "Tf": "font_ops", "TL": "font_ops",
+    "BT": "bt_et", "ET": "bt_et",
+}
+
 
 def strip_useless_instructions(stream: bytes) -> bytes:
-    """Light pre-strip (T1 analog, PdfToText.php:5814–5822)."""
+    """Light pre-strip (T1 analog, PdfToText.php:5814–5822).
+
+    Most content streams carry none of the stripped constructs, so a
+    C-level substring pre-check skips the five regex passes entirely
+    on the common path."""
+    if (
+        b"BI" not in stream
+        and b"BDC" not in stream
+        and b"BMC" not in stream
+        and b"EMC" not in stream
+    ):
+        return stream
     for rx in _PRESTRIP_RES:
         stream = rx.sub(b" ", stream)
     return stream
@@ -350,12 +369,6 @@ def extract_text_raw(
     def append_text(tok: Token) -> None:
         out.append(decode_pdf_string(tok, font))
 
-    _OP_FAMILIES = {
-        "Tj": "show_ops", "TJ": "show_ops", "'": "show_ops", '"': "show_ops",
-        "Tm": "position_ops", "Td": "position_ops", "TD": "position_ops",
-        "T*": "position_ops", "Tf": "font_ops", "TL": "font_ops",
-        "BT": "bt_et", "ET": "bt_et",
-    }
     for tok in tokenize(stream):
         kind = tok[0]
         if kind in ("num", "str", "hex", "arr", "name"):

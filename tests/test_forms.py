@@ -67,6 +67,30 @@ def test_choice_default():
     assert map_form_data({}, t)["C"] == "NONE"
 
 
+def test_multi_version_template_selection():
+    from pdftotext_spark.core.forms import (
+        parse_form_templates,
+        select_form_template,
+    )
+
+    xml = """<forms class="X">
+      <form version="Rev 2014">
+        <field name="A" form-field="f1" type="string"/>
+      </form>
+      <form version="Rev 2018">
+        <field name="B" form-field="f1" type="string"/>
+        <group name="G" separator=":" fields="B, B"/>
+      </form>
+    </forms>"""
+    ts = parse_form_templates(xml)
+    assert [t.version for t in ts] == ["Rev 2014", "Rev 2018"]
+    assert select_form_template(ts, "Rev 2018").fields[0].name == "B"
+    assert select_form_template(ts, "Rev 2014").fields[0].name == "A"
+    # unknown / missing version degrades to the first definition
+    assert select_form_template(ts, "Rev 2099").version == "Rev 2014"
+    assert select_form_template(ts, None).version == "Rev 2014"
+
+
 def test_no_form_data_is_empty():
     from pdftotext_spark.sources import pdfbuilder as pb
 
