@@ -83,7 +83,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivf_topk": similarity.ivf_topk,
     # text analysis
     "lang_id": textstats.lang_id,
+    "lang_id_confusion": textstats.lang_id_confusion,
     "quality_score": textstats.quality_score,
+    "quality_filter_by_source": textstats.quality_filter_by_source,
     "token_count_by_source": textstats.token_count_by_source,
     "doc_fingerprint": textstats.doc_fingerprint,
 }
@@ -124,7 +126,9 @@ _ORACLES: dict[str, str] = {
     "cosine_neardup_pairs": similarity.COSINE_NEARDUP_PAIRS_SQL,
     "embedding_bucket_stats": similarity.EMBEDDING_BUCKET_STATS_SQL,
     "lang_id": textstats.LANG_ID_SQL,
+    "lang_id_confusion": textstats.LANG_ID_CONFUSION_SQL,
     "quality_score": textstats.QUALITY_SCORE_SQL,
+    "quality_filter_by_source": textstats.QUALITY_FILTER_BY_SOURCE_SQL,
     "token_count_by_source": textstats.TOKEN_COUNT_BY_SOURCE_SQL,
     "doc_fingerprint": textstats.DOC_FINGERPRINT_SQL,
 }

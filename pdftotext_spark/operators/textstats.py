@@ -136,6 +136,72 @@ FROM documents GROUP BY source
 """
 
 
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID evaluation rollup: predicted vs labelled language
+    counts (the confusion matrix every lang-filter pipeline tracks
+    before trusting its classifier). Composes :func:`lang_id` with the
+    corpus labels — one broadcastable join + one grouped count."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "lang")
+    pred = lang_id(spark, sf_dir).select("doc_id", "pred_lang")
+    return (
+        docs.join(pred, "doc_id")
+        .groupBy("lang", "pred_lang")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
+
+
+LANG_ID_CONFUSION_SQL = f"""
+WITH pred AS ({LANG_ID_SQL.strip()})
+SELECT d.lang, p.pred_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM documents d JOIN pred p ON d.doc_id = p.doc_id
+GROUP BY d.lang, p.pred_lang
+"""
+
+
+# Gopher/C4-style shallow filter thresholds
+QF_MIN_WORDS = 5
+QF_MAX_WORDS = 100_000
+QF_MIN_AVG_WORD_LEN = 2.0
+QF_MAX_AVG_WORD_LEN = 12.0
+
+
+def quality_filter_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source keep/drop accounting under the shallow quality
+    gates (word-count and mean-word-length windows) — the filter-rate
+    dashboard a corpus-cleaning pipeline watches per ingest source."""
+    docs = _read(spark, sf_dir, "documents")
+    text = F.col("text")
+    n_words = (_count_occ(text, " ") + 1).cast("long")
+    awl = F.length(F.replace(text, F.lit(" "), F.lit(""))) / n_words
+    keep = (
+        (n_words >= QF_MIN_WORDS)
+        & (n_words <= QF_MAX_WORDS)
+        & (awl >= QF_MIN_AVG_WORD_LEN)
+        & (awl <= QF_MAX_AVG_WORD_LEN)
+    )
+    return docs.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(keep.cast("long")).cast("long").alias("n_kept"),
+        F.round(F.avg(keep.cast("double")), 4).alias("keep_rate"),
+    )
+
+
+_QF_KEEP_SQL = (
+    f"(({_count_occ_sql('text', ' ')} + 1) >= {QF_MIN_WORDS} AND "
+    f"({_count_occ_sql('text', ' ')} + 1) <= {QF_MAX_WORDS} AND "
+    f"length(replace(text, ' ', '')) * 1.0 / ({_count_occ_sql('text', ' ')} + 1) >= {QF_MIN_AVG_WORD_LEN} AND "
+    f"length(replace(text, ' ', '')) * 1.0 / ({_count_occ_sql('text', ' ')} + 1) <= {QF_MAX_AVG_WORD_LEN})"
+)
+
+QUALITY_FILTER_BY_SOURCE_SQL = f"""
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN {_QF_KEEP_SQL} THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       ROUND(AVG(CASE WHEN {_QF_KEEP_SQL} THEN 1.0 ELSE 0.0 END), 4) AS keep_rate
+FROM documents GROUP BY source
+"""
+
+
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Normalized content fingerprint (lowercase, alnum+space only →
     md5): the canonical pre-dedup digest."""
