@@ -344,6 +344,11 @@ def dedup_groups(pairs: DataFrame, max_iterations: int = 10) -> DataFrame:
     — O(log n) rounds instead of O(diameter), two shuffle joins per
     round on two-column frames (the standard Spark CC-without-GraphX
     shape). Returns (doc_id, group_id) for every doc in a pair.
+
+    (Measured dead end: explicitly repartitioning edges/labels to an
+    edge-count-sized partition count made sf0.1 *slower* — 10.2s →
+    16.8s — the added exchanges cost more than the small-task overhead
+    they removed. AQE's coalescing already handles the tiny shuffles.)
     """
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
