@@ -83,6 +83,11 @@ class ExtractOptions:
     max_seconds: float = 0.0
     want_images: bool = True
     rtl: bool = True
+    # F11: per-font-variant Identity-H CID→Unicode override tables,
+    # {variant: (plain, alt)} — carried inside the (picklable) options
+    # so driver-registered tables reach every executor process (the
+    # cidmaps module registry alone is process-local)
+    cid_tables: tuple = ()  # ((variant, plain_dict, alt_dict), ...)
 
 
 @dataclass
@@ -111,6 +116,11 @@ def extract_document(buf: bytes, options: ExtractOptions | None = None) -> Extra
     maps engine errors to typed exceptions; our per-payload contract
     is try/except → ``decode_failures``)."""
     opts = options or ExtractOptions()
+    if opts.cid_tables:
+        from pdftotext_spark.core import cidmaps
+
+        for variant, plain, alt in opts.cid_tables:
+            cidmaps.register_cid_map(variant, plain, alt)
     res = ExtractResult()
 
     pf = objects.scan(buf)  # raises NotAPdfError for non-PDF payloads

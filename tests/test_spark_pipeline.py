@@ -113,6 +113,44 @@ def test_resumed_run_manifest_counts_only_new_turns(spark, transcripts_dir, tmp_
     assert {"run_id", "partition_id"} <= set(out.columns)
 
 
+def test_cid_override_tables_reach_executors(spark, tmp_path):
+    # F11: driver-registered CID tables must apply inside executor
+    # processes — they travel inside the picklable ExtractOptions, not
+    # the process-local cidmaps registry
+    import base64
+
+    import pandas as pd
+
+    from pdftotext_spark.core.document import ExtractOptions
+    from pdftotext_spark.plans.pipeline import extract_turns
+    from pdftotext_spark.sources import pdfbuilder as pb
+
+    pdf, _ = pb.identity_h_no_tounicode_pdf("x", base_font="QQTEST+Fake")
+    pdf = pdf.replace(b"<005B>", b"<000100020003>")
+    payload = "%B64%" + base64.b64encode(pdf).decode("ascii")
+    src = str(tmp_path / "in.parquet")
+    pd.DataFrame(
+        {
+            "conv_id": ["c1"],
+            "turn_idx": [0],
+            "role": ["user"],
+            "text": [payload],
+            "tool": ["pdf-b64"],
+            "ts": pd.to_datetime(["2026-01-01"], utc=True).as_unit("us"),
+        }
+    ).to_parquet(src)
+    # without the option the unmapped CIDs drop to '' (degraded path);
+    # must run FIRST — reused Python workers keep the module registry,
+    # so the opts run below would leak QQTEST into a later bare run
+    bare = extract_turns(spark.read.parquet(src)).collect()
+    assert bare[0].extracted_text == ""
+    opts = ExtractOptions(
+        cid_tables=(("QQTEST", {1: "A", 2: "B", 3: "C"}, {}),)
+    )
+    out = extract_turns(spark.read.parquet(src), options=opts).collect()
+    assert out[0].extracted_text == "ABC"
+
+
 def test_resume_anti_join(spark, transcripts_dir):
     df = spark.read.parquet(f"{transcripts_dir}/transcripts.parquet")
     committed = df.limit(50).select("conv_id", "turn_idx")
