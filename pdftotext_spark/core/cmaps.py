@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import re
 from bisect import bisect_right
+from functools import lru_cache
 
 from pdftotext_spark.core.glyphs import UNKNOWN_GLYPH, glyph_to_char
 
@@ -180,6 +181,24 @@ class EncodingMap:
         if hit is not None:
             return hit
         return None
+
+
+@lru_cache(maxsize=512)
+def parse_tounicode_cached(body: bytes) -> "ToUnicodeCMap":
+    """Content-keyed ToUnicode parse cache (worker-process-local,
+    bounded). Real corpora repeat font subsets heavily — the same
+    producer embeds the same ToUnicode stream in millions of
+    documents — so at 100 TB the parse cost amortizes to ~0 per hit.
+    Safe to share: parsed cmaps are immutable except the
+    deterministic lookup memo."""
+    return ToUnicodeCMap.parse(body)
+
+
+@lru_cache(maxsize=512)
+def parse_encoding_cached(body: bytes) -> "EncodingMap":
+    """Content-keyed /Encoding (+/Differences) parse cache — same
+    rationale and safety argument as :func:`parse_tounicode_cached`."""
+    return EncodingMap.parse(body)
 
 
 def base_encoding_char(base: str, code: int) -> str:

@@ -256,16 +256,21 @@ class FontTable:
         decoded-object map (PdfToText.php:1975–1976 → 6241).
         Idempotent: already-attached fonts are skipped (this runs once
         per page for page-local fonts)."""
+        from pdftotext_spark.core.cmaps import (
+            parse_encoding_cached,
+            parse_tounicode_cached,
+        )
+
         for font in self.fonts.values():
             if font.cmap is None and font.tounicode_ref is not None:
                 body = decoded.get(font.tounicode_ref)
                 if body is not None:
-                    font.cmap = ToUnicodeCMap.parse(body)
+                    font.cmap = parse_tounicode_cached(body)
                     font._translate_table = None
             if font.encoding_map is None and font.encoding_ref is not None:
                 body = decoded.get(font.encoding_ref)
                 if body is not None:
-                    font.encoding_map = EncodingMap.parse(body)
+                    font.encoding_map = parse_encoding_cached(body)
                     font.encoding = font.encoding_map.base
                     font._translate_table = None
 

@@ -55,6 +55,30 @@ def test_glyph_names():
     assert glyph_to_char("nosuchglyph") == "?"
 
 
+def test_cmap_parse_cache_identity_and_safety():
+    # content-keyed parse cache: same bytes -> same (shared) object,
+    # different bytes -> different; lookup memoization on a shared
+    # instance stays deterministic
+    from pdftotext_spark.core.cmaps import (
+        parse_encoding_cached,
+        parse_tounicode_cached,
+    )
+
+    body = (
+        b"begincmap\n1 begincodespacerange\n<00> <FF>\nendcodespacerange\n"
+        b"1 beginbfchar\n<41> <0042>\nendbfchar\nendcmap"
+    )
+    a = parse_tounicode_cached(body)
+    b = parse_tounicode_cached(bytes(body))
+    assert a is b and a.lookup(0x41) == "B"
+    other = body.replace(b"<0042>", b"<0043>")
+    assert parse_tounicode_cached(other) is not a
+    assert parse_tounicode_cached(other).lookup(0x41) == "C"
+    e1 = parse_encoding_cached(b"<< /BaseEncoding /WinAnsiEncoding >>")
+    e2 = parse_encoding_cached(b"<< /BaseEncoding /WinAnsiEncoding >>")
+    assert e1 is e2 and e1.base == "winansi"
+
+
 def test_glyph_names_wide_agl_sample():
     # sampled sweep across the extended AGL families (round-2 widening)
     samples = {
