@@ -61,6 +61,30 @@ def conversation_activity(extracted: DataFrame, window: str = "10 minutes",
     )
 
 
+def conversation_sessions(extracted: DataFrame, gap: str = "5 minutes",
+                          watermark: str = "30 minutes") -> DataFrame:
+    """Session-window rollup: turns group into activity sessions that
+    close after ``gap`` of inactivity per conversation —
+    ``F.session_window`` is the native dynamic-gap analog of the batch
+    ``sessionize`` operator (L3), with the watermark bounding state.
+    Streaming-only demo (session windows need watermark + append)."""
+    return (
+        extracted.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap), F.col("conv_id"))
+        .agg(
+            F.count("*").alias("turns"),
+            F.sum(F.length("extracted_text")).alias("chars"),
+        )
+        .select(
+            "conv_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "turns",
+            "chars",
+        )
+    )
+
+
 def run_stream_once(
     spark: SparkSession,
     input_dir: str,

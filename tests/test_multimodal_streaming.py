@@ -185,6 +185,59 @@ def test_stateful_conversation_rollup(spark, tmp_path):
     assert j2.filter("turns <> 2 * bturns").count() == 0
 
 
+def test_session_window_rollup(spark, tmp_path):
+    """session_window groups turns into gap-bounded sessions (the
+    streaming analog of batch sessionize). Append mode only emits
+    sessions the watermark has passed, so a far-future sentinel row
+    flushes the ones under test — the standard pattern."""
+    import pandas as pd
+
+    from pdftotext_spark.streaming.pipeline import (
+        conversation_sessions,
+        extract_turns_stream,
+        read_transcript_stream,
+    )
+
+    base = pd.Timestamp("2026-01-01", tz="UTC")
+    ts = [base + pd.Timedelta(seconds=s) for s in (0, 1, 2, 100, 101)]
+    ts.append(base + pd.Timedelta(hours=2))  # sentinel pushes watermark
+    n = len(ts)
+    src = tmp_path / "src"
+    src.mkdir()
+    pd.DataFrame(
+        {
+            "conv_id": ["c1"] * 5 + ["flush"],
+            "turn_idx": pd.array(list(range(5)) + [0], dtype="int32"),
+            "role": ["user"] * n,
+            "text": [f"turn {i}" for i in range(n)],
+            "tool": ["plain"] * n,
+            "ts": pd.Series(ts).dt.as_unit("us"),
+        }
+    ).to_parquet(src / "a.parquet")
+
+    stream = read_transcript_stream(spark, str(src))
+    sessions = conversation_sessions(
+        extract_turns_stream(stream), gap="30 seconds", watermark="0 seconds"
+    )
+    out = str(tmp_path / "out")
+    (
+        sessions.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    rows = {
+        (r.conv_id, r.turns): (r.session_start, r.session_end)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert ("c1", 3) in rows and ("c1", 2) in rows  # 0-2s and 100-101s
+    start3, end3 = rows[("c1", 3)]
+    assert (end3 - start3).total_seconds() == 2 + 30  # last event + gap
+
+
 def test_v2_processor_accumulates_without_spark():
     """The v2 StatefulProcessor's fold logic, unit-tested against a
     fake ValueState (the container lacks protobuf, so the end-to-end
