@@ -81,7 +81,12 @@ class ExtractOptions:
     # breach, remaining pages are skipped and a failure is recorded —
     # never a task kill (SURVEY.md §4).
     max_seconds: float = 0.0
-    want_images: bool = True
+    # image *data* extraction is opt-in, matching the reference's
+    # PDFOPT_GET_IMAGE_DATA default-off (PdfToText.php:1027–1035):
+    # n_images is always counted, but image streams are only inflated
+    # when a consumer (carve_images) asks — the text pipeline was
+    # paying full image decompression for bytes it discarded
+    want_images: bool = False
     rtl: bool = True
     # F11: per-font-variant Identity-H CID→Unicode override tables,
     # {variant: (plain, alt)} — carried inside the (picklable) options
