@@ -102,6 +102,11 @@ class PageMap:
     def peek(self, obj: PdfObject) -> None:
         """Classify one object (G1, PdfToText.php:8159–8267)."""
         body = obj.dict_part
+        # C-level pre-gate: catalog/pages/page objects all carry one of
+        # these substrings; most objects carry none, and this runs for
+        # every object in every document
+        if b"Catalog" not in body and b"Page" not in body:
+            return
         if _TYPE_CATALOG_RE.search(body):
             pages_ref = dict_value(body, b"Pages")
             refs = object_references(pages_ref) if pages_ref else []
