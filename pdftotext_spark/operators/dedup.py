@@ -93,9 +93,12 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf0.1 vs ~8 s this way); never run it at scale.
     """
     docs = _read(spark, sf_dir, "documents")
-    s = _shingles(docs)
+    # one materialization feeds candidate generation (signatures →
+    # bands) AND exact verification (intersections + counts) — the
+    # lazy plan would shingle the corpus twice
+    s = _shingles(docs).localCheckpoint()
     counts = s.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    cand = minhash_lsh_pairs(spark, sf_dir)
+    cand = _lsh_pairs_from_shingles(s)
     sa = s.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     sb = s.select(F.col("doc_id").alias("sb_doc"), F.col("sh").alias("sh_b"))
     common = (
@@ -152,17 +155,20 @@ WHERE common * 1.0 / (ca.n_sh + cb.n_sh - common) >= {JACCARD_THRESHOLD}
 # ------------------------------------------------------- MinHash + LSH
 
 
-def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-doc MinHash signature: h_k = min(md5('k:' || shingle)).
-    Lexicographic min over uniformly-distributed hex digests is a
-    proper MinHash; identical in any engine with md5."""
-    docs = _read(spark, sf_dir, "documents")
-    s = _shingles(docs)
+def _signatures_from_shingles(s: DataFrame) -> DataFrame:
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{k}:"), F.col("sh")))).alias(f"h{k}")
         for k in range(N_MINHASH)
     ]
     return s.groupBy(F.col("doc_id").cast("long").alias("doc_id")).agg(*aggs)
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc MinHash signature: h_k = min(md5('k:' || shingle)).
+    Lexicographic min over uniformly-distributed hex digests is a
+    proper MinHash; identical in any engine with md5."""
+    docs = _read(spark, sf_dir, "documents")
+    return _signatures_from_shingles(_shingles(docs))
 
 
 MINHASH_SIGNATURES_SQL = f"""
@@ -178,7 +184,12 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs sharing any band bucket are candidates. The self-join key is
     the (band_idx, band_hash) bucket — tiny expected buckets, the
     100 TB-safe join shape."""
-    sig = minhash_signatures(spark, sf_dir)
+    docs = _read(spark, sf_dir, "documents")
+    return _lsh_pairs_from_shingles(_shingles(docs))
+
+
+def _lsh_pairs_from_shingles(s: DataFrame) -> DataFrame:
+    sig = _signatures_from_shingles(s)
     bands = sig.select(
         "doc_id",
         F.explode(
