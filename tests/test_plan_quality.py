@@ -125,6 +125,22 @@ def test_asof_join_is_python_free(spark):
     assert "FlatMapGroupsInPandas" not in plan and "EvalPython" not in plan
 
 
+def test_no_cartesian_product_in_any_registered_query(spark):
+    """Registry-wide guard: no queries() entry may plan a
+    CartesianProduct, ever (BroadcastNestedLoopJoin is tolerated only
+    for single-row broadcast sides like cosine_topk's query vector).
+    This is the class of regression that stays correct at sf0.01 and
+    melts at 100 TB."""
+    import __spark_entry__ as entrymod
+
+    offenders = []
+    for name, fn in sorted(entrymod.queries().items()):
+        plan = _plan(fn(spark, SF))
+        if "CartesianProduct" in plan:
+            offenders.append(name)
+    assert offenders == []
+
+
 def test_aggregations_are_partial(spark):
     # map-side combine: two HashAggregate levels around the exchange
     plan = _plan(relational.pricing_summary(spark, SF))
