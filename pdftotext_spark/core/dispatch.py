@@ -12,6 +12,7 @@ from __future__ import annotations
 import base64
 import binascii
 import re
+import zlib
 
 from pdftotext_spark.core.document import (
     ExtractOptions,
@@ -50,6 +51,18 @@ def extract_payload(
             res = ExtractResult(kind="pdf-b64", decode_failures=1)
             res.failure_reasons.append("bad base64")
             return res
+        # gzip-wrapped payloads (e.g. WARC-style stored HTML) are
+        # transparently unwrapped before content routing
+        was_gzip = buf[:2] == b"\x1f\x8b"
+        if was_gzip:
+            import gzip
+
+            try:
+                buf = gzip.decompress(buf)
+            except (OSError, EOFError, zlib.error):
+                res = ExtractResult(kind="pdf-b64", decode_failures=1)
+                res.failure_reasons.append("bad gzip payload")
+                return res
         # route by decoded CONTENT: binary payloads may wrap HTML in a
         # non-UTF-8 charset (BOMs, UTF-16, cp1252, ...) just as well as
         # a PDF — charset-sniff a probe before deciding
@@ -62,6 +75,14 @@ def extract_payload(
                     decode_html_bytes(buf).lstrip("\ufeff")
                 )
                 res = ExtractResult(text=text, pages=[text], n_pages=1, kind="html")
+                res.page_offsets = [(0, max(len(text) - 1, 0))]
+                return res
+            if was_gzip:
+                # a valid gzip member that is neither PDF nor HTML was
+                # deliberately wrapped text — emit it as plain, not as
+                # a PDF decode failure
+                text = decode_html_bytes(buf).lstrip("\ufeff")
+                res = ExtractResult(text=text, pages=[text], n_pages=1, kind="plain")
                 res.page_offsets = [(0, max(len(text) - 1, 0))]
                 return res
         res = _extract_pdf(buf, options)

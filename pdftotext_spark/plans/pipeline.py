@@ -69,15 +69,35 @@ def session_confs() -> dict[str, str]:
     }
 
 
+TRANSCRIPT_DDL = (
+    "conv_id string, turn_idx int, role string, text string, "
+    "tool string, ts timestamp"
+)
+
+
 def read_transcripts(spark: SparkSession, path_or_table: str) -> DataFrame:
     """Load the transcripts input: Iceberg table name if the catalog
-    resolves it, else a parquet path (S1/S2 analog — the common
-    denominator in this sandbox, per SURVEY.md §7.1)."""
+    resolves it, else a path — parquet by default, with JSONL / CSV /
+    ORC picked by extension (S1/S2 analog, widened to the ingest
+    formats a collection pipeline actually lands: JSONL dumps and CSV
+    exports read with the explicit transcript schema — never inferred,
+    so malformed rows become nulls instead of schema drift)."""
     if "/" not in path_or_table:
         try:
             return spark.read.table(path_or_table)
         except Exception:
             pass
+    low = path_or_table.rstrip("/").lower()
+    if low.endswith((".jsonl", ".json", ".ndjson")):
+        return spark.read.schema(TRANSCRIPT_DDL).json(path_or_table)
+    if low.endswith((".csv", ".tsv")):
+        return spark.read.schema(TRANSCRIPT_DDL).option(
+            "header", "true"
+        ).option("sep", "\t" if low.endswith(".tsv") else ",").option(
+            "multiLine", "true"
+        ).option("escape", '"').csv(path_or_table)
+    if low.endswith(".orc"):
+        return spark.read.orc(path_or_table)
     return spark.read.parquet(path_or_table)
 
 

@@ -186,6 +186,38 @@ def test_charset_sniffing():
     assert sniff_charset(b'<meta charset="no-such-enc">caf\xc3\xa9') == "utf-8"
 
 
+def test_b64_gzip_payloads_routed_by_content():
+    import base64
+    import gzip
+
+    from pdftotext_spark.core.dispatch import B64_SENTINEL
+
+    def wrap(raw: bytes) -> str:
+        return B64_SENTINEL + base64.b64encode(gzip.compress(raw)).decode()
+
+    # gzip-wrapped HTML → html route
+    page_txt = "<html><body><p>" + ARTICLE + "</p></body></html>"
+    res = extract_payload(wrap(page_txt.encode("utf-8")))
+    assert res.kind == "html" and ARTICLE in res.text and res.decode_failures == 0
+    # gzip-wrapped PDF → pdf route
+    from pdftotext_spark.sources import pdfbuilder as pb
+
+    pdf = pb.simple_pdf([["gzip wrapped pdf body"]])
+    res = extract_payload(wrap(pdf))
+    assert res.kind == "pdf-b64" and res.text == "gzip wrapped pdf body"
+    # gzip-wrapped plain text → plain, not a decode failure
+    res = extract_payload(wrap("just some compressed text".encode("utf-8")))
+    assert res.kind == "plain"
+    assert res.text == "just some compressed text"
+    assert res.decode_failures == 0
+    # corrupt gzip stays a metric, never a raise
+    import base64 as b64mod
+
+    bad = B64_SENTINEL + b64mod.b64encode(b"\x1f\x8b\x08CORRUPT").decode()
+    res = extract_payload(bad)
+    assert res.decode_failures == 1 and "gzip" in res.failure_reasons[0]
+
+
 def test_b64_html_payload_routed_by_content():
     import base64
 

@@ -113,6 +113,91 @@ def test_resumed_run_manifest_counts_only_new_turns(spark, transcripts_dir, tmp_
     assert {"run_id", "partition_id"} <= set(out.columns)
 
 
+def test_read_transcripts_jsonl_and_csv_sources(spark, transcripts_dir, tmp_path):
+    """read_transcripts widens to JSONL/CSV ingest with the explicit
+    transcript schema; extraction output must match the parquet path
+    row-for-row. CSV is checked on plain/html rows only (multi-line
+    quoted PDF bytes survive, but base64 payloads are the realistic
+    CSV carrier and the generator already covers them via JSONL)."""
+    from pdftotext_spark.plans.pipeline import extract_turns, read_transcripts
+
+    pq = spark.read.parquet(f"{transcripts_dir}/transcripts.parquet")
+    jsonl = str(tmp_path / "t.jsonl")
+    pq.coalesce(1).write.json(jsonl)
+    got = read_transcripts(spark, jsonl)
+    assert got.schema["turn_idx"].dataType.simpleString() == "int"
+    base = {
+        (r.conv_id, r.turn_idx, r.extracted_text)
+        for r in extract_turns(pq).collect()
+    }
+    via_json = {
+        (r.conv_id, r.turn_idx, r.extracted_text)
+        for r in extract_turns(got).collect()
+    }
+    assert via_json == base
+
+    csv = str(tmp_path / "t.csv")
+    simple = pq.filter("tool IN ('plain', 'html')")
+    simple.coalesce(1).write.option("header", "true").option("escape", '"').csv(csv)
+    via_csv = {
+        (r.conv_id, r.turn_idx, r.extracted_text)
+        for r in extract_turns(read_transcripts(spark, csv)).collect()
+    }
+    assert via_csv == {
+        (r.conv_id, r.turn_idx, r.extracted_text)
+        for r in extract_turns(simple).collect()
+    }
+
+
+def test_streaming_dedup_across_microbatches(spark, tmp_path):
+    """dropDuplicatesWithinWatermark keeps one copy of a payload even
+    when the duplicate arrives in a later micro-batch."""
+    import os
+
+    import pandas as pd
+
+    from pdftotext_spark.streaming.dedup import dedup_stream
+    from pdftotext_spark.streaming.pipeline import read_transcript_stream
+
+    base = pd.Timestamp("2026-01-01", tz="UTC")
+
+    def frame(conv, texts, t0):
+        n = len(texts)
+        return pd.DataFrame(
+            {
+                "conv_id": [conv] * n,
+                "turn_idx": pd.array(range(n), dtype="int32"),
+                "role": ["user"] * n,
+                "text": texts,
+                "tool": ["plain"] * n,
+                "ts": pd.Series(
+                    [base + pd.Timedelta(seconds=t0 + i) for i in range(n)]
+                ).dt.as_unit("us"),
+            }
+        )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    frame("c1", ["dup payload", "unique one"], 0).to_parquet(src / "a.parquet")
+    frame("c2", ["dup payload", "unique two"], 10).to_parquet(src / "b.parquet")
+
+    stream = read_transcript_stream(spark, str(src), max_files_per_trigger=1)
+    out = str(tmp_path / "out")
+    (
+        dedup_stream(stream, watermark="1 hour")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    rows = spark.read.parquet(out).collect()
+    texts = sorted(r.text for r in rows)
+    assert texts == ["dup payload", "unique one", "unique two"]
+
+
 def test_cid_override_tables_reach_executors(spark, tmp_path):
     # F11: driver-registered CID tables must apply inside executor
     # processes — they travel inside the picklable ExtractOptions, not
