@@ -35,6 +35,36 @@ def test_bucketed_join_eliminates_exchange(spark, transcripts_dir, tmp_path):
         spark.sql("DROP TABLE IF EXISTS g_bucketed")
 
 
+def test_write_sized_scales_file_count(spark, tmp_path):
+    """Sized writes: halving the target file size ~doubles the file
+    count; partition_by lays out a pruning-friendly directory tree."""
+    from pdftotext_spark.plans.output import estimate_row_bytes, write_sized
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    est = estimate_row_bytes(docs)
+    assert est > 100  # documents carry real text
+
+    big = write_sized(docs, str(tmp_path / "big"), target_file_mb=1, mode="overwrite")
+    small = write_sized(
+        docs, str(tmp_path / "small"), target_file_mb=10, mode="overwrite"
+    )
+    assert big >= small >= 1
+    back = spark.read.parquet(str(tmp_path / "big"))
+    assert back.count() == docs.count()
+
+    n = write_sized(
+        docs.withColumn("lang_part", docs.lang),
+        str(tmp_path / "parts"),
+        target_file_mb=10,
+        partition_by=("lang_part",),
+        mode="overwrite",
+    )
+    assert n >= 1
+    dirs = {p.name for p in (tmp_path / "parts").iterdir() if p.is_dir()}
+    assert any(d.startswith("lang_part=") for d in dirs)
+    assert spark.read.parquet(str(tmp_path / "parts")).count() == docs.count()
+
+
 def test_salted_join_equals_plain_join(spark):
     """Hot-key salting must preserve join semantics exactly."""
     from pdftotext_spark.plans.skew import salted_join
