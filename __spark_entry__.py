@@ -78,6 +78,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cosine_topk": similarity.cosine_topk,
     "cosine_neardup_pairs": similarity.cosine_neardup_pairs,
     "embedding_bucket_stats": similarity.embedding_bucket_stats,
+    "srp_buckets": similarity.srp_buckets,
+    "srp_neardup_pairs": similarity.srp_neardup_pairs,
     # IVF ANN: iterative (KMeans) → no SQL oracle; driver records the
     # rows-only check. cosine_topk is its exact-recall baseline.
     "ivf_topk": similarity.ivf_topk,
@@ -125,6 +127,8 @@ _ORACLES: dict[str, str] = {
     "cosine_topk": similarity.COSINE_TOPK_SQL,
     "cosine_neardup_pairs": similarity.COSINE_NEARDUP_PAIRS_SQL,
     "embedding_bucket_stats": similarity.EMBEDDING_BUCKET_STATS_SQL,
+    "srp_buckets": similarity.SRP_BUCKETS_SQL,
+    "srp_neardup_pairs": similarity.SRP_NEARDUP_PAIRS_SQL,
     "lang_id": textstats.LANG_ID_SQL,
     "lang_id_confusion": textstats.LANG_ID_CONFUSION_SQL,
     "quality_score": textstats.QUALITY_SCORE_SQL,

@@ -181,6 +181,166 @@ def cosine_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SRP_PLANES = 16  # hyperplanes → 2^16 buckets
+SRP_DIM = 64  # embeddings table vector width
+SRP_COSINE_THRESHOLD = 0.30
+
+
+def _srp_plane(k: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane k: component d derives
+    from md5(f"{k}:{d}") mapped to [-0.5, 0.5). Both engines embed the
+    same literals, so the LSH is oracle-checkable — no RNG state."""
+    import hashlib
+
+    return [
+        int(hashlib.md5(f"{k}:{d}".encode()).hexdigest()[:8], 16) / 2**32 - 0.5
+        for d in range(SRP_DIM)
+    ]
+
+
+_SRP_PLANES_LITERALS = [_srp_plane(k) for k in range(SRP_PLANES)]
+
+
+def _srp_bucket_col() -> Column:
+    """16-bit signed-random-projection bucket id for the ``embedding``
+    column (Charikar, STOC 2002): bit k = sign(v · plane_k)."""
+    bits = []
+    for k, plane in enumerate(_SRP_PLANES_LITERALS):
+        arr = F.array(*[F.lit(x) for x in plane])
+        dot = _dot(F.col("embedding"), arr)
+        bits.append(F.when(dot > 0, F.lit(1 << k)).otherwise(F.lit(0)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out.cast("long")
+
+
+def srp_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector SRP-LSH bucket assignment — the embedding analog of
+    :func:`pdftotext_spark.operators.dedup.minhash_lsh_pairs`' banding:
+    similar vectors (small angle) agree on most hyperplane signs, so
+    they collide in the 2^16-bucket space."""
+    emb = _read(spark, sf_dir, "embeddings")
+    return emb.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        _srp_bucket_col().alias("srp_bucket"),
+    )
+
+
+SRP_BANDS = 4
+_SRP_BAND_BITS = SRP_PLANES // SRP_BANDS  # 4 bits per band
+
+
+def srp_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed embedding near-dup pairs, *banded* multi-table
+    SRP (Charikar hyperplane LSH): the 16 sign bits split into 4
+    bands; vectors colliding in ANY band are candidates, and only
+    candidates pay the exact cosine. Unlike :func:`cosine_neardup_pairs`
+    this needs no pre-assigned coarse label — the scale path when no
+    clustering exists yet. Recall for cosine≈0.3 pairs is ~0.4 by the
+    (1-θ/π)^bits band-collision formula — at 100 TB you'd widen to
+    more/bigger bands per the usual LSH tuning."""
+    emb = (
+        _read(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .withColumn("nrm", _norm(F.col("embedding")))
+        .withColumn("srp", _srp_bucket_col())
+    )
+    banded = emb.select(
+        "vec_id",
+        "embedding",
+        "nrm",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        F.shiftright("srp", i * _SRP_BAND_BITS)
+                        .bitwiseAND(F.lit((1 << _SRP_BAND_BITS) - 1))
+                        .alias("band_bits"),
+                    )
+                    for i in range(SRP_BANDS)
+                ]
+            )
+        ).alias("b"),
+    ).select("vec_id", "embedding", "nrm", "b.band_idx", "b.band_bits")
+    a = banded.select(
+        "band_idx", "band_bits",
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("emb_a"),
+        F.col("nrm").alias("nrm_a"),
+    )
+    b = banded.select(
+        "band_idx", "band_bits",
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("nrm").alias("nrm_b"),
+    )
+    cos = _dot(F.col("emb_a"), F.col("emb_b")) / (F.col("nrm_a") * F.col("nrm_b"))
+    return (
+        a.join(b, ["band_idx", "band_bits"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            F.col("id_a").alias("vec_a"),
+            F.col("id_b").alias("vec_b"),
+            F.round(cos, 4).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= SRP_COSINE_THRESHOLD)
+        # a pair may collide in several bands — emit once
+        .groupBy("vec_a", "vec_b")
+        .agg(F.first("cosine").alias("cosine"))
+    )
+
+
+def _plane_sql(plane: list[float]) -> str:
+    return "[" + ", ".join(repr(x) for x in plane) + "]"
+
+
+_SRP_BUCKET_SQL = " + ".join(
+    f"(CASE WHEN list_sum(list_transform(list_zip(embedding, {_plane_sql(p)}), "
+    f"x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) > 0 THEN {1 << k} ELSE 0 END)"
+    for k, p in enumerate(_SRP_PLANES_LITERALS)
+)
+
+SRP_BUCKETS_SQL = f"""
+SELECT CAST(vec_id AS BIGINT) AS vec_id,
+       CAST({_SRP_BUCKET_SQL} AS BIGINT) AS srp_bucket
+FROM embeddings
+"""
+
+_SRP_BANDS_SQL = " UNION ALL ".join(
+    f"SELECT vec_id, embedding, {i} AS band_idx, "
+    f"(srp // {1 << (i * _SRP_BAND_BITS)}) % {1 << _SRP_BAND_BITS} AS band_bits FROM sig"
+    for i in range(SRP_BANDS)
+)
+
+SRP_NEARDUP_PAIRS_SQL = f"""
+WITH sig AS (
+  SELECT CAST(vec_id AS BIGINT) AS vec_id, embedding,
+         CAST({_SRP_BUCKET_SQL} AS BIGINT) AS srp
+  FROM embeddings
+),
+bands AS ({_SRP_BANDS_SQL}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         a.embedding AS emb_a, b.embedding AS emb_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_bits = b.band_bits
+   AND a.vec_id < b.vec_id
+)
+SELECT * FROM (
+  SELECT vec_a, vec_b,
+         ROUND(
+           list_sum(list_transform(list_zip(emb_a, emb_b),
+                                   x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+           / (sqrt(list_sum(list_transform(emb_a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+              * sqrt(list_sum(list_transform(emb_b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+           4) AS cosine
+  FROM cand
+) WHERE cosine >= {SRP_COSINE_THRESHOLD}
+"""
+
+
 def embedding_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label bucket-size histogram for the near-dup self-join —
     the skew instrumentation the chunked join is sized from (a bucket
