@@ -80,6 +80,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_bucket_stats": similarity.embedding_bucket_stats,
     "srp_buckets": similarity.srp_buckets,
     "srp_neardup_pairs": similarity.srp_neardup_pairs,
+    "embedding_health": similarity.embedding_health,
     # IVF ANN: iterative (KMeans) → no SQL oracle; driver records the
     # rows-only check. cosine_topk is its exact-recall baseline.
     "ivf_topk": similarity.ivf_topk,
@@ -89,6 +90,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_score": textstats.quality_score,
     "quality_filter_by_source": textstats.quality_filter_by_source,
     "token_count_by_source": textstats.token_count_by_source,
+    "doc_length_profile": textstats.doc_length_profile,
     "doc_fingerprint": textstats.doc_fingerprint,
 }
 
@@ -129,11 +131,13 @@ _ORACLES: dict[str, str] = {
     "embedding_bucket_stats": similarity.EMBEDDING_BUCKET_STATS_SQL,
     "srp_buckets": similarity.SRP_BUCKETS_SQL,
     "srp_neardup_pairs": similarity.SRP_NEARDUP_PAIRS_SQL,
+    "embedding_health": similarity.EMBEDDING_HEALTH_SQL,
     "lang_id": textstats.LANG_ID_SQL,
     "lang_id_confusion": textstats.LANG_ID_CONFUSION_SQL,
     "quality_score": textstats.QUALITY_SCORE_SQL,
     "quality_filter_by_source": textstats.QUALITY_FILTER_BY_SOURCE_SQL,
     "token_count_by_source": textstats.TOKEN_COUNT_BY_SOURCE_SQL,
+    "doc_length_profile": textstats.DOC_LENGTH_PROFILE_SQL,
     "doc_fingerprint": textstats.DOC_FINGERPRINT_SQL,
 }
 

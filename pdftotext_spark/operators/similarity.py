@@ -341,6 +341,41 @@ SELECT * FROM (
 """
 
 
+def embedding_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-column data-quality rollup: vector-dimension
+    consistency, NaN components, zero-norm (dead) vectors, norm
+    spread — the sanity dashboard run before any ANN build trusts an
+    embedding table."""
+    emb = _read(spark, sf_dir, "embeddings")
+    dim = F.size("embedding")
+    has_nan = F.exists("embedding", lambda x: F.isnan(x.cast("double")))
+    nrm = _norm(F.col("embedding"))
+    return emb.groupBy(dim.alias("dim")).agg(
+        F.count("*").cast("long").alias("n_vectors"),
+        F.sum(has_nan.cast("long")).cast("long").alias("n_with_nan"),
+        F.sum((nrm == 0.0).cast("long")).cast("long").alias("n_zero_norm"),
+        F.round(F.min(nrm), 4).alias("min_norm"),
+        F.round(F.max(nrm), 4).alias("max_norm"),
+    )
+
+
+EMBEDDING_HEALTH_SQL = """
+WITH h AS (
+  SELECT len(embedding) AS dim,
+         CAST(list_count(list_filter(embedding, x -> isnan(CAST(x AS DOUBLE)))) > 0 AS INT) AS has_nan,
+         sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+  FROM embeddings
+)
+SELECT dim,
+       CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       CAST(SUM(has_nan) AS BIGINT) AS n_with_nan,
+       CAST(SUM(CASE WHEN nrm = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_norm,
+       ROUND(MIN(nrm), 4) AS min_norm,
+       ROUND(MAX(nrm), 4) AS max_norm
+FROM h GROUP BY dim
+"""
+
+
 def embedding_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label bucket-size histogram for the near-dup self-join —
     the skew instrumentation the chunked join is sized from (a bucket

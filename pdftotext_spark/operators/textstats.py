@@ -202,6 +202,33 @@ FROM documents GROUP BY source
 """
 
 
+def doc_length_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document-length percentiles (p50/p90/p99 of chars)
+    — the distribution profile that sizes chunking/windowing decisions
+    downstream. Spark ``percentile`` ≡ DuckDB ``quantile_cont``
+    (same linear interpolation), proven by median_value_by_type."""
+    docs = _read(spark, sf_dir, "documents")
+    n = F.length("text").cast("double")
+    return docs.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.round(F.expr("percentile(length(text), 0.5)"), 2).alias("p50_chars"),
+        F.round(F.expr("percentile(length(text), 0.9)"), 2).alias("p90_chars"),
+        F.round(F.expr("percentile(length(text), 0.99)"), 2).alias("p99_chars"),
+        F.max(n).cast("long").alias("max_chars"),
+    )
+
+
+DOC_LENGTH_PROFILE_SQL = """
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(quantile_cont(length(text), 0.5), 2) AS p50_chars,
+       ROUND(quantile_cont(length(text), 0.9), 2) AS p90_chars,
+       ROUND(quantile_cont(length(text), 0.99), 2) AS p99_chars,
+       CAST(MAX(length(text)) AS BIGINT) AS max_chars
+FROM documents GROUP BY source
+"""
+
+
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Normalized content fingerprint (lowercase, alnum+space only →
     md5): the canonical pre-dedup digest."""
