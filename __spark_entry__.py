@@ -21,6 +21,7 @@ from pdftotext_spark.operators import (  # noqa: E402
     extraction_queries,
     relational,
     similarity,
+    sketches,
     temporal,
     textstats,
 )
@@ -91,6 +92,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_filter_by_source": textstats.quality_filter_by_source,
     "token_count_by_source": textstats.token_count_by_source,
     "doc_length_profile": textstats.doc_length_profile,
+    # frequency sketches (constant-key-space vocabulary accounting)
+    "token_cms": sketches.token_cms,
+    "heavy_hitters_exact": sketches.heavy_hitters_exact,
     "doc_fingerprint": textstats.doc_fingerprint,
 }
 
@@ -138,6 +142,8 @@ _ORACLES: dict[str, str] = {
     "quality_filter_by_source": textstats.QUALITY_FILTER_BY_SOURCE_SQL,
     "token_count_by_source": textstats.TOKEN_COUNT_BY_SOURCE_SQL,
     "doc_length_profile": textstats.DOC_LENGTH_PROFILE_SQL,
+    "token_cms": sketches.TOKEN_CMS_SQL,
+    "heavy_hitters_exact": sketches.HEAVY_HITTERS_EXACT_SQL,
     "doc_fingerprint": textstats.DOC_FINGERPRINT_SQL,
 }
 
