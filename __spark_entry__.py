@@ -82,6 +82,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "srp_buckets": similarity.srp_buckets,
     "srp_neardup_pairs": similarity.srp_neardup_pairs,
     "embedding_health": similarity.embedding_health,
+    "ann_topk_srp": similarity.ann_topk_srp,
     # IVF ANN: iterative (KMeans) → no SQL oracle; driver records the
     # rows-only check. cosine_topk is its exact-recall baseline.
     "ivf_topk": similarity.ivf_topk,
@@ -136,6 +137,7 @@ _ORACLES: dict[str, str] = {
     "srp_buckets": similarity.SRP_BUCKETS_SQL,
     "srp_neardup_pairs": similarity.SRP_NEARDUP_PAIRS_SQL,
     "embedding_health": similarity.EMBEDDING_HEALTH_SQL,
+    "ann_topk_srp": similarity.ANN_TOPK_SRP_SQL,
     "lang_id": textstats.LANG_ID_SQL,
     "lang_id_confusion": textstats.LANG_ID_CONFUSION_SQL,
     "quality_score": textstats.QUALITY_SCORE_SQL,

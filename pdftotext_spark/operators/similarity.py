@@ -341,6 +341,94 @@ SELECT * FROM (
 """
 
 
+def ann_topk_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate nearest neighbours with a *deterministic* coarse
+    quantizer: the inverted lists are the SRP band buckets
+    (:func:`srp_buckets`), the query probes every band it lands in,
+    and only probed candidates pay the exact cosine — the IVF search
+    shape with zero iterative training, so unlike the KMeans
+    :func:`ivf_topk` this one is fully SQL-expressible and the driver
+    value-checks it end to end. Recall vs the exact
+    :func:`cosine_topk` is pinned in tests."""
+    emb = _read(spark, sf_dir, "embeddings").withColumn("srp", _srp_bucket_col())
+    banded = emb.select(
+        "vec_id",
+        "embedding",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        F.shiftright("srp", i * _SRP_BAND_BITS)
+                        .bitwiseAND(F.lit((1 << _SRP_BAND_BITS) - 1))
+                        .alias("band_bits"),
+                    )
+                    for i in range(SRP_BANDS)
+                ]
+            )
+        ).alias("b"),
+    ).select("vec_id", "embedding", "b.band_idx", "b.band_bits")
+    q = banded.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("band_idx").alias("q_band_idx"),
+        F.col("band_bits").alias("q_band_bits"),
+        F.col("embedding").alias("q_embedding"),
+    )
+    cand = (
+        banded.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .join(
+            F.broadcast(q),
+            (F.col("band_idx") == F.col("q_band_idx"))
+            & (F.col("band_bits") == F.col("q_band_bits")),
+        )
+        .select("vec_id", "embedding", "q_embedding")
+        .dropDuplicates(["vec_id"])
+    )
+    cos = _dot(F.col("embedding"), F.col("q_embedding")) / (
+        _norm(F.col("embedding")) * _norm(F.col("q_embedding"))
+    )
+    return (
+        cand.select(
+            F.col("vec_id").cast("long").alias("vec_id"),
+            F.round(cos, 4).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(TOP_K)
+    )
+
+
+ANN_TOPK_SRP_SQL = f"""
+WITH sig AS (
+  SELECT CAST(vec_id AS BIGINT) AS vec_id, embedding,
+         CAST({{bucket}} AS BIGINT) AS srp
+  FROM embeddings
+),
+bands AS ({{bands}}),
+q AS (SELECT band_idx, band_bits, embedding AS q_embedding
+      FROM bands WHERE vec_id = {QUERY_VEC_ID}),
+cand AS (
+  SELECT DISTINCT ON (b.vec_id) b.vec_id, b.embedding, q.q_embedding
+  FROM bands b JOIN q
+    ON b.band_idx = q.band_idx AND b.band_bits = q.band_bits
+  WHERE b.vec_id <> {QUERY_VEC_ID}
+)
+SELECT CAST(vec_id AS BIGINT) AS vec_id,
+       ROUND(
+         list_sum(list_transform(list_zip(embedding, q_embedding),
+                                 x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+            * sqrt(list_sum(list_transform(q_embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+         4) AS cosine
+FROM cand
+ORDER BY cosine DESC, vec_id ASC
+LIMIT {TOP_K}
+"""
+
+# resolve the bucket/band fragments (defined above with the SRP pair SQL)
+ANN_TOPK_SRP_SQL = ANN_TOPK_SRP_SQL.format(
+    bucket=_SRP_BUCKET_SQL, bands=_SRP_BANDS_SQL
+)
+
+
 def embedding_health(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-column data-quality rollup: vector-dimension
     consistency, NaN components, zero-norm (dead) vectors, norm

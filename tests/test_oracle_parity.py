@@ -89,6 +89,22 @@ def test_entry_smoke(spark):
         assert r["n_roundtrip_equal"] == r["n_docs"]
 
 
+def test_ann_topk_srp_recall_vs_bruteforce(spark):
+    """SRP-bucketed ANN judged against the exact top-k (it also has a
+    full value-checking oracle; this pins search QUALITY, which the
+    oracle can't): band probing on near-orthogonal random vectors is
+    recall-limited by the 4×4-bit collision probability, so require a
+    nonzero overlap and correct ordering rather than high recall."""
+    from pdftotext_spark.operators import similarity
+
+    exact = [r.vec_id for r in similarity.cosine_topk(spark, SF_DIR).collect()]
+    approx = similarity.ann_topk_srp(spark, SF_DIR).collect()
+    assert len(approx) == 10
+    sims = [r.cosine for r in approx]
+    assert sims == sorted(sims, reverse=True)
+    assert len(set(exact) & {r.vec_id for r in approx}) >= 1
+
+
 def test_ivf_topk_recall_vs_bruteforce(spark):
     """IVF (no oracle — iterative) judged against the exact top-k:
     with 8 clusters / 2 probes on 500 vecs, recall@10 must be
