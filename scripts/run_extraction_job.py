@@ -41,32 +41,54 @@ def main() -> None:
 
     from pyspark.sql import SparkSession
 
-    from pdftotext_spark.plans.pipeline import (
-        extract_turns,
-        metrics_manifest,
-        read_transcripts,
-        resume_anti_join,
-        session_confs,
-    )
+    from pdftotext_spark.plans.pipeline import run_extraction, session_confs
 
     builder = SparkSession.builder.appName("pdftotext-spark-extract")
     for k, v in session_confs().items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
 
-    transcripts = read_transcripts(spark, args.input)
-    if not args.no_resume:
-        try:
-            committed = spark.read.parquet(args.output)
-            transcripts = resume_anti_join(transcripts, committed)
-        except Exception:
-            pass  # first run: nothing committed yet
-    extracted = extract_turns(transcripts, n_partitions=args.repartition)
-    extracted.write.mode("append").parquet(args.output)
-    if args.metrics:
-        committed_now = spark.read.parquet(args.output)
-        metrics_manifest(committed_now, args.run_id).write.mode("append").parquet(
-            args.metrics
+    if args.repartition is not None:
+        # pathological layouts only: route through the salted variant
+        from pdftotext_spark.plans.pipeline import (
+            extract_turns,
+            metrics_manifest,
+            read_transcripts,
+            resume_anti_join,
+        )
+        from pyspark.sql import functions as F
+
+        transcripts = read_transcripts(spark, args.input)
+        if not args.no_resume:
+            try:
+                committed = spark.read.parquet(args.output)
+                transcripts = resume_anti_join(transcripts, committed)
+            except Exception:
+                pass  # first run: nothing committed yet
+        extracted = (
+            extract_turns(transcripts, n_partitions=args.repartition)
+            .withColumn("partition_id", F.spark_partition_id())
+            .withColumn("run_id", F.lit(args.run_id))
+        )
+        extracted.write.mode("append").parquet(args.output)
+        if args.metrics:
+            increment = (
+                spark.read.parquet(args.output)
+                .filter(F.col("run_id") == args.run_id)
+                .drop("run_id")
+            )
+            metrics_manifest(increment, args.run_id).write.mode("append").parquet(
+                args.metrics
+            )
+    else:
+        # the library pipeline owns lineage stamping + manifest scoping
+        run_extraction(
+            spark,
+            args.input,
+            output_path=args.output,
+            metrics_path=args.metrics,
+            run_id=args.run_id,
+            resume=not args.no_resume,
         )
     spark.stop()
 

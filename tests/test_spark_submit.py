@@ -66,3 +66,71 @@ def test_spark_submit_py_files(tmp_path):
         f"SELECT SUM(turns_parsed) FROM read_parquet('{tmp_path}/metrics/*.parquet')"
     ).fetchone()[0]
     assert m == 150
+
+
+def test_spark_submit_dedup_job(tmp_path):
+    """The dedup job end-to-end through spark-submit: exact dups
+    collapse, near-dup groups keep exactly the min-id member."""
+    import json
+
+    import pandas as pd
+
+    from pdftotext_spark.sources.shipping import build_package_zip
+
+    # corpus: 2 exact copies + 2 near-dups (long shared prefix) + distinct
+    base = "the quick brown fox jumps over the lazy dog " * 12
+    docs = pd.DataFrame(
+        {
+            "doc_id": pd.array(range(6), dtype="int64"),
+            "text": [
+                base,
+                base,  # exact dup of 0
+                base + "tail variation one",  # near-dup of 0
+                "completely different content about spark pipelines " * 10,
+                "another unrelated document body with its own words " * 10,
+                base + "tail variation two",  # near-dup of 0
+            ],
+            "lang": ["en"] * 6,
+            "source": ["s"] * 6,
+            "n_chars": pd.array([len(base)] * 6, dtype="int64"),
+        }
+    )
+    indir = tmp_path / "in"
+    indir.mkdir()
+    docs.to_parquet(indir / "documents.parquet")
+    zip_path = build_package_zip(str(tmp_path))
+    out = tmp_path / "survivors"
+    proc = subprocess.run(
+        [
+            SPARK_SUBMIT,
+            "--master",
+            "local[8]",
+            "--py-files",
+            zip_path,
+            "--conf",
+            "spark.ui.enabled=false",
+            str(REPO / "scripts" / "run_dedup_job.py"),
+            "--input",
+            str(indir),
+            "--output",
+            str(out),
+            "--groups",
+            str(tmp_path / "groups"),
+        ],
+        capture_output=True,
+        text=True,
+        timeout=480,
+        cwd=str(tmp_path),
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    report = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert report["docs_in"] == 6
+    survivors = sorted(
+        r[0] for r in duckdb.sql(f"SELECT doc_id FROM read_parquet('{out}/*.parquet')").fetchall()
+    )
+    # doc 1 (exact dup) and docs 2/5 (near-dups of 0) collapse onto 0
+    assert survivors == [0, 3, 4]
+    groups = duckdb.sql(
+        f"SELECT doc_id, group_id FROM read_parquet('{tmp_path}/groups/*.parquet') ORDER BY doc_id"
+    ).fetchall()
+    assert all(g == 0 for _, g in groups)  # one component, min-id 0
