@@ -108,6 +108,7 @@ class ExtractResult:
     page_offsets: list[tuple[int, int]] = field(default_factory=list)
     fragments: list[Fragment] = field(default_factory=list)
     image_bytes: list[bytes] = field(default_factory=list)
+    image_dicts: list[bytes] = field(default_factory=list)  # parallel metadata
     failure_reasons: list[str] = field(default_factory=list)
     # M5 statistics (populated when options.enhanced_statistics):
     # text_size/optimized_text_size + per-operator-family counters
@@ -163,6 +164,7 @@ def extract_document(buf: bytes, options: ExtractOptions | None = None) -> Extra
             if opts.want_images and obj.stream is not None:
                 try:
                     res.image_bytes.append(filters.decode_stream(body, obj.stream))
+                    res.image_dicts.append(body)
                 except filters.DecodeError:
                     res.decode_failures += 1
                     res.failure_reasons.append(f"image {oid}")

@@ -33,9 +33,13 @@ IMAGE_SCHEMA = T.StructType(
         T.StructField("turn_idx", T.IntegerType()),
         T.StructField("image_idx", T.IntegerType()),
         T.StructField("data", T.BinaryType()),
+        T.StructField("meta", T.BinaryType()),  # image object dict
         T.StructField("format", T.StringType()),
         T.StructField("n_bytes", T.LongType()),
         T.StructField("sha256", T.StringType()),
+        # 64-bit perceptual average-hash for decodable rasters (None
+        # for codec formats this container cannot decode)
+        T.StructField("phash", T.LongType()),
     ]
 )
 
@@ -106,6 +110,33 @@ def decode_raster(dict_part: bytes, data: bytes):
     return h, w, rgb
 
 
+def ahash64(rgb) -> int:
+    """64-bit perceptual *average hash*: grayscale → 8×8 block means →
+    bit i set iff cell i is brighter than the global cell mean. The
+    classic cheap near-dup fingerprint (robust to small pixel noise,
+    re-encoding and minor resizes); pure numpy — no codec needed, so
+    it runs on every raster :func:`decode_raster` handles."""
+    import numpy as np
+
+    gray = rgb.astype(np.float64).mean(axis=2)
+    h, w = gray.shape
+    yb = np.linspace(0, h, 9).astype(int)
+    xb = np.linspace(0, w, 9).astype(int)
+    cells = np.empty((8, 8))
+    for i in range(8):
+        y0, y1 = yb[i], max(yb[i + 1], yb[i] + 1)
+        for j in range(8):
+            x0, x1 = xb[j], max(xb[j + 1], xb[j] + 1)
+            cells[i, j] = gray[min(y0, h - 1) : min(y1, h), min(x0, w - 1) : min(x1, w)].mean()
+    bits = (cells > cells.mean()).flatten()
+    val = 0
+    for k, b in enumerate(bits):
+        if b:
+            val |= 1 << k
+    # keep within signed 64 for Spark LongType
+    return val - (1 << 64) if val >= (1 << 63) else val
+
+
 def sniff_format(data: bytes) -> str:
     if data[:3] == b"\xff\xd8\xff":
         return "jpeg"
@@ -131,13 +162,20 @@ def carve_images_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFra
         ):
             res = extract_payload(payload or "", opts)
             for i, data in enumerate(res.image_bytes):
+                meta = res.image_dicts[i] if i < len(res.image_dicts) else b""
+                phash = None
+                decoded = decode_raster(meta, data) if meta else None
+                if decoded is not None:
+                    phash = ahash64(decoded[2])
                 rows["conv_id"].append(conv_id)
                 rows["turn_idx"].append(int(turn_idx))
                 rows["image_idx"].append(i)
                 rows["data"].append(data)
+                rows["meta"].append(meta)
                 rows["format"].append(sniff_format(data))
                 rows["n_bytes"].append(len(data))
                 rows["sha256"].append(hashlib.sha256(data).hexdigest())
+                rows["phash"].append(phash)
         yield pd.DataFrame(rows)
 
 
@@ -199,4 +237,20 @@ def exact_image_dedup(images: DataFrame) -> DataFrame:
     return images.groupBy("sha256", "format").agg(
         F.count("*").cast("long").alias("n_copies"),
         F.min("n_bytes").cast("long").alias("n_bytes"),
+    )
+
+
+def perceptual_image_dedup(images: DataFrame) -> DataFrame:
+    """Near-duplicate image groups on the 64-bit average hash: images
+    that differ by re-encoding or pixel noise share a phash even when
+    their sha256 differs. One hash-groupBy — the same scale shape as
+    exact dedup, since the perceptual work happened row-local during
+    carving."""
+    return (
+        images.filter(F.col("phash").isNotNull())
+        .groupBy("phash")
+        .agg(
+            F.count("*").cast("long").alias("n_copies"),
+            F.countDistinct("sha256").cast("long").alias("n_distinct_bytes"),
+        )
     )

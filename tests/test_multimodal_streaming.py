@@ -103,6 +103,60 @@ def test_streaming_checkpoint_no_reprocess(spark, transcripts_dir, tmp_path):
 # ------------------------------------------------------ M4 raster decode
 
 
+def test_ahash_noise_invariance_and_discrimination():
+    import numpy as np
+
+    from pdftotext_spark.operators.multimodal import ahash64
+
+    # structured 32x32 image: left half dark, right half bright
+    base = np.zeros((32, 32, 3), dtype=np.uint8)
+    base[:, 16:, :] = 200
+    noisy = base.copy()
+    rng = np.random.RandomState(7)
+    idx = rng.randint(0, 32, size=(20, 2))
+    for y, x in idx:
+        noisy[y, x] = np.clip(noisy[y, x].astype(int) + rng.randint(-3, 4), 0, 255)
+    assert ahash64(base) == ahash64(noisy)  # noise-invariant
+    flipped = base[:, ::-1, :].copy()
+    assert ahash64(base) != ahash64(flipped)  # structure-sensitive
+    # signed-64 containment for Spark LongType
+    assert -(1 << 63) <= ahash64(base) < (1 << 63)
+
+
+def test_carve_images_phash_and_perceptual_dedup(spark):
+    import base64
+
+    import pandas as pd
+
+    from pdftotext_spark.operators.multimodal import (
+        carve_images,
+        perceptual_image_dedup,
+    )
+
+    # two different-bytes rasters decode to different structures →
+    # different phash; same raster twice → one perceptual group
+    pdf_a, _, _ = pb.raster_pdf(16, 16, "DeviceRGB")
+    pdf_b, _, _ = pb.raster_pdf(16, 16, "DeviceGray")
+    payloads = [
+        "%B64%" + base64.b64encode(p).decode() for p in (pdf_a, pdf_a, pdf_b)
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "conv_id": ["c"] * 3,
+                "turn_idx": pd.array(range(3), dtype="int32"),
+                "text": payloads,
+            }
+        )
+    )
+    images = carve_images(df)
+    rows = images.collect()
+    assert len(rows) == 3 and all(r.phash is not None for r in rows)
+    groups = {r.phash: r.n_copies for r in perceptual_image_dedup(images).collect()}
+    assert sorted(groups.values()) in ([1, 2], [3])  # dup pdf_a collapses
+    assert max(groups.values()) >= 2
+
+
 def test_raster_rgb_roundtrip():
     import numpy as np
 
