@@ -103,6 +103,49 @@ def test_streaming_checkpoint_no_reprocess(spark, transcripts_dir, tmp_path):
 # ------------------------------------------------------ M4 raster decode
 
 
+def test_media_frame_sample_and_audio_windows(spark):
+    """Audio/video plumbing: binary columns fan out to frame/window
+    rows through mapInPandas; sha-dedup collapses identical payloads
+    before decode; every_n thins the sample; strict mode raises."""
+    import pandas as pd
+    import pytest as _pytest
+
+    from pdftotext_spark.operators import media as M
+
+    rows = pd.DataFrame(
+        {
+            "media_id": pd.array([1, 2, 3, 4], dtype="int64"),
+            "kind": ["video", "video", "audio", "video"],
+            "data": [b"v" * 4096, b"v" * 4096, b"a" * 2500, b"w" * 1024],
+        }
+    )
+    rows["sha256"] = [__import__("hashlib").sha256(d).hexdigest() for d in rows["data"]]
+    rows["n_bytes"] = pd.array([len(d) for d in rows["data"]], dtype="int64")
+    df = spark.createDataFrame(rows)
+
+    frames = M.frame_sample(df).collect()
+    # media 1/2 share bytes → decoded once (5 frames); media 4 → 2
+    assert len(frames) == 5 + 2
+    assert {len(f.feature) for f in frames} == {M.FRAME_FEATURE_DIM}
+    thinned = M.frame_sample(df, every_n=2).collect()
+    assert 0 < len(thinned) < len(frames)
+    # deterministic across runs
+    again = M.frame_sample(df).collect()
+    assert {(f.media_id, f.frame_idx, tuple(f.feature)) for f in frames} == {
+        (f.media_id, f.frame_idx, tuple(f.feature)) for f in again
+    }
+
+    windows = M.audio_windows(df).collect()
+    assert len(windows) == 3  # 2500 bytes → 3 windows
+    assert all(0.0 <= w.rms <= 1.0 for w in windows)
+    assert sorted(w.start_ms for w in windows) == [0, 1000, 2000]
+
+    with _pytest.raises(NotImplementedError):
+        M.decode_video_frames(b"x", strict=True)
+    with _pytest.raises(NotImplementedError):
+        M.decode_audio_windows(b"x", strict=True)
+
+
 def test_ahash_noise_invariance_and_discrimination():
     import numpy as np
 
