@@ -35,6 +35,49 @@ def test_pdf_prefixed_garbage_never_raises(payload):
 
 @settings(derandomize=True, max_examples=100, deadline=None)
 @given(BYTES)
+def test_b64_wrapped_bytes_never_raise(data):
+    # arbitrary binary behind the sentinel exercises the gzip sniff,
+    # charset probe and content routing added in round 2
+    import base64
+
+    res = extract_payload("%B64%" + base64.b64encode(data).decode())
+    assert isinstance(res.text, str)
+    assert res.kind in ("pdf", "pdf-b64", "html", "plain")
+
+
+@settings(derandomize=True, max_examples=100, deadline=None)
+@given(BYTES)
+def test_b64_gzip_wrapped_bytes_never_raise(data):
+    import base64
+    import gzip
+
+    res = extract_payload("%B64%" + base64.b64encode(gzip.compress(data)).decode())
+    assert isinstance(res.text, str)
+    assert res.decode_failures >= 0
+
+
+@settings(derandomize=True, max_examples=150, deadline=None)
+@given(BYTES)
+def test_charset_sniff_never_raises(raw):
+    from pdftotext_spark.html import decode_html_bytes, sniff_charset
+
+    enc = sniff_charset(raw)
+    assert isinstance(enc, str)
+    assert isinstance(decode_html_bytes(raw), str)
+
+
+@settings(derandomize=True, max_examples=100, deadline=None)
+@given(st.integers(min_value=0, max_value=0x2FFFF), st.text(max_size=40))
+def test_cid_lookup_never_raises(code, variant):
+    from pdftotext_spark.core.cidmaps import lookup_cid_map, variant_candidates
+
+    m = lookup_cid_map(variant or None)
+    assert isinstance(m.lookup(code), str)
+    assert isinstance(variant_candidates(variant), list)
+
+
+@settings(derandomize=True, max_examples=100, deadline=None)
+@given(BYTES)
 def test_lzw_roundtrip_property(data):
     assert filters.lzw_decode(_lzw_encode(data)) == data
 
