@@ -404,6 +404,9 @@ def dedup_groups(pairs: DataFrame, max_iterations: int = 10) -> DataFrame:
             )
         )
         updated = updated.localCheckpoint()  # cut the growing lineage
+        # (measured dead end: probing only every 2nd round saved no
+        # wall time — the per-round joins+checkpoint dominate, not the
+        # bounded limit(1).count() probe)
         changed = (
             updated.alias("u")
             .join(labels.alias("l"), "doc_id")
