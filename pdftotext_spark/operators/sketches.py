@@ -53,17 +53,23 @@ def token_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``(row_idx, bucket, cnt)``. Point estimate for a token =
     min over rows of its counter."""
     toks = _tokens(spark, sf_dir)
-    per_row = [
-        toks.select(
-            F.lit(r).alias("row_idx"),
-            F.expr(_bucket_expr(r)).cast("long").alias("bucket"),
-        )
-        for r in range(CMS_DEPTH)
-    ]
-    all_rows = per_row[0]
-    for p in per_row[1:]:
-        all_rows = all_rows.unionAll(p)
-    return all_rows.groupBy("row_idx", "bucket").agg(
+    # ONE token scan: each token explodes into its depth × (row,
+    # bucket) assignments (a union of per-row scans would read and
+    # shingle the corpus depth times)
+    assigned = toks.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("row_idx"),
+                        F.expr(_bucket_expr(r)).cast("long").alias("bucket"),
+                    )
+                    for r in range(CMS_DEPTH)
+                ]
+            )
+        ).alias("rb")
+    ).select("rb.row_idx", "rb.bucket")
+    return assigned.groupBy("row_idx", "bucket").agg(
         F.count("*").cast("long").alias("cnt")
     )
 
