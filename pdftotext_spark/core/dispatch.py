@@ -23,7 +23,9 @@ from pdftotext_spark.core.objects import NotAPdfError
 from pdftotext_spark.html import extract_main_content
 
 B64_SENTINEL = "%B64%"
-_HTML_RE = re.compile(r"^\s*(?:<!doctype\s+html|<html\b|<head\b|<body\b)", re.I)
+# \\ufeff: string payloads may arrive BOM-prefixed (decoded upstream
+# from utf-8-sig without stripping)
+_HTML_RE = re.compile(r"^[\s\ufeff]*(?:<!doctype\s+html|<html\b|<head\b|<body\b)", re.I)
 _HTML_LOOSE_RE = re.compile(r"<(p|div|section|article|h[1-6]|a|span)\b", re.I)
 
 

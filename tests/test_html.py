@@ -59,6 +59,13 @@ def test_deterministic():
     assert extract_main_content(p) == extract_main_content(p)
 
 
+def test_bom_prefixed_html_string_routes_as_html():
+    p = "\ufeff" + page([ARTICLE])
+    assert sniff_kind(p) == "html"
+    res = extract_payload(p)
+    assert res.kind == "html" and ARTICLE in res.text
+
+
 def test_dispatch_html_route():
     p = page([ARTICLE])
     assert sniff_kind(p) == "html"
@@ -224,7 +231,7 @@ def test_b64_html_payload_routed_by_content():
     from pdftotext_spark.core.dispatch import B64_SENTINEL
 
     page_txt = "<html><body><p>" + ARTICLE + "</p></body></html>"
-    raw = ("﻿" + page_txt).encode("utf-8")  # BOM-carrying bytes
+    raw = ("\ufeff" + page_txt).encode("utf-8")  # BOM-carrying bytes
     payload = B64_SENTINEL + base64.b64encode(raw).decode("ascii")
     res = extract_payload(payload)
     assert res.kind == "html"
