@@ -60,7 +60,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "daily_activity": relational.daily_activity,            # time-bucket rollup
     "distinct_users_by_type": relational.distinct_users_by_type,
     # custom operators Spark lacks natively (guide §OLAP patterns)
-    "asof_join_events": temporal.asof_join_events,          # applyInPandas merge_asof
+    "asof_join_events": temporal.asof_join_events,          # JVM window carry-forward (pandas merge_asof twin = tested fallback)
     "range_join_tiers": temporal.range_join_tiers,          # broadcast theta join
     "median_value_by_type": temporal.median_value_by_type,  # exact percentile
     # dedup family

@@ -93,12 +93,35 @@ def variant_candidates(font_variant: str) -> list[str]:
     return out
 
 
-def lookup_cid_map(font_variant: str | None) -> CIDMap:
-    """Resolve the table for a font's /BaseFont name: first registered
-    cascade candidate, else the default MS-standard-order table."""
+def build_override_map(
+    tables: tuple | list,
+) -> dict[str, CIDMap]:
+    """Materialize ``ExtractOptions.cid_tables`` entries
+    ``(variant, plain, alt)`` into a per-call override dict. Scoped to
+    the calling document — never touches the module registry, so
+    driver-supplied tables cannot leak between payloads sharing a
+    reused executor worker."""
+    return {
+        variant.upper(): CIDMap(plain=dict(plain), alt=dict(alt or {}))
+        for variant, plain, alt in tables
+    }
+
+
+def lookup_cid_map(
+    font_variant: str | None,
+    overrides: dict[str, CIDMap] | None = None,
+) -> CIDMap:
+    """Resolve the table for a font's /BaseFont name: first per-call
+    ``overrides`` cascade candidate, then the process registry, else
+    the default MS-standard-order table."""
     if font_variant:
         for cand in variant_candidates(font_variant):
-            hit = _REGISTRY.get(cand.upper())
+            key = cand.upper()
+            if overrides:
+                hit = overrides.get(key)
+                if hit is not None:
+                    return hit
+            hit = _REGISTRY.get(key)
             if hit is not None:
                 return hit
     return _DEFAULT

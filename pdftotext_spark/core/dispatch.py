@@ -38,6 +38,11 @@ def sniff_kind(payload: str) -> str:
         return "pdf"
     if _HTML_RE.search(head) or len(_HTML_LOOSE_RE.findall(head)) >= 2:
         return "html"
+    if "%PDF-" in payload:
+        # deep header: objects.find_header tolerates arbitrary leading
+        # junk (PdfToText.php:1745–1760 scans, never seeks offset 0),
+        # so a junk-prefixed PDF must not fall through to plain
+        return "pdf"
     return "plain"
 
 
@@ -78,6 +83,12 @@ def extract_payload(
                 )
                 res = ExtractResult(text=text, pages=[text], n_pages=1, kind="html")
                 res.page_offsets = [(0, max(len(text) - 1, 0))]
+                return res
+            if b"%PDF-" in buf:
+                # deep header (>1 KiB of leading junk): route to the
+                # PDF parser \u2014 find_header scans the whole buffer
+                res = _extract_pdf(buf, options)
+                res.kind = "pdf-b64"
                 return res
             if was_gzip:
                 # a valid gzip member that is neither PDF nor HTML was

@@ -122,11 +122,14 @@ def extract_document(buf: bytes, options: ExtractOptions | None = None) -> Extra
     maps engine errors to typed exceptions; our per-payload contract
     is try/except → ``decode_failures``)."""
     opts = options or ExtractOptions()
+    cid_overrides = None
     if opts.cid_tables:
+        # scoped per-call: materialized into this document's FontTable,
+        # never the process-global cidmaps registry — reused executor
+        # workers must not see another job's override tables
         from pdftotext_spark.core import cidmaps
 
-        for variant, plain, alt in opts.cid_tables:
-            cidmaps.register_cid_map(variant, plain, alt)
+        cid_overrides = cidmaps.build_override_map(opts.cid_tables)
     res = ExtractResult()
 
     pf = objects.scan(buf)  # raises NotAPdfError for non-PDF payloads
@@ -146,7 +149,7 @@ def extract_document(buf: bytes, options: ExtractOptions | None = None) -> Extra
         res.failure_reasons.append("encrypted")
         return res
 
-    fonts = FontTable()
+    fonts = FontTable(cid_overrides=cid_overrides)
     pagemap = PageMap()
     decoded: dict[int, bytes] = {}
     text_ids: list[int] = []

@@ -78,6 +78,10 @@ class Font:
     _translate_table: dict[int, str] | None = None
     _cid_map: object | None = None  # lazily-resolved cidmaps.CIDMap
     _alt_pending: int | None = None  # reference ALT_CID prefix state
+    # per-document override tables (from ExtractOptions.cid_tables),
+    # injected by FontTable — scoped to this extraction call, never the
+    # process-global cidmaps registry
+    _cid_overrides: dict | None = None
 
     @property
     def code_width(self) -> int:
@@ -95,6 +99,10 @@ class Font:
         """
         hit = self._memo.get(code)
         if hit is not None:
+            # resolving through any non-CID path discharges a dangling
+            # ALT_CID prefix (stateful CID lookups bypass the memo, so
+            # a memo hit is always a non-stateful resolution)
+            self._alt_pending = None
             return hit
         out: str | None = None
         if self.cmap is not None:
@@ -122,6 +130,11 @@ class Font:
                 out = chr(code)
             else:
                 out = UNKNOWN_CHAR
+        # any non-stateful resolution (cmap / encoding map / base
+        # encoding / raw codepoint) clears a pending ALT_CID prefix so
+        # a partial-ToUnicode font can't mis-route a later CID through
+        # the accent sub-table
+        self._alt_pending = None
         self._memo[code] = out
         return out
 
@@ -129,7 +142,7 @@ class Font:
         if self._cid_map is None:
             from pdftotext_spark.core.cidmaps import lookup_cid_map
 
-            self._cid_map = lookup_cid_map(self.base_font)
+            self._cid_map = lookup_cid_map(self.base_font, self._cid_overrides)
         return self._cid_map
 
     def _cid_lookup_stateful(self, m, code: int) -> str:
@@ -234,12 +247,16 @@ class FontTable:
     ``"page:alias"`` page-local key, F3/G4) → object id.
     """
 
-    def __init__(self) -> None:
+    def __init__(self, cid_overrides: dict | None = None) -> None:
         self.fonts: dict[int, Font] = {}
         self.alias_map: dict[str, int] = {}
+        # per-document CID override tables (see Font._cid_overrides)
+        self.cid_overrides = cid_overrides
 
     def add_font(self, obj_id: int, body: bytes) -> None:
-        self.fonts[obj_id] = parse_font(obj_id, body)
+        font = parse_font(obj_id, body)
+        font._cid_overrides = self.cid_overrides
+        self.fonts[obj_id] = font
 
     def add_alias_map(self, body: bytes, page: int | None = None) -> None:
         """Register ``<</F1 26 0 R>>`` aliases, optionally page-scoped

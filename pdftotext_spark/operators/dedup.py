@@ -514,7 +514,7 @@ HAMMING_THRESHOLD = 3
 
 
 SIMHASH_BANDS = HAMMING_THRESHOLD + 1  # pigeonhole: ≤k diffs ⇒ a band matches
-_BAND_WIDTH = SIMHASH_BITS // SIMHASH_BANDS  # 16 bits / 4 bands = 4 bits
+_BAND_WIDTH = SIMHASH_BITS // SIMHASH_BANDS  # 48 bits / 4 bands = 12 bits
 
 
 def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -273,9 +273,22 @@ def run_extraction(
             .write.mode("append")
             .parquet(output_path)
         )
-        extracted = spark.read.parquet(output_path)
+        # read back with mergeSchema: resuming into a directory written
+        # by an older schema (e.g. pre-lineage files without run_id)
+        # must not let Spark pick an old file's schema and lose the
+        # lineage columns
+        extracted = spark.read.option("mergeSchema", "true").parquet(output_path)
         if metrics_path is not None:
-            increment = extracted.filter(F.col("run_id") == run_id).drop("run_id")
+            if "run_id" in extracted.columns:
+                # legacy rows surface run_id=null after the merge and
+                # are correctly excluded by the equality filter
+                increment = extracted.filter(F.col("run_id") == run_id).drop(
+                    "run_id"
+                )
+            else:
+                # output predates lineage stamping entirely — treat
+                # nothing as this run's increment rather than failing
+                increment = extracted.limit(0)
             metrics_manifest(increment, run_id).write.mode("append").parquet(
                 metrics_path
             )

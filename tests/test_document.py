@@ -112,6 +112,50 @@ def test_identity_h_variant_override_cascade():
         cidmaps.clear_registry()
 
 
+def test_cid_tables_option_scoped_per_call():
+    # ADVICE r02: opts.cid_tables must be scoped to the one extract
+    # call — no leak into the process-global cidmaps registry, so a
+    # later extraction of the same payload WITHOUT the option degrades
+    from pdftotext_spark.core import cidmaps
+    from pdftotext_spark.core.document import ExtractOptions
+
+    pdf, _ = pb.identity_h_no_tounicode_pdf("x", base_font="SCOPED+Fake")
+    pdf = pdf.replace(b"<005B>", b"<000100020003>")
+    opts = ExtractOptions(cid_tables=(("SCOPED", {1: "A", 2: "B", 3: "C"}, {}),))
+    assert extract_document(pdf, opts).text == "ABC"
+    # same payload, no option: unmapped CIDs drop to '' again
+    assert extract_document(pdf).text == ""
+    # and the module registry was never touched
+    assert cidmaps.lookup_cid_map("SCOPED+Fake").lookup(1) == ""
+
+
+def test_alt_pending_cleared_by_non_cid_resolution():
+    # ADVICE r02: an ALT_CID prefix followed by a code that resolves
+    # via the ToUnicode cmap (partial-ToUnicode font) must NOT leave
+    # the pending prefix armed for a later unrelated CID
+    from pdftotext_spark.core import cidmaps
+    from pdftotext_spark.core.cmaps import ToUnicodeCMap
+    from pdftotext_spark.core.fonts import Font
+
+    font = Font(1, base_font="ALTP+F", cid=True, encoding="cid")
+    font._cid_overrides = cidmaps.build_override_map(
+        (("ALTP", {5: "e", 9: "x"}, {0: {5: "é", 9: "ẍ"}}),)
+    )
+    cmap = ToUnicodeCMap()
+    cmap.code_width = 2
+    cmap.direct = {7: "Z"}  # partial: only code 7 is mapped
+    font.cmap = cmap
+    # prefix 0 arms the alt table; code 7 resolves via the cmap and
+    # must discharge it; code 9 then takes the PLAIN entry 'x', not the
+    # accent sub-table's 'ẍ'
+    assert font.map_char(0) == ""
+    assert font.map_char(7) == "Z"
+    assert font.map_char(9) == "x"
+    # intact behavior: prefix + alt-mapped code still composes
+    assert font.map_char(0) == ""
+    assert font.map_char(5) == "é"
+
+
 def test_differences_encoding():
     pdf, golden = pb.differences_pdf()
     assert extract_document(pdf).text == golden
@@ -193,6 +237,29 @@ def test_sniff_and_dispatch():
 
     assert sniff_kind("just words") == "plain"
     assert extract_payload("just words").text == "just words"
+
+
+def test_deep_header_pdf_routes_to_pdf():
+    # ADVICE r02: a valid PDF behind >1 KiB of leading junk must reach
+    # the PDF parser (find_header tolerates arbitrarily deep headers),
+    # not fall through to the HTML/plain probes — in all three routes:
+    # verbatim string, bare b64, and gzip-wrapped b64
+    import base64
+    import gzip
+
+    junk = b"X" * 2048
+    pdf = junk + pb.simple_pdf([["deep header"]])
+    assert sniff_kind(pdf.decode("latin-1")) == "pdf"
+    assert extract_payload(pdf.decode("latin-1")).text == "deep header"
+
+    pdf_bin = junk + pb.simple_pdf([["deep binary"]], stream_filter="FlateDecode")
+    b64 = "%B64%" + base64.b64encode(pdf_bin).decode()
+    res = extract_payload(b64)
+    assert (res.kind, res.text) == ("pdf-b64", "deep binary")
+
+    gz = "%B64%" + base64.b64encode(gzip.compress(pdf_bin)).decode()
+    res = extract_payload(gz)
+    assert (res.kind, res.text) == ("pdf-b64", "deep binary")
 
 
 def test_dispatch_never_raises_on_garbage():

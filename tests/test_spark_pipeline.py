@@ -113,6 +113,39 @@ def test_resumed_run_manifest_counts_only_new_turns(spark, transcripts_dir, tmp_
     assert {"run_id", "partition_id"} <= set(out.columns)
 
 
+def test_resume_into_legacy_output_without_lineage_columns(
+    spark, transcripts_dir, tmp_path
+):
+    # ADVICE r02: resuming into an output directory written BEFORE the
+    # lineage-stamping schema (no run_id/partition_id columns) must not
+    # blow up on schema pick, and legacy rows must not be counted as
+    # this run's increment
+    from pdftotext_spark.plans.pipeline import extract_turns, run_extraction
+
+    out_dir, m_dir = str(tmp_path / "out"), str(tmp_path / "metrics")
+    src = f"{transcripts_dir}/transcripts.parquet"
+    df = spark.read.parquet(src)
+    total = df.count()
+    # simulate a pre-lineage run: first 50 turns, old schema
+    legacy = extract_turns(
+        df.orderBy("conv_id", "turn_idx").limit(50)
+    )
+    legacy.write.mode("append").parquet(out_dir)
+    assert "run_id" not in spark.read.parquet(out_dir).columns
+    # resume with the current code: remaining turns extract, read-back
+    # merges schemas, manifest counts only the r2 increment
+    run_extraction(spark, src, output_path=out_dir, metrics_path=m_dir, run_id="r2")
+    out = spark.read.option("mergeSchema", "true").parquet(out_dir)
+    assert out.count() == total
+    m = spark.read.parquet(m_dir)
+    assert (
+        m.filter(F.col("run_id") == "r2").agg(F.sum("turns_parsed")).first()[0]
+        == total - 50
+    )
+    # legacy rows read back with null run_id — never attributed to r2
+    assert out.filter(F.col("run_id").isNull()).count() == 50
+
+
 def test_read_transcripts_jsonl_and_csv_sources(spark, transcripts_dir, tmp_path):
     """read_transcripts widens to JSONL/CSV ingest with the explicit
     transcript schema; extraction output must match the parquet path
@@ -224,9 +257,7 @@ def test_cid_override_tables_reach_executors(spark, tmp_path):
             "ts": pd.to_datetime(["2026-01-01"], utc=True).as_unit("us"),
         }
     ).to_parquet(src)
-    # without the option the unmapped CIDs drop to '' (degraded path);
-    # must run FIRST — reused Python workers keep the module registry,
-    # so the opts run below would leak QQTEST into a later bare run
+    # without the option the unmapped CIDs drop to '' (degraded path)
     bare = extract_turns(spark.read.parquet(src)).collect()
     assert bare[0].extracted_text == ""
     opts = ExtractOptions(
@@ -234,6 +265,11 @@ def test_cid_override_tables_reach_executors(spark, tmp_path):
     )
     out = extract_turns(spark.read.parquet(src), options=opts).collect()
     assert out[0].extracted_text == "ABC"
+    # override tables are scoped per call: a bare run AFTER the opts
+    # run must still degrade even on reused Python workers (tables ride
+    # the options object, never the process-global cidmaps registry)
+    bare_after = extract_turns(spark.read.parquet(src)).collect()
+    assert bare_after[0].extracted_text == ""
 
 
 def test_resume_anti_join(spark, transcripts_dir):
