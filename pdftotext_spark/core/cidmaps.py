@@ -110,10 +110,13 @@ def build_override_map(
 def lookup_cid_map(
     font_variant: str | None,
     overrides: dict[str, CIDMap] | None = None,
+    ordering: str | None = None,
 ) -> CIDMap:
-    """Resolve the table for a font's /BaseFont name: first per-call
-    ``overrides`` cascade candidate, then the process registry, else
-    the default MS-standard-order table."""
+    """Resolve the table for a font: first per-call ``overrides``
+    cascade candidate on the /BaseFont name, then the process
+    registry, then the font's /CIDSystemInfo ``ordering`` table (e.g.
+    Adobe-Japan1, :mod:`pdftotext_spark.core.cjk_cid`), else the
+    default MS-standard-order table."""
     if font_variant:
         for cand in variant_candidates(font_variant):
             key = cand.upper()
@@ -124,4 +127,10 @@ def lookup_cid_map(
             hit = _REGISTRY.get(key)
             if hit is not None:
                 return hit
+    if ordering:
+        from pdftotext_spark.core.cjk_cid import lookup_ordering_map
+
+        hit = lookup_ordering_map(ordering)
+        if hit is not None:
+            return hit
     return _DEFAULT

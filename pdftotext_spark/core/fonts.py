@@ -28,6 +28,8 @@ _ENCODING_REF_RE = re.compile(rb"/Encoding\s+(\d+)\s+\d+\s+R")
 _ENCODING_INLINE_RE = re.compile(rb"/Encoding\s*<<(.*?)>>", re.S)
 _IDENTITY_H_RE = re.compile(rb"/Encoding\s*/Identity-H")
 _FIRSTCHAR_RE = re.compile(rb"/FirstChar\s+(\d+)")
+_DESCENDANT_RE = re.compile(rb"/DescendantFonts\s*\[\s*(\d+)\s+\d+\s+R")
+_ORDERING_RE = re.compile(rb"/Ordering\s*\(\s*([^)]*?)\s*\)")
 _WIDTHS_RE = re.compile(rb"/Widths\s*\[([^\]]*)\]")
 _MISSING_WIDTH_RE = re.compile(rb"/MissingWidth\s+(\d+(?:\.\d+)?)")
 # <</F1 26 0 R /F2 27 0 R>> style alias maps (PdfToText.php:169–180)
@@ -82,6 +84,12 @@ class Font:
     # injected by FontTable — scoped to this extraction call, never the
     # process-global cidmaps registry
     _cid_overrides: dict | None = None
+    # /CIDSystemInfo character collection (Type0 fonts): the
+    # /DescendantFonts CIDFont ref and the resolved /Ordering name
+    # ("Japan1", ...) — selects the registered-ordering CID table when
+    # no variant override matches (core/cjk_cid.py)
+    descendant_ref: int | None = None
+    cid_ordering: str = ""
 
     @property
     def code_width(self) -> int:
@@ -142,7 +150,9 @@ class Font:
         if self._cid_map is None:
             from pdftotext_spark.core.cidmaps import lookup_cid_map
 
-            self._cid_map = lookup_cid_map(self.base_font, self._cid_overrides)
+            self._cid_map = lookup_cid_map(
+                self.base_font, self._cid_overrides, self.cid_ordering
+            )
         return self._cid_map
 
     def _cid_lookup_stateful(self, m, code: int) -> str:
@@ -214,6 +224,12 @@ def parse_font(obj_id: int, body: bytes) -> Font:
     if _IDENTITY_H_RE.search(body):
         font.cid = True
         font.encoding = "cid"
+        dm = _DESCENDANT_RE.search(body)
+        if dm:
+            font.descendant_ref = int(dm.group(1))
+        om = _ORDERING_RE.search(body)  # inline-flattened writers
+        if om:
+            font.cid_ordering = om.group(1).decode("latin-1")
     tm = _TOUNICODE_RE.search(body)
     if tm:
         font.tounicode_ref = int(tm.group(1))
@@ -252,11 +268,15 @@ class FontTable:
         self.alias_map: dict[str, int] = {}
         # per-document CID override tables (see Font._cid_overrides)
         self.cid_overrides = cid_overrides
+        # raw font-object bodies, kept so a Type0 font can consult its
+        # /DescendantFonts CIDFont dict for /CIDSystemInfo /Ordering
+        self._bodies: dict[int, bytes] = {}
 
     def add_font(self, obj_id: int, body: bytes) -> None:
         font = parse_font(obj_id, body)
         font._cid_overrides = self.cid_overrides
         self.fonts[obj_id] = font
+        self._bodies[obj_id] = body
 
     def add_alias_map(self, body: bytes, page: int | None = None) -> None:
         """Register ``<</F1 26 0 R>>`` aliases, optionally page-scoped
@@ -279,6 +299,18 @@ class FontTable:
         )
 
         for font in self.fonts.values():
+            if font.cid and not font.cid_ordering and font.descendant_ref:
+                # /CIDSystemInfo usually sits inline in the descendant
+                # CIDFont dict (itself classified as a font object);
+                # fall back to the decoded-object map for odd writers
+                dbody = self._bodies.get(font.descendant_ref) or decoded.get(
+                    font.descendant_ref
+                )
+                if dbody:
+                    om = _ORDERING_RE.search(dbody)
+                    if om:
+                        font.cid_ordering = om.group(1).decode("latin-1")
+                        font._cid_map = None  # re-resolve with ordering
             if font.cmap is None and font.tounicode_ref is not None:
                 body = decoded.get(font.tounicode_ref)
                 if body is not None:

@@ -36,14 +36,23 @@ _ROUNDTRIP_SCHEMA = T.StructType(
 
 def _wrap_payload(doc_id: int, text: str) -> str:
     """Deterministic payload variant per doc: uncompressed ASCII PDF,
-    Flate-compressed base64 PDF, or ObjStm-packed base64 PDF."""
-    variant = doc_id % 3
+    Flate-compressed base64 PDF, ObjStm-packed base64 PDF, or an
+    Identity-H Adobe-Japan1 CID font with no /ToUnicode (the CJK
+    ordering-table fallback path, core/cjk_cid.py)."""
+    variant = doc_id % 4
     if variant == 0:
         return pb.simple_pdf([[text]]).decode("latin-1")
     if variant == 1:
         pdf = pb.simple_pdf([[text]], stream_filter="FlateDecode")
-    else:
+    elif variant == 2:
         pdf, _ = pb.objstm_pdf(text)
+    else:
+        # printable-ASCII text rides the Japan1 proportional-Latin
+        # CIDs; anything else falls back to the plain builder
+        if all(0x20 <= ord(c) <= 0x7E for c in text):
+            pdf, _ = pb.identity_h_japan1_pdf(text)
+        else:
+            pdf = pb.simple_pdf([[text]], stream_filter="FlateDecode")
     return "%B64%" + base64.b64encode(pdf).decode("ascii")
 
 

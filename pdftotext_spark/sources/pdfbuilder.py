@@ -310,6 +310,55 @@ def identity_h_no_tounicode_pdf(text: str, base_font: str = "ABCDEE+Arial") -> t
     return b.build(), text
 
 
+def identity_h_japan1_pdf(
+    text: str, stream_filter: str | None = "FlateDecode"
+) -> tuple[bytes, str]:
+    """Identity-H CID font with NO /ToUnicode whose /DescendantFonts
+    CIDFont declares ``/CIDSystemInfo /Ordering (Japan1)`` — the CJK
+    subset-font shape that degrades to ``''`` without the Adobe-Japan1
+    ordering table (core/cjk_cid.py).  Glyph ids in the content stream
+    are real Adobe-Japan1 CIDs for ``text`` (kana/kanji/ASCII)."""
+    from pdftotext_spark.core.cjk_cid import adobe_japan1_reverse
+
+    rev = adobe_japan1_reverse()
+    cids = [rev[c] for c in text]  # KeyError = not representable
+    b = PdfBuilder()
+    catalog, pages_node, font, desc, page, content = (b.alloc() for _ in range(6))
+    b.add(catalog, f"<< /Type /Catalog /Pages {pages_node} 0 R >>\n".encode())
+    b.add(pages_node, f"<< /Type /Pages /Kids [{page} 0 R] /Count 1 >>\n".encode())
+    b.add(
+        font,
+        (
+            f"<< /Type /Font /Subtype /Type0 /BaseFont /QWERAS+HiraMinPro-W3 "
+            f"/Encoding /Identity-H /DescendantFonts [{desc} 0 R] >>\n"
+        ).encode(),
+    )
+    b.add(
+        desc,
+        (
+            f"<< /Type /Font /Subtype /CIDFontType0 "
+            f"/BaseFont /QWERAS+HiraMinPro-W3 "
+            f"/CIDSystemInfo << /Registry (Adobe) /Ordering (Japan1) "
+            f"/Supplement 6 >> /DW 1000 >>\n"
+        ).encode(),
+    )
+    b.add(
+        page,
+        (
+            f"<< /Type /Page /Parent {pages_node} 0 R /MediaBox [0 0 612 792] "
+            f"/Resources << /Font << /F1 {font} 0 R >> >> /Contents {content} 0 R >>\n"
+        ).encode(),
+    )
+    hexcodes = "".join(f"{cid:04X}" for cid in cids)
+    b.add_stream(
+        content,
+        b"",
+        f"BT /F1 12 Tf 1 0 0 1 72 720 Tm <{hexcodes}> Tj ET".encode(),
+        stream_filter,
+    )
+    return b.build(), text
+
+
 def differences_pdf() -> tuple[bytes, str]:
     """/Encoding dict with /Differences mapping codes to named glyphs,
     ``uniXXXX`` forms and base-encoding fallthrough (F7/F8)."""

@@ -112,6 +112,47 @@ def test_identity_h_variant_override_cascade():
         cidmaps.clear_registry()
 
 
+def test_identity_h_japan1_ordering_table():
+    # F11 CJK: Identity-H + /CIDSystemInfo /Ordering (Japan1) and NO
+    # /ToUnicode — CIDs resolve through the public Adobe-Japan1 subset
+    # table instead of degrading to ''
+    text = "日本語のテキスト、ひらがなとカタカナと漢字。ASCII mixed in!"
+    pdf, golden = pb.identity_h_japan1_pdf(text)
+    res = extract_document(pdf)
+    assert res.text == golden
+    assert res.decode_failures == 0
+
+
+def test_adobe_japan1_public_anchors():
+    # pin the well-known public CID anchors the table derivation rests
+    # on (Adobe H / UniJIS-UCS2-H CMap data + stdlib euc_jp layout)
+    from pdftotext_spark.core.cjk_cid import adobe_japan1_subset
+
+    t = adobe_japan1_subset().plain
+    assert t[1] == " " and t[94] == "}"       # proportional Latin run
+    assert t[61] == "¥" and t[97] == "\\"     # JIS-Roman swaps
+    assert t[633] == "　"                  # full-width space
+    assert t[843] == "あ" and t[842] == "ぁ"   # hiragana base
+    assert t[925] == "ァ"                      # katakana base
+    assert t[790] == "Ａ" and t[780] == "０"   # full-width alnum
+    assert t[1125] == "亜"                     # first level-1 kanji
+    assert t[4089] == "腕"                     # last level-1 (count 2965)
+    assert t[4090] == "弌"                     # first level-2 kanji
+    assert t[4090 + 3389] == "熙"              # last level-2 (count 3390)
+    assert 1126 not in (0,) and t.get(99) is None  # outside subset → ''
+
+
+def test_japan1_variant_override_beats_ordering():
+    # cascade order parity (PdfToText.php:7794-7840): a per-font
+    # variant override outranks the ordering table
+    from pdftotext_spark.core.document import ExtractOptions
+
+    pdf, _ = pb.identity_h_japan1_pdf("あ")  # CID 843
+    opts = ExtractOptions(cid_tables=(("QWERAS", {843: "Z"}, {}),))
+    assert extract_document(pdf, opts).text == "Z"
+    assert extract_document(pdf).text == "あ"
+
+
 def test_cid_tables_option_scoped_per_call():
     # ADVICE r02: opts.cid_tables must be scoped to the one extract
     # call — no leak into the process-global cidmaps registry, so a
