@@ -186,10 +186,84 @@ for _c in range(ord("A"), ord("Z") + 1):
 for _c in range(ord("a"), ord("z") + 1):
     GLYPH_TO_UNICODE[chr(_c)] = _c
 
-_UNI_RE = re.compile(r"^uni([0-9A-Fa-f]{4,6})$")
+
+# --- generated AGL repertoire -------------------------------------------
+# The full public AGL's Latin section is *systematic*: the glyph name is
+# the base letter(s) plus accent suffixes in the order of the Unicode
+# character name ("LATIN SMALL LETTER A WITH BREVE AND ACUTE" →
+# "abreveacute" = U+1EB7's sibling…).  Rather than transcribing ~2,000
+# rows, derive them from the stdlib unicodedata names over the
+# precomposed Latin blocks (Latin-1 … Extended Additional).  Explicit
+# entries above always win (the AGL's deliberate divergences —
+# gcommaaccent→G-with-cedilla etc. — are all listed there).
+_ACCENT_SUFFIX = {
+    "ACUTE": "acute", "GRAVE": "grave", "CIRCUMFLEX": "circumflex",
+    "DIAERESIS": "dieresis", "TILDE": "tilde", "MACRON": "macron",
+    "BREVE": "breve", "DOT ABOVE": "dotaccent", "RING ABOVE": "ring",
+    "CARON": "caron", "OGONEK": "ogonek", "DOUBLE ACUTE": "hungarumlaut",
+    "CEDILLA": "cedilla", "HORN": "horn", "DOT BELOW": "dotbelow",
+    "HOOK ABOVE": "hookabove", "COMMA BELOW": "commaaccent",
+    "LINE BELOW": "linebelow", "RING BELOW": "ringbelow",
+    "CIRCUMFLEX BELOW": "circumflexbelow", "BREVE BELOW": "brevebelow",
+    "TILDE BELOW": "tildebelow", "DIAERESIS BELOW": "dieresisbelow",
+    "HOOK": "hook", "STROKE": "slash",
+}
+_LATIN_NAME_RE = re.compile(
+    r"^LATIN (CAPITAL|SMALL) LETTER ([A-Z]+)(?: WITH (.+))?$"
+)
+
+
+def _generate_latin_names() -> None:
+    import unicodedata
+
+    blocks = [(0xC0, 0x250), (0x1E00, 0x1F00)]
+    for lo, hi in blocks:
+        for cp in range(lo, hi):
+            try:
+                uname = unicodedata.name(chr(cp))
+            except ValueError:
+                continue
+            m = _LATIN_NAME_RE.match(uname)
+            if not m or not m.group(3):
+                continue
+            case, letters, accents = m.groups()
+            parts = [_ACCENT_SUFFIX.get(a) for a in accents.split(" AND ")]
+            if None in parts:
+                continue
+            base = letters if case == "CAPITAL" else letters.lower()
+            GLYPH_TO_UNICODE.setdefault(base + "".join(parts), cp)
+
+
+_generate_latin_names()
+
+# bars (Unicode calls these STROKE; AGL names them *bar)
+GLYPH_TO_UNICODE.update({"Hbar": 0x126, "hbar": 0x127, "Tbar": 0x166, "tbar": 0x167})
+
+# superscript / subscript digits (AGL: Nsuperior / Ninferior); one/
+# two/threesuperior are already pinned to their Latin-1 codepoints
+_DIGIT_NAMES = ["zero", "one", "two", "three", "four",
+                "five", "six", "seven", "eight", "nine"]
+for _i, _d in enumerate(_DIGIT_NAMES):
+    GLYPH_TO_UNICODE.setdefault(f"{_d}superior", 0x2070 + _i)
+    GLYPH_TO_UNICODE.setdefault(f"{_d}inferior", 0x2080 + _i)
+
+# Hebrew consonants: AGL afii57664..57690 = U+05D0..U+05EA (alef..tav)
+for _i in range(27):
+    GLYPH_TO_UNICODE.setdefault(f"afii{57664 + _i}", 0x5D0 + _i)
+# Arabic letters: afii57409..57434 = U+0621..U+063A (hamza..ghain),
+# afii57440..57454 = U+0640..U+064E (tatweel..fatha), and the
+# Arabic-Indic digits afii57392..57401 = U+0660..U+0669
+for _i in range(26):
+    GLYPH_TO_UNICODE.setdefault(f"afii{57409 + _i}", 0x621 + _i)
+for _i in range(15):
+    GLYPH_TO_UNICODE.setdefault(f"afii{57440 + _i}", 0x640 + _i)
+for _i in range(10):
+    GLYPH_TO_UNICODE.setdefault(f"afii{57392 + _i}", 0x660 + _i)
+
+_UNI_RE = re.compile(r"^uni((?:[0-9A-Fa-f]{4})+)$")
 _U_RE = re.compile(r"^u([0-9A-Fa-f]{4,6})$")
 _G_RE = re.compile(r"^g(\d+)$")
-_SUFFIX_RE = re.compile(r"^(.*?)[._].*$")
+_SUFFIX_RE = re.compile(r"^(.*?)\..*$")
 
 # quirk offset for /gNN glyph-id names (PdfToText.php:7149–7159)
 _G_QUIRK_OFFSET = 29
@@ -201,14 +275,23 @@ def glyph_to_char(name: str) -> str:
     """Resolve a ``/Differences`` glyph name to a character.
 
     Resolution order mirrors PdfToText.php:7061–7182: direct AGL hit;
-    ``uniXXXX``/``uXXXX`` hex forms; ``gNN`` glyph-ids with the +29
-    offset quirk (PdfToText.php:7149–7159); variant-suffix stripping
-    (``a.sc`` → ``a``, PdfToText.php:7064–7073); else ``?``.
+    ``uniXXXX``/``uXXXX`` hex forms (``uni`` allows concatenated
+    4-digit groups per the AGL spec); ``gNN`` glyph-ids with the +29
+    offset quirk (PdfToText.php:7149–7159); ``.``-variant-suffix
+    stripping (``a.sc`` → ``a``, PdfToText.php:7064–7073);
+    ``_``-joined component ligatures (``f_f_i`` → ``ffi``, AGL spec);
+    else ``?``.
     """
     cp = GLYPH_TO_UNICODE.get(name)
     if cp is not None:
         return chr(cp)
-    m = _UNI_RE.match(name) or _U_RE.match(name)
+    m = _UNI_RE.match(name)
+    if m:
+        hexes = m.group(1)
+        return "".join(
+            chr(int(hexes[i : i + 4], 16)) for i in range(0, len(hexes), 4)
+        )
+    m = _U_RE.match(name)
     if m:
         return chr(int(m.group(1), 16))
     m = _G_RE.match(name)
@@ -217,7 +300,7 @@ def glyph_to_char(name: str) -> str:
         return chr(cp) if 0x20 <= cp < 0x110000 else UNKNOWN_GLYPH
     m = _SUFFIX_RE.match(name)
     if m and m.group(1):
-        base = GLYPH_TO_UNICODE.get(m.group(1))
-        if base is not None:
-            return chr(base)
+        return glyph_to_char(m.group(1))
+    if "_" in name:
+        return "".join(glyph_to_char(part) for part in name.split("_") if part)
     return UNKNOWN_GLYPH

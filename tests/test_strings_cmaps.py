@@ -55,6 +55,49 @@ def test_glyph_names():
     assert glyph_to_char("nosuchglyph") == "?"
 
 
+def test_glyph_names_wide_agl():
+    # generated AGL repertoire (unicodedata-derived Latin + afii runs):
+    # spot-check public glyphlist.txt rows across every generator
+    from pdftotext_spark.core.glyphs import GLYPH_TO_UNICODE as G
+
+    assert G["wgrave"] == 0x1E81 and G["Ygrave"] == 0x1EF2   # Welsh
+    assert G["adotbelow"] == 0x1EA1 and G["uhorn"] == 0x1B0  # Vietnamese
+    assert G["abreveacute"] == 0x1EAF                        # double accent
+    assert G["hbar"] == 0x127 and G["Tbar"] == 0x166
+    assert G["zerosuperior"] == 0x2070 and G["fourinferior"] == 0x2084
+    # AGL divergences must keep their explicit (non-generated) values
+    assert G["gcommaaccent"] == 0x123 and G["onesuperior"] == 0xB9
+    assert G["afii57664"] == 0x5D0   # Hebrew alef
+    assert G["afii57409"] == 0x621   # Arabic hamza
+    assert G["afii57392"] == 0x660   # Arabic-Indic zero
+    assert len(G) > 1000
+
+
+def test_glyph_names_ligature_and_multi_hex():
+    # AGL spec: f_f_i component ligatures; uni accepts concatenated
+    # 4-digit groups; suffix strip composes with other forms
+    assert glyph_to_char("f_f_i") == "ffi"
+    assert glyph_to_char("uni00410042") == "AB"
+    assert glyph_to_char("eacute.sc") == "é"
+    assert glyph_to_char("uni0041.alt") == "A"
+
+
+def test_generated_latin_names_match_unicodedata():
+    # property: every generated Latin name round-trips through the
+    # Unicode name it was derived from (sampled cross-section)
+    import unicodedata
+
+    from pdftotext_spark.core.glyphs import GLYPH_TO_UNICODE as G
+
+    for name, want in [
+        ("ndotbelow", "LATIN SMALL LETTER N WITH DOT BELOW"),
+        ("Ocircumflexacute", "LATIN CAPITAL LETTER O WITH CIRCUMFLEX AND ACUTE"),
+        ("etildebelow", "LATIN SMALL LETTER E WITH TILDE BELOW"),
+        ("AEacute", "LATIN CAPITAL LETTER AE WITH ACUTE"),
+    ]:
+        assert G[name] == ord(unicodedata.lookup(want))
+
+
 def test_cmap_parse_cache_identity_and_safety():
     # content-keyed parse cache: same bytes -> same (shared) object,
     # different bytes -> different; lookup memoization on a shared
