@@ -50,9 +50,12 @@ _BLOCK_TAGS = frozenset(
     "blockquote pre figure figcaption br hr dl dt dd".split()
 )
 
-_DROP_RE = re.compile(
-    r"<(" + "|".join(_DROP_SUBTREE_TAGS) + r")\b.*?</\1\s*>",
-    re.S | re.I,
+_DROP_SET = frozenset(_DROP_SUBTREE_TAGS)
+# raw-text elements cannot nest per the HTML spec — an apparent open
+# tag inside them (e.g. document.write('<script>…')) must not deepen
+# the subtree counter
+_RAWTEXT_TAGS = frozenset(
+    ("script", "style", "title", "noscript", "iframe", "template")
 )
 _COMMENT_RE = re.compile(r"<!--.*?-->", re.S)
 _TAG_RE = re.compile(r"<(/?)([a-zA-Z][a-zA-Z0-9-]*)((?:\"[^\"]*\"|'[^']*'|[^>])*)>")
@@ -62,6 +65,39 @@ _WS_RE = re.compile(r"[ \t\r\f\v]+")
 _MIN_WORDS = 8
 # blocks with more than this fraction of linked text are boilerplate
 _MAX_LINK_DENSITY = 0.33
+
+
+def _strip_drop_subtrees(markup: str) -> str:
+    """Remove non-content subtrees with a depth-counting scan, so
+    *nested same-tag* chrome (``<nav><nav>…</nav>…</nav>``) is dropped
+    whole — a non-greedy regex would stop at the inner close and leak
+    the trailing boilerplate into block scoring (VERDICT r02 item 4).
+    An unterminated drop tag swallows to EOF (truncated pages)."""
+    parts: list[str] = []
+    pos = 0
+    drop_tag: str | None = None
+    depth = 0
+    for m in _TAG_RE.finditer(markup):
+        closing, tag = m.group(1), m.group(2).lower()
+        self_closing = m.group(3).rstrip().endswith("/")
+        if drop_tag is None:
+            if not closing and tag in _DROP_SET:
+                parts.append(markup[pos : m.start()])
+                pos = m.end()
+                if not self_closing:
+                    drop_tag = tag
+                    depth = 1
+        elif tag == drop_tag:
+            if closing:
+                depth -= 1
+                if depth == 0:
+                    drop_tag = None
+                    pos = m.end()
+            elif drop_tag not in _RAWTEXT_TAGS and not self_closing:
+                depth += 1
+    if drop_tag is None:
+        parts.append(markup[pos:])
+    return " ".join(parts)
 
 
 def _segment_blocks(markup: str) -> list[tuple[str, int]]:
@@ -188,10 +224,7 @@ def extract_main_content(markup: str) -> str:
     emptied by the context rules."""
     markup = _COMMENT_RE.sub(" ", markup)
     markup = _DECL_RE.sub(" ", markup)
-    prev = None
-    while prev != markup:  # nested drop-tags
-        prev = markup
-        markup = _DROP_RE.sub(" ", markup)
+    markup = _strip_drop_subtrees(markup)
     blocks = _segment_blocks(markup)
 
     is_core = _classify_blocks(blocks)

@@ -49,6 +49,56 @@ def test_link_farm_removed():
     assert "one" not in out.split()
 
 
+def test_nested_same_tag_chrome_dropped_whole():
+    # VERDICT r02 item 4: nested same-tag drop subtrees — a non-greedy
+    # regex stops at the INNER close and leaks the trailing chrome
+    body = (
+        "<nav class=top><ul><li>Home</li></ul>"
+        "<nav class=sub><a href=x>Products menu</a></nav>"
+        "<p>trailing navwrap boilerplate leak</p></nav>"
+        f"<article><p>{ARTICLE}</p></article>"
+        "<div><aside><aside>inner widget</aside>outer widget rail</aside></div>"
+    )
+    out = extract_main_content(f"<html><body>{body}</body></html>")
+    assert ARTICLE in out
+    assert "leak" not in out
+    assert "widget" not in out
+    assert "Products" not in out
+
+
+def test_unterminated_drop_tag_swallows_to_eof():
+    # truncated page: an unclosed <nav> must not dump half the chrome
+    # into scoring
+    html = (
+        f"<html><body><article><p>{ARTICLE}</p></article>"
+        "<nav><a href=a>menu one</a><a href=b>menu two</a>"
+    )
+    out = extract_main_content(html)
+    assert ARTICLE in out
+    assert "menu" not in out
+
+
+def test_self_closing_drop_tag_does_not_swallow():
+    # <iframe/> style self-closing chrome must not open a subtree
+    html = (
+        f"<html><body><iframe src=x /><article><p>{ARTICLE}</p>"
+        "</article></body></html>"
+    )
+    assert ARTICLE in extract_main_content(html)
+
+
+def test_script_rawtext_fake_open_does_not_nest():
+    # document.write('<script>') inside a script body must not deepen
+    # the drop counter (raw-text elements cannot nest per spec)
+    html = (
+        "<html><body><script>document.write('<script>');var x=1;</script>"
+        f"<article><p>{ARTICLE}</p></article></body></html>"
+    )
+    out = extract_main_content(html)
+    assert ARTICLE in out
+    assert "var x" not in out
+
+
 def test_entities_unescaped():
     html = "<html><body><p>" + ("A&amp;B " * 12) + "</p></body></html>"
     assert "A&B" in extract_main_content(html)
