@@ -47,9 +47,12 @@ def _pua_fixup(text: str) -> str:
     )
 
 
+_WS_DELETE = b" \t\n\r\x0b\x0c"
+
+
 def _hex_to_text(h: bytes) -> str:
     """A bf target hex value is UTF-16BE text (possibly multi-char)."""
-    h = re.sub(rb"\s+", b"", h)
+    h = h.translate(None, _WS_DELETE)
     if not h:
         return ""
     if len(h) % 2:
@@ -89,7 +92,7 @@ class ToUnicodeCMap:
         cmap = cls()
         m = _CODESPACE_RE.search(body)
         if m:
-            los = [re.sub(rb"\s+", b"", h) for h in _HEX_RE.findall(m.group(1))]
+            los = [h.translate(None, _WS_DELETE) for h in _HEX_RE.findall(m.group(1))]
             if los and los[0]:
                 cmap.code_width = max(1, len(los[0]) // 2)
         for sec in _BFCHAR_RE.finditer(body):
@@ -100,7 +103,7 @@ class ToUnicodeCMap:
                 toks = _HEX_RE.findall(line)
                 if len(toks) < 2:
                     continue
-                code_hex = re.sub(rb"\s+", b"", toks[0])
+                code_hex = toks[0].translate(None, _WS_DELETE)
                 if not code_hex:
                     continue
                 code = int(code_hex, 16)

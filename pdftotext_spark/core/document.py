@@ -220,12 +220,18 @@ def extract_document(buf: bytes, options: ExtractOptions | None = None) -> Extra
             )
             break
         pi = pagemap.pages[pno]
+        fonts_added = False
         for alias, foid in pi.font_aliases.items():
             fonts.alias_map[f"{pno}:{alias}"] = foid
             fonts.alias_map.setdefault(alias, foid)
             if foid not in fonts.fonts and foid in pf.objects:
                 fonts.add_font(foid, pf.objects[foid].dict_part)
-        fonts.attach_cmaps(decoded)
+                fonts_added = True
+        if fonts_added:
+            # re-resolve indirections only when this page introduced a
+            # page-local font — attach_cmaps is idempotent but looping
+            # every font on every page is measurable on many-page docs
+            fonts.attach_cmaps(decoded)
 
         chunks: list[bytes] = []
         for cid in pi.content_ids:

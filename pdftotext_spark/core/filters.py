@@ -108,12 +108,38 @@ def ascii_hex_decode(data: bytes) -> bytes:
     end = data.find(b">")
     if end != -1:
         data = data[:end]
-    hexdigits = re.sub(rb"\s+", b"", data)
-    if re.search(rb"[^0-9A-Fa-f]", hexdigits):
-        raise DecodeError("ASCIIHexDecode: invalid character")
+    hexdigits = data.translate(None, b" \t\n\r\x0b\x0c")
     if len(hexdigits) % 2:
         hexdigits += b"0"
-    return bytes.fromhex(hexdigits.decode("ascii"))
+    try:
+        return bytes.fromhex(hexdigits.decode("ascii"))
+    except (ValueError, UnicodeDecodeError):
+        raise DecodeError("ASCIIHexDecode: invalid character") from None
+
+
+def _a85_decode_numpy(data: bytes) -> bytes | None:
+    """Vectorized Ascii85 body decode (no ``z`` shorthand, no guards).
+    Returns None when the input needs the tolerant per-char loop."""
+    import numpy as np
+
+    arr = np.frombuffer(data, dtype=np.uint8)
+    if arr.size == 0:
+        return b""
+    if arr.size % 5 == 1:
+        return None  # single trailing digit — let the strict loop raise
+    if ((arr < 0x21) | (arr > 0x75)).any():
+        return None
+    vals = (arr - np.uint8(0x21)).astype(np.uint64)
+    pad = (5 - vals.size % 5) % 5
+    if pad:
+        vals = np.concatenate([vals, np.full(pad, 84, dtype=np.uint64)])
+    groups = vals.reshape(-1, 5)
+    weights = np.array([85**4, 85**3, 85**2, 85, 1], dtype=np.uint64)
+    n = (groups * weights).sum(axis=1)
+    if (n > 0xFFFFFFFF).any():
+        return None  # group overflow: invalid stream, strict loop raises
+    out = n.astype(">u4").tobytes()
+    return out[: len(out) - pad] if pad else out
 
 
 def ascii85_decode(data: bytes) -> bytes:
@@ -128,15 +154,14 @@ def ascii85_decode(data: bytes) -> bytes:
     end = data.find(b"~>")
     if end != -1:
         data = data[:end]
-    data = re.sub(rb"\s+", b"", data)
-    # fast path: stdlib a85decode (C) handles the common stream shape;
-    # the manual loop below remains as the tolerant fallback
-    try:
-        import base64
-
-        return base64.a85decode(data)
-    except ValueError:
-        pass
+    data = data.translate(None, b" \t\n\r\x0b\x0c")
+    # fast path: vectorized base-85 (stdlib a85decode is pure Python
+    # and was the top filter cost on a85-heavy corpora); streams using
+    # the 'z' shorthand or with invalid chars fall to the strict loop
+    if b"z" not in data:
+        decoded = _a85_decode_numpy(data)
+        if decoded is not None:
+            return decoded
     out = bytearray()
     group: list[int] = []
     for ch in data:
@@ -167,16 +192,23 @@ def ascii85_decode(data: bytes) -> bytes:
     return bytes(out)
 
 
+# LZW base dictionary: 256 single-byte entries + placeholders for the
+# clear (256) and EOD (257) control codes, so appends start at 258
+_LZW_BASE: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+
+
 def lzw_decode(data: bytes) -> bytes:
     """LZWDecode: variable 9→12-bit codes, clear=256, EOD=257
     (PdfToText.php:2812–2908, same dictionary-growth thresholds).
     """
     out = bytearray()
-    # dictionary: code -> bytes
-    table: dict[int, bytes] = {i: bytes([i]) for i in range(256)}
-    next_code = 258
+    # dictionary as a dense list (codes are consecutive ints — a dict
+    # pays hashing per code; the 256-entry base is built once)
+    table: list[bytes] = _LZW_BASE.copy()
     code_len = 9
     prev: bytes | None = None
+    extend = out.extend
+    append = table.append
 
     bitbuf = 0
     nbits = 0
@@ -187,33 +219,30 @@ def lzw_decode(data: bytes) -> bytes:
             nbits -= code_len
             code = (bitbuf >> nbits) & ((1 << code_len) - 1)
             if code == 256:  # clear table
-                table = {i: bytes([i]) for i in range(256)}
-                next_code = 258
+                del table[258:]
                 code_len = 9
                 prev = None
                 continue
             if code == 257:  # EOD
                 return bytes(out)
-            if prev is None:
-                entry = table.get(code)
-                if entry is None:
-                    raise DecodeError("LZWDecode: bad first code")
-            elif code in table:
+            n_table = len(table)
+            if code < n_table:
                 entry = table[code]
-            elif code == next_code:
+            elif prev is not None and code == n_table:
                 entry = prev + prev[:1]
+            elif prev is None:
+                raise DecodeError("LZWDecode: bad first code")
             else:
                 raise DecodeError("LZWDecode: code out of range")
-            out.extend(entry)
+            extend(entry)
             if prev is not None:
-                table[next_code] = prev + entry[:1]
-                next_code += 1
+                append(prev + entry[:1])
                 # grow width at 511/1023/2047 thresholds, checked
                 # post-increment — the convention shared by the
                 # reference (PdfToText.php:2836–2841, DictionaryLengths
                 # keyed on dictionary_index after ++) and pdf.js/TCPDF.
                 # This is PDF EarlyChange=1: widen at 2^len - 1.
-                if next_code == (1 << code_len) - 1 and code_len < 12:
+                if n_table + 1 == (1 << code_len) - 1 and code_len < 12:
                     code_len += 1
             prev = entry
     return bytes(out)

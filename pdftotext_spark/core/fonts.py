@@ -51,6 +51,8 @@ _FONTMAP_RE = re.compile(
 def is_font(body: bytes) -> bool:
     """``IsFont`` (PdfToText.php:529–537): /Type/Font or /BaseFont,
     excluding FontDescriptors."""
+    if b"Font" not in body:  # C-level gate: runs per object per doc
+        return False
     has_type_font = _TYPE_FONT_RE.search(body) is not None
     if b"/FontDescriptor" in body and not has_type_font:
         return False

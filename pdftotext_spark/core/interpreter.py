@@ -100,6 +100,12 @@ _MASTER_RE = re.compile(
     rb"|(?P<lparen>\()"  # nested literal: regex str-alt failed → manual scan
     rb"|(?P<junk><|\))"
 )
+# the tokenizer dispatches on integer lastindex; pin the group layout
+# so a regex edit cannot silently desynchronize it
+assert _MASTER_RE.groupindex == {
+    "str": 1, "dict": 2, "hex": 3, "arr": 4, "arr_close": 5,
+    "name": 6, "num": 7, "op": 8, "lparen": 9, "junk": 10,
+}
 
 
 def tokenize(stream: bytes):
@@ -116,40 +122,38 @@ def tokenize(stream: bytes):
     pos = 0
     n = len(stream)
     match = _MASTER_RE.match
+    # integer lastindex dispatch (group numbers fixed by _MASTER_RE
+    # order), most-frequent kinds first — this loop runs per token of
+    # every content stream and the named-group path costs ~1.4x
     while pos < n:
         m = match(stream, pos)
         if m is None:  # unmatchable byte: skip (parity with old scanner)
             pos += 1
             continue
         pos = m.end()
-        kind = m.lastgroup
+        kind = m.lastindex
         if kind is None:  # whitespace
             continue
-        if kind == "str":
-            emit(("str", m.group("str")[1:-1]))
-        elif kind == "lparen":
-            # literal with nested parens — the non-nested alternative
-            # could not match; do the escape-aware balanced scan
-            tok, pos = _scan_literal(stream, m.start())
-            emit(tok)
-        elif kind == "num":
-            emit(("num", float(m.group("num"))))
-        elif kind == "op":
-            emit(("op", m.group("op").decode("latin-1")))
-        elif kind == "name":
-            emit(("name", m.group("name")[1:].decode("latin-1")))
-        elif kind == "hex":
-            emit(("hex", m.group("hex")[1:-1]))
-        elif kind == "arr":
+        if kind == 7:  # num
+            emit(("num", float(m.group(7))))
+        elif kind == 8:  # op
+            emit(("op", m.group(8).decode("latin-1")))
+        elif kind == 1:  # str (non-nested literal)
+            emit(("str", m.group(1)[1:-1]))
+        elif kind == 6:  # name
+            emit(("name", m.group(6)[1:].decode("latin-1")))
+        elif kind == 3:  # hex
+            emit(("hex", m.group(3)[1:-1]))
+        elif kind == 4:  # arr open
             stack.append([])  # emissions now land in the array
             emit = stack[-1].append
-        elif kind == "arr_close":
+        elif kind == 5:  # arr close
             if stack:
                 arr_list = stack.pop()
                 target = stack[-1] if stack else out
                 emit = target.append
                 emit(("arr", arr_list))
-        elif kind == "dict":
+        elif kind == 2:  # << dict: balanced skip
             depth = 1
             j = pos
             while j < n - 1 and depth:
@@ -163,7 +167,11 @@ def tokenize(stream: bytes):
                 else:
                     j += 1
             pos = j
-        # junk '<' alone: skipped
+        elif kind == 9:  # lparen: nested literal — the non-nested
+            # alternative could not match; escape-aware balanced scan
+            tok, pos = _scan_literal(stream, m.start())
+            emit(tok)
+        # kind 10: junk '<' or ')' alone — skipped
     return out
 
 
@@ -325,11 +333,32 @@ def extract_text_raw(
 ) -> str:
     """Raw-mode extraction (PdfToText.php:3327–3845).
 
-    When ``stats`` is given, instruction-distribution counters are
-    accumulated into it (M5 / PDFOPT_ENHANCED_STATISTICS,
-    PdfToText.php:1686–1711): raw vs stripped stream sizes and counts
-    per operator family.
+    Dispatches to the fused scanner (:func:`_extract_text_raw_fused`,
+    the hot path: one regex pass, no token tuples) unless ``stats``
+    accounting is requested, which keeps the token-loop reference
+    implementation — the two are differential-tested against each
+    other and against the independent layout interpreter.
     """
+    if stats is None:
+        return _extract_text_raw_fused(
+            stream, fonts, page, separator, repeat_separator
+        )
+    return _extract_text_raw_tokens(
+        stream, fonts, page, separator, stats, repeat_separator
+    )
+
+
+def _extract_text_raw_tokens(
+    stream: bytes,
+    fonts: FontTable,
+    page: int | None = None,
+    separator: str = " ",
+    stats: dict[str, int] | None = None,
+    repeat_separator: bool = False,
+) -> str:
+    """Token-loop raw extraction (reference path; also accumulates the
+    M5 / PDFOPT_ENHANCED_STATISTICS counters, PdfToText.php:1686–1711:
+    raw vs stripped stream sizes and counts per operator family)."""
     if stats is not None:
         stats["text_size"] = stats.get("text_size", 0) + len(stream)
     stream = strip_useless_instructions(stream)
@@ -439,6 +468,219 @@ def extract_text_raw(
 
     text = "".join(out)
     # normalize: strip trailing spaces per line, collapse >MAX blank runs
+    lines = [ln.rstrip() for ln in text.split("\n")]
+    return "\n".join(lines).strip("\n")
+
+
+def _extract_text_raw_fused(
+    stream: bytes,
+    fonts: FontTable,
+    page: int | None = None,
+    separator: str = " ",
+    repeat_separator: bool = False,
+) -> str:
+    """Fused scan+interpret raw extraction — semantics identical to
+    :func:`_extract_text_raw_tokens` (differential-tested), but one
+    regex pass with register-tracked operands instead of materializing
+    a token list: no per-token tuples, no operand list, byte-level op
+    dispatch. This loop is the single hottest code in the engine
+    (~40% of parse CPU at the 100 TB profile)."""
+    stream = strip_useless_instructions(stream)
+    out: list[str] = []
+    font: Font | None = fonts.default_font()
+    font_size = DEFAULT_FONT_SIZE
+    leading = 0.0
+    last_y: float | None = None
+
+    # operand registers (kinds: 0 none, 1 str, 2 hex, 3 num, 4 name,
+    # 5 TJ-array); `nums` mirrors the token path's per-op float list
+    prev_kind = 0
+    prev_val: object = None
+    last_kind = 0
+    last_val: object = None
+    nums: list[float] = []
+    arr: list[tuple] = []
+    arr_depth = 0
+
+    def emit_newlines(k: int) -> None:
+        if out and out[-1].endswith(" "):
+            out[-1] = out[-1].rstrip(" ")
+        out.append("\n" * k)
+
+    def move_to_y(y: float, relative_dy: float | None = None) -> None:
+        nonlocal last_y
+        if last_y is None:
+            last_y = y
+            return
+        dy = y - last_y if relative_dy is None else relative_dy
+        if dy != 0:
+            if dy >= 0:
+                k = 1
+            else:
+                unit = max(leading, font_size, 1.0)
+                k = max(1, min(MAX_BLANK_LINES, int(round(-dy / unit))))
+            emit_newlines(k)
+        last_y = y
+
+    def dec(kind: int, raw: bytes) -> str:
+        data = hex_string_bytes(raw) if kind == 2 else unescape_literal(raw)
+        f = font
+        if f is None:
+            return data.decode("latin-1")
+        w = f.code_width
+        if w >= 2:
+            mc = f.map_char
+            return "".join(
+                mc(int.from_bytes(data[k : k + w], "big"))
+                for k in range(0, len(data) - (len(data) % w), w)
+            )
+        return f.decode_single_bytes(data)
+
+    pos = 0
+    n = len(stream)
+    match = _MASTER_RE.match
+    while pos < n:
+        m = match(stream, pos)
+        if m is None:
+            pos += 1
+            continue
+        pos = m.end()
+        kind = m.lastindex
+        if kind is None:  # whitespace
+            continue
+        if arr_depth:
+            # inside a TJ array: tokens are collected (depth 1 only),
+            # never dispatched — mirrors the token path, where array
+            # elements land in a nested list the interpreter iterates
+            if kind == 5:  # ]
+                arr_depth -= 1
+                if arr_depth == 0:
+                    prev_kind, prev_val = last_kind, last_val
+                    last_kind, last_val = 5, arr
+            elif kind == 4:  # nested [
+                arr_depth += 1
+            elif kind == 2:  # << dict: balanced skip at any depth
+                depth = 1
+                j = pos
+                while j < n - 1 and depth:
+                    two = stream[j : j + 2]
+                    if two == b"<<":
+                        depth += 1
+                        j += 2
+                    elif two == b">>":
+                        depth -= 1
+                        j += 2
+                    else:
+                        j += 1
+                pos = j
+            elif kind == 9:  # nested-paren literal: scan at any depth
+                tok, pos = _scan_literal(stream, m.start())
+                if arr_depth == 1:
+                    arr.append((1, tok[1]))
+            elif arr_depth == 1:
+                if kind == 7:  # num (kern offset)
+                    arr.append((3, float(m.group(7))))
+                elif kind == 1:  # literal string
+                    arr.append((1, m.group(1)[1:-1]))
+                elif kind == 3:  # hex string
+                    arr.append((2, m.group(3)[1:-1]))
+                # names/operators/junk inside arrays: collected as inert
+                # elements by the token path, ignored by TJ — dropped
+            continue
+        if kind == 7:  # num
+            prev_kind, prev_val = last_kind, last_val
+            v = float(m.group(7))
+            last_kind, last_val = 3, v
+            nums.append(v)
+        elif kind == 8:  # operator: dispatch on raw bytes
+            op = m.group(8)
+            if op == b"Tj":
+                if last_kind in (1, 2):
+                    out.append(dec(last_kind, last_val))
+            elif op == b"Td" or op == b"TD":
+                if len(nums) >= 2:
+                    if op == b"TD":
+                        leading = abs(nums[1])
+                    if last_y is None:
+                        last_y = 0.0
+                    move_to_y(last_y + nums[1], relative_dy=nums[1])
+            elif op == b"Tm":
+                if len(nums) >= 6:
+                    move_to_y(nums[5])
+            elif op == b"TJ":
+                if last_kind == 5:
+                    for el_kind, el_val in last_val:
+                        if el_kind != 3:
+                            out.append(dec(el_kind, el_val))
+                        elif el_val < -MIN_SPACE_WIDTH:
+                            if repeat_separator:
+                                n_rep = max(
+                                    1,
+                                    int(-el_val // max(1000.0, MIN_SPACE_WIDTH)),
+                                )
+                                out.append(separator * n_rep)
+                            else:
+                                out.append(separator)
+            elif op == b"Tf":
+                if last_kind == 3:
+                    font_size = abs(last_val) or DEFAULT_FONT_SIZE
+                if prev_kind == 4:
+                    f = fonts.resolve(prev_val[1:].decode("latin-1"), page)
+                    if f is not None:
+                        font = f
+            elif op == b"TL":
+                if last_kind == 3:
+                    leading = abs(last_val)
+            elif op == b"T*":
+                if last_y is None:
+                    last_y = 0.0
+                dy = -(leading or font_size)
+                move_to_y(last_y + dy, relative_dy=dy)
+            elif op == b"'" or op == b'"':
+                if last_y is None:
+                    last_y = 0.0
+                dy = -(leading or font_size)
+                move_to_y(last_y + dy, relative_dy=dy)
+                if last_kind in (1, 2):
+                    out.append(dec(last_kind, last_val))
+            elif op == b"Do":
+                emit_newlines(1)  # PdfToText.php:3925-3928
+            prev_kind = last_kind = 0
+            prev_val = last_val = None
+            nums.clear()
+        elif kind == 1:  # non-nested literal string
+            prev_kind, prev_val = last_kind, last_val
+            last_kind, last_val = 1, m.group(1)[1:-1]
+        elif kind == 6:  # name (kept raw; decoded only at Tf)
+            prev_kind, prev_val = last_kind, last_val
+            last_kind, last_val = 4, m.group(6)
+        elif kind == 3:  # hex string
+            prev_kind, prev_val = last_kind, last_val
+            last_kind, last_val = 2, m.group(3)[1:-1]
+        elif kind == 4:  # [ begins a TJ array
+            arr = []
+            arr_depth = 1
+        elif kind == 2:  # << dict: balanced skip
+            depth = 1
+            j = pos
+            while j < n - 1 and depth:
+                two = stream[j : j + 2]
+                if two == b"<<":
+                    depth += 1
+                    j += 2
+                elif two == b">>":
+                    depth -= 1
+                    j += 2
+                else:
+                    j += 1
+            pos = j
+        elif kind == 9:  # nested literal fallback
+            tok, pos = _scan_literal(stream, m.start())
+            prev_kind, prev_val = last_kind, last_val
+            last_kind, last_val = 1, tok[1]
+        # kind 5 (stray ]) / 10 (junk): dropped, registers untouched
+
+    text = "".join(out)
     lines = [ln.rstrip() for ln in text.split("\n")]
     return "\n".join(lines).strip("\n")
 

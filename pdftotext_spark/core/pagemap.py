@@ -38,17 +38,20 @@ DEFAULT_PAGE_HEIGHT = 850.0
 
 
 def is_image(body: bytes) -> bool:
-    """``IsImage`` (PdfToText.php:582–588)."""
-    return bool(_SUBTYPE_IMAGE_RE.search(body))
+    """``IsImage`` (PdfToText.php:582–588). C-level substring gate:
+    these classifiers run for every object of every document."""
+    return b"/Image" in body and bool(_SUBTYPE_IMAGE_RE.search(body))
 
 
 def is_form_xobject(body: bytes) -> bool:
-    return bool(_SUBTYPE_FORM_RE.search(body))
+    return b"/Form" in body and bool(_SUBTYPE_FORM_RE.search(body))
 
 
 def is_page_header_or_footer(body: bytes) -> bool:
     """``IsPageHeaderOrFooter`` (PdfToText.php:623–631)."""
-    return bool(_PAGINATION_RE.search(body)) or bool(_ATTACHED_RE.search(body))
+    if b"Pagination" in body and _PAGINATION_RE.search(body):
+        return True
+    return b"/Attached" in body and bool(_ATTACHED_RE.search(body))
 
 
 def _balanced_dict(body: bytes, start: int) -> bytes:

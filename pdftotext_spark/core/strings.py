@@ -12,6 +12,10 @@ from __future__ import annotations
 
 import re
 
+# byte sets for C-level translate(None, ...) deletion (hot paths)
+_WS_DELETE = b" \t\n\r\x0b\x0c"
+_NON_HEX_DELETE = bytes(set(range(256)) - set(b"0123456789abcdefABCDEF"))
+
 _ESCAPES = {
     ord("n"): b"\n",
     ord("r"): b"\r",
@@ -75,13 +79,15 @@ def hex_string_bytes(raw: bytes) -> bytes:
     Inner whitespace is stripped (PdfToText.php:4150); an odd trailing
     nibble is zero-padded per spec.
     """
-    h = re.sub(rb"\s+", b"", raw)
+    # C-level whitespace deletion (this runs per hex string token —
+    # a regex sub here costs ~3x)
+    h = raw.translate(None, _WS_DELETE)
     if len(h) % 2:
         h += b"0"
     try:
         return bytes.fromhex(h.decode("ascii"))
     except ValueError:
-        h = re.sub(rb"[^0-9A-Fa-f]", b"", h)
+        h = h.translate(None, _NON_HEX_DELETE)
         if len(h) % 2:
             h += b"0"
         return bytes.fromhex(h.decode("ascii"))

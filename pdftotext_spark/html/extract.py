@@ -58,6 +58,12 @@ _RAWTEXT_TAGS = frozenset(
     ("script", "style", "title", "noscript", "iframe", "template")
 )
 _COMMENT_RE = re.compile(r"<!--.*?-->", re.S)
+# open/close tags of drop-subtree elements only — the stripper scan
+# visits just these (a handful per page) instead of every tag
+_DROP_TAG_RE = re.compile(
+    r"<(/?)(" + "|".join(_DROP_SUBTREE_TAGS) + r")\b((?:\"[^\"]*\"|'[^']*'|[^>])*)>",
+    re.I,
+)
 _TAG_RE = re.compile(r"<(/?)([a-zA-Z][a-zA-Z0-9-]*)((?:\"[^\"]*\"|'[^']*'|[^>])*)>")
 _WS_RE = re.compile(r"[ \t\r\f\v]+")
 
@@ -77,14 +83,13 @@ def _strip_drop_subtrees(markup: str) -> str:
     pos = 0
     drop_tag: str | None = None
     depth = 0
-    for m in _TAG_RE.finditer(markup):
+    for m in _DROP_TAG_RE.finditer(markup):
         closing, tag = m.group(1), m.group(2).lower()
-        self_closing = m.group(3).rstrip().endswith("/")
         if drop_tag is None:
-            if not closing and tag in _DROP_SET:
+            if not closing:
                 parts.append(markup[pos : m.start()])
                 pos = m.end()
-                if not self_closing:
+                if not m.group(3).rstrip().endswith("/"):
                     drop_tag = tag
                     depth = 1
         elif tag == drop_tag:
@@ -93,7 +98,9 @@ def _strip_drop_subtrees(markup: str) -> str:
                 if depth == 0:
                     drop_tag = None
                     pos = m.end()
-            elif drop_tag not in _RAWTEXT_TAGS and not self_closing:
+            elif drop_tag not in _RAWTEXT_TAGS and not m.group(3).rstrip().endswith(
+                "/"
+            ):
                 depth += 1
     if drop_tag is None:
         parts.append(markup[pos:])
