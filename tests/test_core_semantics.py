@@ -258,3 +258,105 @@ def test_simplify_unicode_option():
     simplified = extract_document(pdf, ExtractOptions(simplify_unicode=True))
     assert plain.text == "ﬁn—x"
     assert simplified.text == "fin-x"
+
+
+# ------------------------------------- fused-vs-token differential guards
+
+
+def test_fused_raw_interpreter_matches_token_path():
+    """The fused scan+interpret fast path must be byte-identical to the
+    token-loop reference on the full operator battery."""
+    from pdftotext_spark.core.interpreter import (
+        _extract_text_raw_fused,
+        _extract_text_raw_tokens,
+    )
+
+    battery = [
+        b"BT /F1 12 Tf 1 0 0 1 72 720 Tm (Hello) Tj ET",
+        b"BT (a) Tj 0 -14 Td (b) Tj 0 -28 Td (c) Tj ET",
+        b"BT [(ker) -250 (ned)] TJ ET",
+        b"BT [(a) -50 (b) -1500 (c)] TJ ET",
+        b"BT (line1) ' (line2) ' ET",
+        b'BT 2 3 (aw ac quoted) " ET',
+        b"BT /F9 7.5 Tf <48656C6C 6F> Tj ET",
+        b"BT T* (x) Tj T* (y) Tj ET",
+        b"BT 14 TL (p) ' (q) ' ET",
+        b"BT /XX Do (t) Tj ET",
+        b"BT ((nested) parens) Tj ET",
+        b"BT [((nst) a) -300 (z)] TJ ET",
+        b"BT [ [(inner)] (outer) ] TJ ET",
+        b"BT << /Junk [)] >> (after) Tj ET",
+        b"BT [ << /D [ ] >> (el) ] TJ ET",
+        b"BT ] (stray) Tj ET",
+        b"BT /F1 Tf (nosize) Tj ET",
+        b"BT 12 Tf (noname) Tj ET",
+        b"garbage \x01\x02 BT (ok) Tj ET trailing",
+        b"BT (esc \\( paren \\n) Tj ET",
+        b"BT <4 8> Tj ET",
+        b"",
+    ]
+    for s in battery:
+        assert _extract_text_raw_fused(s, FontTable()) == _extract_text_raw_tokens(
+            s, FontTable()
+        ), s
+
+
+def test_fused_raw_interpreter_fuzz_equivalence():
+    import random
+
+    from pdftotext_spark.core.interpreter import (
+        _extract_text_raw_fused,
+        _extract_text_raw_tokens,
+    )
+
+    random.seed(7)
+    alphabet = [
+        b"BT", b"ET", b"(txt)", b"(a(b)c)", b"<414 2>", b"[", b"]",
+        b"-300", b"12", b"/F1", b"Tf", b"Td", b"TD", b"Tm", b"Tj",
+        b"TJ", b"'", b'"', b"T*", b"TL", b"Do", b"<<", b">>", b"q",
+        b"Q", b"0.5", b"(x)",
+    ]
+    for _ in range(1500):
+        s = b" ".join(random.choices(alphabet, k=random.randrange(1, 40)))
+        assert _extract_text_raw_fused(s, FontTable()) == _extract_text_raw_tokens(
+            s, FontTable()
+        ), s
+
+
+def test_find_based_object_scan_matches_regex():
+    """_iter_objects (memmem-anchored) must agree with the original
+    regex on builders, edge shapes and garbage fuzz."""
+    import random
+
+    from pdftotext_spark.core.objects import _OBJ_RE, _iter_objects
+    from pdftotext_spark.sources import pdfbuilder as pb
+
+    def ref(buf):
+        return [(int(m.group(1)), m.group(3)) for m in _OBJ_RE.finditer(buf)]
+
+    cases = [
+        pb.simple_pdf([["hello world"]]),
+        pb.simple_pdf([["x"]], stream_filter="FlateDecode"),
+        pb.objstm_pdf("inside")[0],
+        b"",
+        b"no objects here",
+        b"3 0 obj",
+        b"endobj endobj",
+        b"12 0 obj <<>> endobj 13 0 obj (x) endobj",
+        b"xxobj 1 0 obj A endobj",
+        b"9 obj A endobj",
+        b"1 0 obj trailing without end",
+        b"1  0\nobj\nbody\nendobj",
+        b"obj endobj 2 1 obj ok endobj",
+        b"7 0 objx not real endobj 8 0 obj real endobj",
+    ]
+    random.seed(3)
+    toks = [
+        b"obj", b"endobj", b" ", b"\n", b"12", b"0", b"3", b"<<", b">>",
+        b"(s)", b"stream", b"endstream",
+        bytes(random.randrange(256) for _ in range(5)),
+    ]
+    for _ in range(1500):
+        cases.append(b"".join(random.choices(toks, k=random.randrange(0, 30))))
+    for c in cases:
+        assert list(_iter_objects(c)) == ref(c), c[:80]
