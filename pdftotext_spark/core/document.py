@@ -95,6 +95,31 @@ class ExtractOptions:
     cid_tables: tuple = ()  # ((variant, plain_dict, alt_dict), ...)
 
 
+def options_from_json(spec: dict) -> ExtractOptions:
+    """Build :class:`ExtractOptions` from a JSON-friendly dict — the
+    deployable job's ``--options`` carrier (scripts/run_extraction_job
+    ships it through spark-submit, so every field must survive JSON).
+    JSON objects key by string; CID codes are coerced back to int.
+    Unknown keys raise (fail loudly at submit time, not on executors).
+    """
+    kw = dict(spec)
+    if "cid_tables" in kw:
+        kw["cid_tables"] = tuple(
+            (
+                variant,
+                {int(k): s for k, s in (plain or {}).items()},
+                {
+                    int(p): {int(k): s for k, s in (sub or {}).items()}
+                    for p, sub in (alt or {}).items()
+                },
+            )
+            for variant, plain, alt in kw["cid_tables"]
+        )
+    if "markers" in kw:
+        kw["markers"] = tuple(tuple(m) for m in kw["markers"])
+    return ExtractOptions(**kw)
+
+
 @dataclass
 class ExtractResult:
     text: str = ""

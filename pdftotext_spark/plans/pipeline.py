@@ -249,9 +249,13 @@ def run_extraction(
     metrics_path: str | None = None,
     run_id: str = "run-0",
     resume: bool = True,
+    options=None,
 ) -> DataFrame:
     """End-to-end job: read → (resume filter) → extract → write +
-    manifest. Returns the extracted DataFrame (lazily if not written)."""
+    manifest. Returns the extracted DataFrame (lazily if not written).
+    ``options`` is an :class:`~pdftotext_spark.core.document.
+    ExtractOptions` (or None for defaults) — it rides inside the
+    pickled UDF so the full option surface reaches executors."""
     transcripts = read_transcripts(spark, input_path)
     if output_path is not None and resume:
         try:
@@ -259,7 +263,7 @@ def run_extraction(
             transcripts = resume_anti_join(transcripts, committed)
         except Exception:
             pass  # nothing committed yet
-    extracted = extract_turns(transcripts)
+    extracted = extract_turns(transcripts, options=options)
     if output_path is not None:
         # lineage columns stamped before the write: every output row
         # records which run committed it and which extraction task

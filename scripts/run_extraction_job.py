@@ -37,7 +37,25 @@ def main() -> None:
         help="force a salted repartition (only for pathological file layouts; "
         "default: shuffle-free scan splits)",
     )
+    ap.add_argument(
+        "--options",
+        default=None,
+        help="ExtractOptions as inline JSON, or @path to a JSON file "
+        "(fields of pdftotext_spark.core.document.ExtractOptions, e.g. "
+        '\'{"layout": true, "cid_tables": [["ABCD", {"1": "A"}, {}]]}\')',
+    )
     args = ap.parse_args()
+
+    options = None
+    if args.options:
+        import json
+
+        from pdftotext_spark.core.document import options_from_json
+
+        raw = args.options
+        if raw.startswith("@"):
+            raw = Path(raw[1:]).read_text()
+        options = options_from_json(json.loads(raw))
 
     from pyspark.sql import SparkSession
 
@@ -66,7 +84,7 @@ def main() -> None:
             except Exception:
                 pass  # first run: nothing committed yet
         extracted = (
-            extract_turns(transcripts, n_partitions=args.repartition)
+            extract_turns(transcripts, n_partitions=args.repartition, options=options)
             .withColumn("partition_id", F.spark_partition_id())
             .withColumn("run_id", F.lit(args.run_id))
         )
@@ -89,6 +107,7 @@ def main() -> None:
             metrics_path=args.metrics,
             run_id=args.run_id,
             resume=not args.no_resume,
+            options=options,
         )
     spark.stop()
 

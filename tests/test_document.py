@@ -197,6 +197,28 @@ def test_alt_pending_cleared_by_non_cid_resolution():
     assert font.map_char(5) == "é"
 
 
+def test_options_from_json_roundtrip():
+    # the deployable job's --options carrier: JSON string keys coerce
+    # back to int CID codes; unknown fields fail loudly
+    import pytest
+
+    from pdftotext_spark.core.document import options_from_json
+
+    opts = options_from_json(
+        {
+            "layout": True,
+            "max_pages": 2,
+            "cid_tables": [["VARX", {"1": "A"}, {"0": {"1": "Á"}}]],
+            "markers": [["foo", "<", ">"]],
+        }
+    )
+    assert opts.layout and opts.max_pages == 2
+    assert opts.cid_tables == (("VARX", {1: "A"}, {0: {1: "Á"}}),)
+    assert opts.markers == (("foo", "<", ">"),)
+    with pytest.raises(TypeError):
+        options_from_json({"not_a_field": 1})
+
+
 def test_differences_encoding():
     pdf, golden = pb.differences_pdf()
     assert extract_document(pdf).text == golden

@@ -134,3 +134,69 @@ def test_spark_submit_dedup_job(tmp_path):
         f"SELECT doc_id, group_id FROM read_parquet('{tmp_path}/groups/*.parquet') ORDER BY doc_id"
     ).fetchall()
     assert all(g == 0 for _, g in groups)  # one component, min-id 0
+
+
+def test_spark_submit_with_options(tmp_path):
+    """VERDICT r02 item 9: the full ExtractOptions surface must survive
+    spark-submit --py-files — exercised with driver-supplied CID
+    override tables (the most executor-sensitive option: it rides the
+    pickled UDF, not any process-global registry)."""
+    import base64
+    import json
+
+    import pandas as pd
+
+    from pdftotext_spark.sources import pdfbuilder as pb
+    from pdftotext_spark.sources.shipping import build_package_zip
+
+    pdf, _ = pb.identity_h_no_tounicode_pdf("x", base_font="SUBOPT+Fake")
+    pdf = pdf.replace(b"<005B>", b"<000100020003>")
+    indir = tmp_path / "in"
+    indir.mkdir()
+    pd.DataFrame(
+        {
+            "conv_id": ["c1"],
+            "turn_idx": [0],
+            "role": ["user"],
+            "text": ["%B64%" + base64.b64encode(pdf).decode("ascii")],
+            "tool": ["pdf-b64"],
+            "ts": pd.to_datetime(["2026-01-01"], utc=True).as_unit("us"),
+        }
+    ).to_parquet(indir / "t.parquet")
+    opts_file = tmp_path / "opts.json"
+    opts_file.write_text(
+        json.dumps(
+            {"cid_tables": [["SUBOPT", {"1": "A", "2": "B", "3": "C"}, {}]]}
+        )
+    )
+    zip_path = build_package_zip(str(tmp_path))
+    out = tmp_path / "out"
+    proc = subprocess.run(
+        [
+            SPARK_SUBMIT,
+            "--master",
+            "local[4]",
+            "--py-files",
+            zip_path,
+            "--conf",
+            "spark.ui.enabled=false",
+            str(REPO / "scripts" / "run_extraction_job.py"),
+            "--input",
+            str(indir / "t.parquet"),
+            "--output",
+            str(out),
+            "--run-id",
+            "opt-test",
+            "--options",
+            f"@{opts_file}",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=480,
+        cwd=str(tmp_path),
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    row = duckdb.sql(
+        f"SELECT extracted_text FROM read_parquet('{out}/*.parquet')"
+    ).fetchone()
+    assert row[0] == "ABC"
