@@ -265,7 +265,7 @@ def extract_document(buf: bytes, options: ExtractOptions | None = None) -> Extra
             data = decoded.get(cid)
             if data is None:
                 continue
-            if opts.ignore_headers_and_footers:
+            if opts.ignore_headers_and_footers and b"BDC" in data:
                 data = strip_header_footer_spans(data)
             # template inlining: /TPLx Do → splice the form XObject's
             # stream (G5, PdfToText.php:8293–8331), one level + cycle-safe
@@ -276,7 +276,8 @@ def extract_document(buf: bytes, options: ExtractOptions | None = None) -> Extra
                     return b" " + form_xobject_streams[xid] + b" "
                 return m.group(0)
 
-            data = _XOBJ_DO_RE.sub(splice, data)
+            if b"Do" in data:  # gate: most streams draw no XObjects
+                data = _XOBJ_DO_RE.sub(splice, data)
             chunks.append(data)
         stream = b"\n".join(chunks)
         if opts.layout or opts.want_fragments:
