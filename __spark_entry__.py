@@ -68,6 +68,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
     "minhash_signatures": dedup.minhash_signatures,
     "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
+    "minhash_jaccard_estimate": dedup.minhash_jaccard_estimate,  # sketch-accuracy audit
     "simhash": dedup.simhash,
     "simhash_neardup_pairs": dedup.simhash_neardup_pairs,
     "winnowing_fingerprints": dedup.winnowing_fingerprints,
@@ -97,6 +98,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_cms": sketches.token_cms,
     "heavy_hitters_exact": sketches.heavy_hitters_exact,
     "doc_fingerprint": textstats.doc_fingerprint,
+    "tfidf_top_terms": textstats.tfidf_top_terms,        # per-source vocab dashboard
 }
 
 _ORACLES: dict[str, str] = {
@@ -126,6 +128,7 @@ _ORACLES: dict[str, str] = {
     "ngram_jaccard_pairs": dedup.NGRAM_JACCARD_PAIRS_SQL,
     "minhash_signatures": dedup.MINHASH_SIGNATURES_SQL,
     "minhash_lsh_pairs": dedup.MINHASH_LSH_PAIRS_SQL,
+    "minhash_jaccard_estimate": dedup.MINHASH_JACCARD_ESTIMATE_SQL,
     "simhash": dedup.SIMHASH_SQL,
     "simhash_neardup_pairs": dedup.SIMHASH_NEARDUP_PAIRS_SQL,
     "winnowing_fingerprints": dedup.WINNOWING_FINGERPRINTS_SQL,
@@ -147,6 +150,7 @@ _ORACLES: dict[str, str] = {
     "token_cms": sketches.TOKEN_CMS_SQL,
     "heavy_hitters_exact": sketches.HEAVY_HITTERS_EXACT_SQL,
     "doc_fingerprint": textstats.DOC_FINGERPRINT_SQL,
+    "tfidf_top_terms": textstats.TFIDF_TOP_TERMS_SQL,
 }
 
 

@@ -4,9 +4,11 @@ n-gram Jaccard, MinHash+LSH and SimHash — all expressed with built-in
 paired with a DuckDB oracle.
 
 Portability trick for hash parity: both engines implement ``md5``
-identically, and the *lexicographic minimum of md5(seed || shingle)*
-is a valid MinHash (uniform over hex strings), so signatures match
-bit-for-bit across engines with zero UDFs. SimHash uses md5 hex
+identically, and the *lexicographic minimum of a fixed hex slice of
+md5(seed || shingle)* is a valid MinHash (uniform over hex strings),
+so signatures match bit-for-bit across engines with zero UDFs — two
+digests per shingle yield all 8 components (``_sig_slice_sql``), and
+each LSH band mixes one slice from each digest. SimHash uses md5 hex
 nibbles as the per-token hash bits via arithmetic both dialects share.
 
 Scale notes:
@@ -53,6 +55,22 @@ _SHINGLES_SQL = f"""
   FROM documents, (SELECT unnest(range(1, {SHINGLE_SPAN + 1})) AS i) r
   WHERE i <= greatest(length(text) - {SHINGLE_LEN - 1}, 1)
 """
+
+
+# Each of the 8 MinHash components is the lexicographic min of one
+# fixed 8-hex-char (32-bit) slice of md5('a:'||sh) / md5('b:'||sh) —
+# statistically a proper MinHash (uniform 32-bit values; ties are
+# ~n²/2³³ ≈ negligible at shingle counts ≤ SHINGLE_SPAN) at 2 digest
+# computations per shingle instead of 8 (this chain is the headline
+# cost of the whole dedup family). Portable: both engines slice the
+# same md5 hex the same way.
+def _sig_slice_sql(k: int) -> str:
+    seed = "a" if k < 4 else "b"
+    off = 1 + 8 * (k % 4)
+    return f"MIN(substr(md5('{seed}:' || sh), {off}, 8)) AS h{k}"
+
+
+_SIG_EXPRS_SQL = ", ".join(_sig_slice_sql(k) for k in range(N_MINHASH))
 
 
 # ------------------------------------------------------------ exact dedup
@@ -128,7 +146,7 @@ WITH s AS ({_SHINGLES_SQL}),
 c AS (SELECT doc_id, COUNT(*) AS n_sh FROM s GROUP BY doc_id),
 sig AS (
   SELECT CAST(doc_id AS BIGINT) AS doc_id,
-         {", ".join(f"MIN(md5('{k}:' || sh)) AS h{k}" for k in range(N_MINHASH))}
+         {_SIG_EXPRS_SQL}
   FROM s GROUP BY doc_id
 ),
 bands AS ({{bands}}),
@@ -156,17 +174,25 @@ WHERE common * 1.0 / (ca.n_sh + cb.n_sh - common) >= {JACCARD_THRESHOLD}
 
 
 def _signatures_from_shingles(s: DataFrame) -> DataFrame:
+    hashed = s.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.md5(F.concat(F.lit("a:"), F.col("sh"))).alias("ma"),
+        F.md5(F.concat(F.lit("b:"), F.col("sh"))).alias("mb"),
+    )
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{k}:"), F.col("sh")))).alias(f"h{k}")
+        F.min(
+            F.substring("ma" if k < 4 else "mb", 1 + 8 * (k % 4), 8)
+        ).alias(f"h{k}")
         for k in range(N_MINHASH)
     ]
-    return s.groupBy(F.col("doc_id").cast("long").alias("doc_id")).agg(*aggs)
+    return hashed.groupBy("doc_id").agg(*aggs)
 
 
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-doc MinHash signature: h_k = min(md5('k:' || shingle)).
-    Lexicographic min over uniformly-distributed hex digests is a
-    proper MinHash; identical in any engine with md5."""
+    """Per-doc MinHash signature: h_k = lexicographic min of a fixed
+    32-bit hex slice of md5('a:'||shingle) / md5('b:'||shingle)
+    (see ``_sig_slice_sql``) — a proper MinHash at 2 digests per
+    shingle instead of 8; identical in any engine with md5."""
     docs = _read(spark, sf_dir, "documents")
     return _signatures_from_shingles(_shingles(docs))
 
@@ -174,7 +200,7 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 MINHASH_SIGNATURES_SQL = f"""
 WITH s AS ({_SHINGLES_SQL})
 SELECT CAST(doc_id AS BIGINT) AS doc_id,
-       {", ".join(f"MIN(md5('{k}:' || sh)) AS h{k}" for k in range(N_MINHASH))}
+       {_SIG_EXPRS_SQL}
 FROM s GROUP BY doc_id
 """
 
@@ -198,7 +224,10 @@ def _lsh_pairs_from_shingles(s: DataFrame) -> DataFrame:
                     F.struct(
                         F.lit(i).alias("band_idx"),
                         F.md5(
-                            F.concat(F.col(f"h{2 * i}"), F.col(f"h{2 * i + 1}"))
+                            # band i pairs one slice of digest a with one of digest b so
+                            # no band is built from two slices of the SAME md5
+                            # (intra-digest coupling inflates candidates)
+                            F.concat(F.col(f"h{i}"), F.col(f"h{i + 4}"))
                         ).alias("band_hash"),
                     )
                     for i in range(N_MINHASH // BAND_SIZE)
@@ -223,7 +252,7 @@ def _lsh_pairs_from_shingles(s: DataFrame) -> DataFrame:
 
 
 _BANDS_SQL = " UNION ALL ".join(
-    f"SELECT doc_id, {i} AS band_idx, md5(h{2 * i} || h{2 * i + 1}) AS band_hash FROM sig"
+    f"SELECT doc_id, {i} AS band_idx, md5(h{i} || h{i + 4}) AS band_hash FROM sig"
     for i in range(N_MINHASH // BAND_SIZE)
 )
 
@@ -234,7 +263,7 @@ MINHASH_LSH_PAIRS_SQL = f"""
 WITH s AS ({_SHINGLES_SQL}),
 sig AS (
   SELECT CAST(doc_id AS BIGINT) AS doc_id,
-         {", ".join(f"MIN(md5('{k}:' || sh)) AS h{k}" for k in range(N_MINHASH))}
+         {_SIG_EXPRS_SQL}
   FROM s GROUP BY doc_id
 ),
 bands AS ({_BANDS_SQL})
@@ -463,7 +492,7 @@ DEDUP_GROUPS_MINHASH_SQL = f"""
 WITH RECURSIVE s AS ({_SHINGLES_SQL}),
 sig AS (
   SELECT CAST(doc_id AS BIGINT) AS doc_id,
-         {", ".join(f"MIN(md5('{k}:' || sh)) AS h{k}" for k in range(N_MINHASH))}
+         {_SIG_EXPRS_SQL}
   FROM s GROUP BY doc_id
 ),
 bands AS ({_BANDS_SQL}),
@@ -503,7 +532,7 @@ DEDUP_APPLY_MINHASH_SQL = f"""
 WITH s AS ({_SHINGLES_SQL}),
 sig AS (
   SELECT CAST(doc_id AS BIGINT) AS doc_id,
-         {", ".join(f"MIN(md5('{k}:' || sh)) AS h{k}" for k in range(N_MINHASH))}
+         {_SIG_EXPRS_SQL}
   FROM s GROUP BY doc_id
 ),
 bands AS ({_BANDS_SQL}),
@@ -598,4 +627,113 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
 FROM sig a JOIN sig b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_THRESHOLD}
+"""
+
+
+def minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-accuracy audit: for every LSH candidate pair, the
+    MinHash-estimated Jaccard (fraction of agreeing signature
+    components) next to the exact shingle Jaccard and the absolute
+    error — the calibration table that justifies a chosen
+    (n_hashes, bands) configuration before trusting it at 100 TB.
+
+    Shape: one shingle materialization feeds signatures, candidates
+    and exact verification (localCheckpoint); the estimate is a
+    broadcastable two-sided signature join on the (already tiny)
+    candidate list; exact counts run only over candidates."""
+    docs = _read(spark, sf_dir, "documents")
+    s = _shingles(docs).localCheckpoint()
+    cand = _lsh_pairs_from_shingles(s)
+    sig = _signatures_from_shingles(s)
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"h{k}").alias(f"a{k}") for k in range(N_MINHASH)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"h{k}").alias(f"b{k}") for k in range(N_MINHASH)],
+    )
+    agree = sum(
+        (
+            F.when(F.col(f"a{k}") == F.col(f"b{k}"), 1).otherwise(0)
+            for k in range(N_MINHASH)
+        ),
+        F.lit(0),
+    )
+    est = cand.join(sa, "doc_a").join(sb, "doc_b").select(
+        "doc_a", "doc_b", (agree / float(N_MINHASH)).alias("est_jaccard")
+    )
+    counts = s.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    sha = s.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    shb = s.select(F.col("doc_id").alias("cb_doc"), F.col("sh").alias("sh_b"))
+    common = (
+        F.broadcast(cand)
+        .join(sha, "doc_a")
+        .join(
+            shb,
+            (F.col("doc_b") == F.col("cb_doc")) & (F.col("sh_a") == F.col("sh_b")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("common"))
+    )
+    ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    exact = (
+        F.coalesce(F.col("common"), F.lit(0))
+        / (F.col("n_a") + F.col("n_b") - F.coalesce(F.col("common"), F.lit(0)))
+    )
+    return (
+        est.join(common, ["doc_a", "doc_b"], "left")
+        .join(F.broadcast(ca), "doc_a")
+        .join(F.broadcast(cb), "doc_b")
+        .select(
+            F.col("doc_a").cast("long"),
+            F.col("doc_b").cast("long"),
+            F.round("est_jaccard", 4).cast("double").alias("est_jaccard"),
+            F.round(exact, 4).cast("double").alias("exact_jaccard"),
+            F.round(F.abs(F.col("est_jaccard") - exact), 4)
+            .cast("double")
+            .alias("abs_err"),
+        )
+    )
+
+
+MINHASH_JACCARD_ESTIMATE_SQL = f"""
+WITH s AS ({_SHINGLES_SQL}),
+c AS (SELECT doc_id, COUNT(*) AS n_sh FROM s GROUP BY doc_id),
+sig AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         {_SIG_EXPRS_SQL}
+  FROM s GROUP BY doc_id
+),
+bands AS ({_BANDS_SQL}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id
+),
+est AS (
+  SELECT cand.doc_a, cand.doc_b,
+         ({" + ".join(f"CASE WHEN a.h{k} = b.h{k} THEN 1 ELSE 0 END" for k in range(N_MINHASH))}) / {float(N_MINHASH)} AS est_j
+  FROM cand
+  JOIN sig a ON a.doc_id = cand.doc_a
+  JOIN sig b ON b.doc_id = cand.doc_b
+),
+common AS (
+  SELECT cand.doc_a, cand.doc_b, COUNT(*) AS common
+  FROM cand
+  JOIN s sa ON sa.doc_id = cand.doc_a
+  JOIN s sb ON sb.doc_id = cand.doc_b AND sb.sh = sa.sh
+  GROUP BY cand.doc_a, cand.doc_b
+)
+SELECT CAST(est.doc_a AS BIGINT) AS doc_a,
+       CAST(est.doc_b AS BIGINT) AS doc_b,
+       CAST(ROUND(est.est_j, 4) AS DOUBLE) AS est_jaccard,
+       CAST(ROUND(COALESCE(cm.common, 0) * 1.0 / (ca.n_sh + cb.n_sh - COALESCE(cm.common, 0)), 4) AS DOUBLE) AS exact_jaccard,
+       CAST(ROUND(ABS(est.est_j - COALESCE(cm.common, 0) * 1.0 / (ca.n_sh + cb.n_sh - COALESCE(cm.common, 0))), 4) AS DOUBLE) AS abs_err
+FROM est
+LEFT JOIN common cm ON cm.doc_a = est.doc_a AND cm.doc_b = est.doc_b
+JOIN c ca ON ca.doc_id = est.doc_a
+JOIN c cb ON cb.doc_id = est.doc_b
 """

@@ -247,3 +247,80 @@ SELECT doc_id,
        CAST(length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS BIGINT) AS norm_len
 FROM documents
 """
+
+
+TFIDF_TOP_K = 5
+
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source top-k terms by summed TF-IDF — the vocabulary
+    dashboard a corpus-curation pipeline uses to spot boilerplate and
+    domain drift.
+
+    100 TB shape: token explode → map-side partial (doc_id, term)
+    counts (one shuffle), term document-frequencies from the same
+    frame (second shuffle on term, AQE-broadcastable vocab), a 1-row
+    broadcast for the corpus size, then a per-source window top-k
+    (TakeOrdered shape). All built-in expressions; natural-log IDF
+    rounded to 6dp for engine-portable hashing."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    terms = docs.select(
+        "doc_id",
+        "source",
+        F.explode(F.split(F.lower("text"), " ")).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = terms.groupBy("doc_id", "source", "term").agg(
+        F.count("*").alias("tf")
+    )
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("tfidf", F.col("tf") * F.log(F.col("n_docs") / F.col("df")))
+        .groupBy("source", "term")
+        .agg(F.sum("tfidf").alias("score"))
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("source").orderBy(
+        F.desc("score"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TFIDF_TOP_K)
+        .select(
+            "source",
+            "term",
+            F.round("score", 6).cast("double").alias("score"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+TFIDF_TOP_TERMS_SQL = f"""
+WITH terms AS (
+  SELECT doc_id, source, t.term
+  FROM documents, unnest(string_split(lower(text), ' ')) AS t(term)
+  WHERE t.term <> ''
+),
+tf AS (
+  SELECT doc_id, source, term, COUNT(*) AS tf
+  FROM terms GROUP BY doc_id, source, term
+),
+df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.source, tf.term, SUM(tf.tf * ln(n.n_docs * 1.0 / df.df)) AS score
+  FROM tf JOIN df USING (term) CROSS JOIN n
+  GROUP BY tf.source, tf.term
+),
+ranked AS (
+  SELECT source, term, score,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY score DESC, term ASC) AS rank
+  FROM scored
+)
+SELECT source, term, CAST(ROUND(score, 6) AS DOUBLE) AS score,
+       CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {TFIDF_TOP_K}
+"""
