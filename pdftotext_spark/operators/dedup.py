@@ -37,17 +37,20 @@ def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 
-def _shingles(docs: DataFrame) -> DataFrame:
-    """Distinct char-8-gram shingles per doc over a bounded prefix.
-    Pure built-ins: sequence → transform(substring) → explode."""
+def _shingles(docs: DataFrame, distinct: bool = True) -> DataFrame:
+    """Char-8-gram shingles per doc over a bounded prefix. Pure
+    built-ins: sequence → transform(substring) → explode.
+
+    ``distinct=False`` skips the dedup shuffle — correct whenever the
+    consumer is duplicate-insensitive (MinHash ``min()`` aggregation);
+    the exact-Jaccard verifiers need set semantics and keep the
+    default."""
     expr = (
         f"transform(sequence(1, greatest(least(length(text) - {SHINGLE_LEN - 1}, "
         f"{SHINGLE_SPAN}), 1)), i -> substring(text, i, {SHINGLE_LEN}))"
     )
-    return (
-        docs.select("doc_id", F.explode(F.expr(expr)).alias("sh"))
-        .distinct()
-    )
+    out = docs.select("doc_id", F.explode(F.expr(expr)).alias("sh"))
+    return out.distinct() if distinct else out
 
 
 _SHINGLES_SQL = f"""
@@ -194,7 +197,7 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     (see ``_sig_slice_sql``) — a proper MinHash at 2 digests per
     shingle instead of 8; identical in any engine with md5."""
     docs = _read(spark, sf_dir, "documents")
-    return _signatures_from_shingles(_shingles(docs))
+    return _signatures_from_shingles(_shingles(docs, distinct=False))
 
 
 MINHASH_SIGNATURES_SQL = f"""
@@ -211,7 +214,7 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the (band_idx, band_hash) bucket — tiny expected buckets, the
     100 TB-safe join shape."""
     docs = _read(spark, sf_dir, "documents")
-    return _lsh_pairs_from_shingles(_shingles(docs))
+    return _lsh_pairs_from_shingles(_shingles(docs, distinct=False))
 
 
 def _lsh_pairs_from_shingles(s: DataFrame) -> DataFrame:
