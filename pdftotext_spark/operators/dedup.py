@@ -191,6 +191,55 @@ def _signatures_from_shingles(s: DataFrame) -> DataFrame:
     return hashed.groupBy("doc_id").agg(*aggs)
 
 
+def signatures_for(
+    df: DataFrame, key_cols: list[str], text_col: str = "text"
+) -> DataFrame:
+    """MinHash signatures for an arbitrary keyed frame (same
+    two-digest slice scheme as :func:`minhash_signatures`, but keyed
+    by ``key_cols`` instead of a numeric doc_id) — shared by the
+    streaming near-dup filter, which keys on (conv_id, turn_idx)."""
+    expr = (
+        f"transform(sequence(1, greatest(least(length({text_col}) - "
+        f"{SHINGLE_LEN - 1}, {SHINGLE_SPAN}), 1)), "
+        f"i -> substring({text_col}, i, {SHINGLE_LEN}))"
+    )
+    s = df.select(*key_cols, F.explode(F.expr(expr)).alias("sh"))
+    hashed = s.select(
+        *key_cols,
+        F.md5(F.concat(F.lit("a:"), F.col("sh"))).alias("ma"),
+        F.md5(F.concat(F.lit("b:"), F.col("sh"))).alias("mb"),
+    )
+    aggs = [
+        F.min(F.substring("ma" if k < 4 else "mb", 1 + 8 * (k % 4), 8)).alias(
+            f"h{k}"
+        )
+        for k in range(N_MINHASH)
+    ]
+    return hashed.groupBy(*key_cols).agg(*aggs)
+
+
+def bands_for(sig: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Explode a signature frame into its LSH band rows
+    ``(*key_cols, band_idx, band_hash)`` — one slice from each digest
+    per band (see the banding note on ``_lsh_pairs_from_shingles``)."""
+    return sig.select(
+        *key_cols,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        F.md5(
+                            F.concat(F.col(f"h{i}"), F.col(f"h{i + 4}"))
+                        ).alias("band_hash"),
+                    )
+                    for i in range(N_MINHASH // BAND_SIZE)
+                ]
+            )
+        ).alias("band"),
+    ).select(*key_cols, "band.band_idx", "band.band_hash")
+
+
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc MinHash signature: h_k = lexicographic min of a fixed
     32-bit hex slice of md5('a:'||shingle) / md5('b:'||shingle)

@@ -30,3 +30,89 @@ def dedup_stream(
         .dropDuplicatesWithinWatermark(["content_md5"])
         .drop("content_md5")
     )
+
+
+def neardup_filter_batch(output_dir: str, store_dir: str):
+    """``foreachBatch`` body for streaming NEAR-duplicate dedup.
+
+    Per micro-batch: MinHash-sign the new turns (two-digest slice
+    scheme, :func:`pdftotext_spark.operators.dedup.signatures_for`),
+    explode to LSH bands, and drop every turn that (a) shares a band
+    bucket with an already-accepted turn in the persistent band store,
+    or (b) loses an in-batch band collision to a lower-keyed turn (the
+    one-pass min-key survivor policy of ``apply_dedup``). Survivors
+    append to the output AND their bands append to the store, so later
+    batches see them.
+
+    LSH-positive ⇒ drop is deliberately *approximate* (candidate-level,
+    no exact verify): the streaming filter's job is cheap high-recall
+    suppression at ingest; the batch ``dedup_groups``/``apply_dedup``
+    pass downstream is the exact authority. At 100 TB the store is the
+    thing to manage: it holds 4 band rows per accepted doc (not text),
+    should live in a partitioned table (Iceberg when available), and
+    the per-batch probe is one left-semi join on (band_idx, band_hash)
+    that AQE broadcasts while the store is small.
+    """
+    from pdftotext_spark.operators.dedup import bands_for, signatures_for
+
+    def _fn(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        if batch.isEmpty():
+            return
+        keys = ["conv_id", "turn_idx"]
+        batch = batch.localCheckpoint()  # consumed by 3 plans below
+        bands = bands_for(signatures_for(batch, keys), keys).localCheckpoint()
+        # (a) cross-batch: anything banding with the accepted store
+        try:
+            store = spark.read.parquet(store_dir)
+            store_losers = bands.join(
+                store, ["band_idx", "band_hash"], "left_semi"
+            ).select(*keys).distinct()
+        except Exception:  # first batch: no store yet
+            store_losers = bands.select(*keys).limit(0)
+        # (b) in-batch: min sortable key per band bucket survives
+        kstr = F.concat_ws(":", F.col("conv_id"), F.format_string("%012d", "turn_idx"))
+        kb = bands.withColumn("k", kstr)
+        a, b = kb.alias("a"), kb.alias("b")
+        batch_losers = (
+            a.join(
+                b,
+                (F.col("a.band_idx") == F.col("b.band_idx"))
+                & (F.col("a.band_hash") == F.col("b.band_hash"))
+                & (F.col("a.k") > F.col("b.k")),
+            )
+            .select(F.col("a.conv_id").alias("conv_id"), F.col("a.turn_idx").alias("turn_idx"))
+            .distinct()
+        )
+        losers = store_losers.union(batch_losers).distinct()
+        survivors = batch.join(losers, keys, "left_anti").localCheckpoint()
+        survivors.write.mode("append").parquet(output_dir)
+        bands.join(losers, keys, "left_anti").write.mode("append").parquet(
+            store_dir
+        )
+
+    return _fn
+
+
+def run_neardup_dedup_stream(
+    spark,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    store_dir: str,
+) -> None:
+    """Drain available input through the near-dup filter
+    (Trigger.AvailableNow). foreachBatch + append-parquet is
+    at-least-once on task retry — the downstream exact batch dedup is
+    the idempotency backstop, same trade as every streaming LSH
+    filter."""
+    from pdftotext_spark.streaming.pipeline import read_transcript_stream
+
+    q = (
+        read_transcript_stream(spark, input_dir)
+        .writeStream.foreachBatch(neardup_filter_batch(output_dir, store_dir))
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

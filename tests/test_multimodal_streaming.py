@@ -417,3 +417,62 @@ def test_stateful_v2_matches_v1(spark, tmp_path):
 
     s1, s2 = latest(out1), latest(out2)
     assert s1 == s2 and len(s1) > 0
+
+
+def test_streaming_neardup_dedup(spark, tmp_path):
+    """Streaming LSH near-dup filter: in-batch near-dups collapse to
+    the min key, cross-batch near-dups of already-accepted turns are
+    suppressed via the persistent band store, novel turns pass."""
+    import pandas as pd
+
+    from pdftotext_spark.streaming.dedup import run_neardup_dedup_stream
+
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    other = "completely different content about streaming pipelines " * 8
+
+    def rows(conv, idx, text):
+        return {
+            "conv_id": [conv],
+            "turn_idx": pd.array([idx], dtype="int32"),
+            "role": ["user"],
+            "text": [text],
+            "tool": ["plain"],
+            "ts": pd.to_datetime(["2026-01-01"], utc=True).as_unit("us"),
+        }
+
+    src = tmp_path / "src"
+    src.mkdir()
+    out, ckpt, store = (
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+        str(tmp_path / "store"),
+    )
+    # batch 1: base + an in-batch near-dup of it + a novel doc
+    b1 = pd.concat(
+        [
+            pd.DataFrame(rows("c1", 0, base)),
+            pd.DataFrame(rows("c1", 1, base + "trailing variation")),
+            pd.DataFrame(rows("c2", 0, other)),
+        ]
+    )
+    b1.to_parquet(src / "batch1.parquet")
+    run_neardup_dedup_stream(spark, str(src), out, ckpt, store)
+    got1 = {
+        (r.conv_id, r.turn_idx)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got1 == {("c1", 0), ("c2", 0)}  # in-batch near-dup dropped
+    # batch 2: a cross-batch near-dup of base + a new novel doc
+    b2 = pd.concat(
+        [
+            pd.DataFrame(rows("c3", 0, base + "another tail")),
+            pd.DataFrame(rows("c4", 0, "fresh unrelated text body here " * 8)),
+        ]
+    )
+    b2.to_parquet(src / "batch2.parquet")
+    run_neardup_dedup_stream(spark, str(src), out, ckpt, store)
+    got2 = {
+        (r.conv_id, r.turn_idx)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got2 == {("c1", 0), ("c2", 0), ("c4", 0)}  # c3 suppressed
