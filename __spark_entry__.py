@@ -75,6 +75,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # detect→group→apply chains (iterative CC checked against a
     # recursive-CTE transitive closure in DuckDB)
     "dedup_groups_minhash": dedup.dedup_groups_minhash,
+    "dedup_groups_simhash": dedup.dedup_groups_simhash,
     "dedup_apply_minhash": dedup.dedup_apply_minhash,
     # similarity search
     "cosine_topk": similarity.cosine_topk,
@@ -133,6 +134,7 @@ _ORACLES: dict[str, str] = {
     "simhash_neardup_pairs": dedup.SIMHASH_NEARDUP_PAIRS_SQL,
     "winnowing_fingerprints": dedup.WINNOWING_FINGERPRINTS_SQL,
     "dedup_groups_minhash": dedup.DEDUP_GROUPS_MINHASH_SQL,
+    "dedup_groups_simhash": dedup.DEDUP_GROUPS_SIMHASH_SQL,
     "dedup_apply_minhash": dedup.DEDUP_APPLY_MINHASH_SQL,
     "cosine_topk": similarity.COSINE_TOPK_SQL,
     "cosine_neardup_pairs": similarity.COSINE_NEARDUP_PAIRS_SQL,

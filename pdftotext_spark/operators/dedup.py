@@ -789,3 +789,39 @@ LEFT JOIN common cm ON cm.doc_a = est.doc_a AND cm.doc_b = est.doc_b
 JOIN c ca ON ca.doc_id = est.doc_a
 JOIN c cb ON cb.doc_id = est.doc_b
 """
+
+
+def dedup_groups_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the SimHash near-dup graph — the same
+    iterative CC engine as :func:`dedup_groups_minhash` driven by the
+    second candidate family (banded Hamming-distance pairs), so both
+    sketch families feed the identical grouping machinery. Checked
+    against a recursive-CTE transitive closure in DuckDB."""
+    pairs = simhash_neardup_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    return dedup_groups(pairs).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("group_id").cast("long").alias("group_id"),
+    )
+
+
+DEDUP_GROUPS_SIMHASH_SQL = f"""
+WITH RECURSIVE sig AS ({SIMHASH_SQL.strip().rstrip()}),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_THRESHOLD}
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach AS (
+  SELECT src, dst AS r FROM edges
+  UNION
+  SELECT e.src, reach.r FROM edges e JOIN reach ON reach.src = e.dst
+)
+SELECT CAST(src AS BIGINT) AS doc_id,
+       CAST(LEAST(src, MIN(r)) AS BIGINT) AS group_id
+FROM reach GROUP BY src
+"""
