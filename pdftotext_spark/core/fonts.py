@@ -26,7 +26,11 @@ _BASEFONT_RE = re.compile(rb"/BaseFont\s*/([^\s/<>\[\]()]+)")
 _TOUNICODE_RE = re.compile(rb"/ToUnicode\s+(\d+)\s+\d+\s+R")
 _ENCODING_REF_RE = re.compile(rb"/Encoding\s+(\d+)\s+\d+\s+R")
 _ENCODING_INLINE_RE = re.compile(rb"/Encoding\s*<<(.*?)>>", re.S)
-_IDENTITY_H_RE = re.compile(rb"/Encoding\s*/Identity-H")
+# reference parity (PdfToText.php:6165): '/(Base)?Encoding /Identity-H'
+# matched case-insensitively with flexible whitespace; we additionally
+# accept Identity-V (vertical) — same CID decode semantics, the
+# reference simply lacks it
+_IDENTITY_H_RE = re.compile(rb"/(?:Base)?Encoding\s*/Identity-[HV]", re.I)
 _FIRSTCHAR_RE = re.compile(rb"/FirstChar\s+(\d+)")
 _DESCENDANT_RE = re.compile(rb"/DescendantFonts\s*\[\s*(\d+)\s+\d+\s+R")
 _ORDERING_RE = re.compile(rb"/Ordering\s*\(\s*([^)]*?)\s*\)")

@@ -408,3 +408,17 @@ def test_header_footer_content_object_excluded():
     assert "body text" in default.text and "RUNNING HEADER" not in default.text
     kept = extract_document(pdf, ExtractOptions(ignore_headers_and_footers=False))
     assert "RUNNING HEADER" in kept.text
+
+
+def test_identity_v_and_baseencoding_variants():
+    # reference parity (PdfToText.php:6165): the Identity detection is
+    # case-insensitive, accepts /BaseEncoding, and we extend to the
+    # vertical -V form (same CID decode semantics)
+    pdf, golden = pb.identity_h_japan1_pdf("縦書きテスト")
+    for old, new in [
+        (b"/Encoding /Identity-H", b"/Encoding /Identity-V"),
+        (b"/Encoding /Identity-H", b"/BaseEncoding /Identity-H"),
+    ]:
+        mutated = pdf.replace(old, new)
+        assert mutated != pdf
+        assert extract_document(mutated).text == golden
