@@ -274,12 +274,18 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
     n_docs = docs.agg(F.count("*").alias("n_docs"))
+    # idf is constant per term, so aggregate the INTEGER tf first and
+    # multiply once: a float SUM's addition order differs between
+    # engines and would make the 6dp-rounded hash flaky (the decimal
+    # lesson from the oracle-portability rules)
     scored = (
-        tf.join(df_, "term")
+        tf.groupBy("source", "term")
+        .agg(F.sum("tf").alias("tf_sum"))
+        .join(df_, "term")
         .crossJoin(F.broadcast(n_docs))
-        .withColumn("tfidf", F.col("tf") * F.log(F.col("n_docs") / F.col("df")))
-        .groupBy("source", "term")
-        .agg(F.sum("tfidf").alias("score"))
+        .withColumn(
+            "score", F.col("tf_sum") * F.log(F.col("n_docs") / F.col("df"))
+        )
     )
     from pyspark.sql.window import Window
 
@@ -310,10 +316,13 @@ tf AS (
 ),
 df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
 n AS (SELECT COUNT(*) AS n_docs FROM documents),
+tfsum AS (
+  SELECT source, term, SUM(tf) AS tf_sum FROM tf GROUP BY source, term
+),
 scored AS (
-  SELECT tf.source, tf.term, SUM(tf.tf * ln(n.n_docs * 1.0 / df.df)) AS score
-  FROM tf JOIN df USING (term) CROSS JOIN n
-  GROUP BY tf.source, tf.term
+  SELECT tfsum.source, tfsum.term,
+         tf_sum * ln(n.n_docs * 1.0 / df.df) AS score
+  FROM tfsum JOIN df USING (term) CROSS JOIN n
 ),
 ranked AS (
   SELECT source, term, score,
