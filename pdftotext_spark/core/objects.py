@@ -61,11 +61,35 @@ def find_header(buf: bytes) -> tuple[int, str]:
 
 
 def split_object(body: bytes) -> tuple[bytes, bytes | None]:
-    """Split an object body into (dict part, raw stream body or None)."""
-    sm = _STREAM_RE.search(body)
-    if not sm:
-        return body, None
-    return body[: sm.start()], sm.group(1)
+    """Split an object body into (dict part, raw stream body or None).
+
+    memmem-anchored equivalent of ``stream\\r?\\n(.*?)\\r?\\n?endstream``
+    (differential-tested): the regex ran for every object of every
+    document and lazy-scanned binary stream bytes."""
+    pos = 0
+    while True:
+        i = body.find(b"stream", pos)
+        if i == -1:
+            return body, None
+        j = i + 6
+        if body[j : j + 2] == b"\r\n":
+            j += 2
+        elif body[j : j + 1] == b"\n":
+            j += 1
+        else:  # 'stream' not followed by the required newline: keep looking
+            pos = i + 6
+            continue
+        e = body.find(b"endstream", j)
+        if e == -1:
+            return body, None
+        # the regex's \r?\n? before 'endstream' strips at most one
+        # newline sequence off the data
+        data_end = e
+        if body[e - 2 : e] == b"\r\n":
+            data_end = e - 2
+        elif body[e - 1 : e] in (b"\n", b"\r"):
+            data_end = e - 1
+        return body[:i], body[j:data_end]
 
 
 def _splice_object_stream(pf: PdfFile, obj: PdfObject) -> None:

@@ -360,3 +360,34 @@ def test_find_based_object_scan_matches_regex():
         cases.append(b"".join(random.choices(toks, k=random.randrange(0, 30))))
     for c in cases:
         assert list(_iter_objects(c)) == ref(c), c[:80]
+
+
+def test_find_based_split_object_matches_regex():
+    import random
+
+    from pdftotext_spark.core.objects import _STREAM_RE, split_object
+
+    def ref(body):
+        sm = _STREAM_RE.search(body)
+        if not sm:
+            return body, None
+        return body[: sm.start()], sm.group(1)
+
+    random.seed(11)
+    toks = [
+        b"stream", b"endstream", b"\n", b"\r\n", b"\r", b"<<", b">>",
+        b"/Length 5", b" ", b"DATA",
+        bytes(random.randrange(256) for _ in range(4)),
+    ]
+    cases = [
+        b"", b"stream", b"stream\nX\nendstream",
+        b"<< >> stream\r\nBIN\r\nendstream",
+        b"streamX stream\nok\nendstream", b"stream\rreal\nendstream",
+        b"stream\nA endstreamB endstream", b"stream\nnoend",
+        b"stream\n\r\nendstream", b"stream\n\nendstream",
+        b"stream\n\rendstream",
+    ]
+    for _ in range(4000):
+        cases.append(b"".join(random.choices(toks, k=random.randrange(0, 14))))
+    for c in cases:
+        assert split_object(c) == ref(c), c[:60]
