@@ -59,6 +59,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "segment_revenue": relational.segment_revenue,          # broadcast dim join
     "daily_activity": relational.daily_activity,            # time-bucket rollup
     "distinct_users_by_type": relational.distinct_users_by_type,
+    "retention_cohorts": relational.retention_cohorts,      # cohort matrix
     # custom operators Spark lacks natively (guide §OLAP patterns)
     "asof_join_events": temporal.asof_join_events,          # JVM window carry-forward (pandas merge_asof twin = tested fallback)
     "range_join_tiers": temporal.range_join_tiers,          # broadcast theta join
@@ -122,6 +123,7 @@ _ORACLES: dict[str, str] = {
     "segment_revenue": relational.SEGMENT_REVENUE_SQL,
     "daily_activity": relational.DAILY_ACTIVITY_SQL,
     "distinct_users_by_type": relational.DISTINCT_USERS_BY_TYPE_SQL,
+    "retention_cohorts": relational.RETENTION_COHORTS_SQL,
     "asof_join_events": temporal.ASOF_JOIN_EVENTS_SQL,
     "range_join_tiers": temporal.RANGE_JOIN_TIERS_SQL,
     "median_value_by_type": temporal.MEDIAN_VALUE_BY_TYPE_SQL,

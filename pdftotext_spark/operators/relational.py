@@ -500,3 +500,41 @@ FRAGMENT_SORT_TOPK_SQL = """
 SELECT event_id, user_id, value
 FROM events ORDER BY value DESC, event_id ASC LIMIT 100
 """
+
+
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic cohort-retention matrix: users grouped by their first
+    active day, distinct-user counts per (cohort_day, day_offset) —
+    the activation dashboard every event pipeline carries.
+
+    100 TB shape: one groupBy(user) for first-day (map-side partial
+    min), broadcast that small dimension back onto the events scan,
+    then one grouped distinct count. No self-join, no window over the
+    raw event stream."""
+    events = _read(spark, sf_dir, "events")
+    first_day = events.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("cohort_day")
+    )
+    return (
+        events.join(F.broadcast(first_day), "user_id")
+        .groupBy(
+            F.col("cohort_day"),
+            F.datediff(F.to_date("ts"), F.col("cohort_day"))
+            .cast("long")
+            .alias("day_offset"),
+        )
+        .agg(F.countDistinct("user_id").cast("long").alias("n_users"))
+    )
+
+
+RETENTION_COHORTS_SQL = """
+WITH first_day AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+  FROM events GROUP BY user_id
+)
+SELECT f.cohort_day,
+       CAST(date_diff('day', f.cohort_day, CAST(e.ts AS DATE)) AS BIGINT) AS day_offset,
+       CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users
+FROM events e JOIN first_day f USING (user_id)
+GROUP BY f.cohort_day, date_diff('day', f.cohort_day, CAST(e.ts AS DATE))
+"""
