@@ -138,3 +138,65 @@ def test_decode_stream_on_random_flate_bytes(data):
         filters.decode_stream(b"<< /Filter /FlateDecode >>", data)
     except filters.DecodeError:
         pass  # failure is the expected non-exceptional outcome
+
+
+@settings(derandomize=True, max_examples=150, deadline=None)
+@given(st.binary(min_size=0, max_size=300))
+def test_ascii85_numpy_matches_stdlib(raw):
+    # the vectorized fast path must invert stdlib a85encode exactly
+    import base64
+
+    from pdftotext_spark.core.filters import ascii85_decode
+
+    assert ascii85_decode(base64.a85encode(raw)) == raw
+
+
+@settings(derandomize=True, max_examples=150, deadline=None)
+@given(st.text(alphabet="abcdefghijklmnopqrstuvwxyz._", min_size=1, max_size=24))
+def test_glyph_to_char_total(name):
+    # any name resolves to a string (never raises), with '?' as the
+    # unknown fallback
+    from pdftotext_spark.core.glyphs import glyph_to_char
+
+    out = glyph_to_char(name)
+    assert isinstance(out, str)
+
+
+@settings(derandomize=True, max_examples=100, deadline=None)
+@given(
+    st.text(
+        alphabet="あいうえおかきくけこ漢字亜腕熙ABC abc012亞",  # mix incl. non-Japan1
+        min_size=0,
+        max_size=30,
+    )
+)
+def test_japan1_table_roundtrip(text):
+    # every char with a reverse CID maps back to itself through the
+    # forward table (the builder/extractor consistency the roundtrip
+    # oracle relies on)
+    from pdftotext_spark.core.cjk_cid import (
+        adobe_japan1_reverse,
+        adobe_japan1_subset,
+    )
+
+    fwd, rev = adobe_japan1_subset().plain, adobe_japan1_reverse()
+    for c in text:
+        cid = rev.get(c)
+        if cid is not None:
+            assert fwd[cid] == c
+
+
+@settings(derandomize=True, max_examples=100, deadline=None)
+@given(
+    st.dictionaries(
+        st.sampled_from(["layout", "rtl", "max_pages", "no_hyphenated_words"]),
+        st.one_of(st.booleans(), st.integers(-3, 3)),
+        max_size=4,
+    )
+)
+def test_options_from_json_accepts_known_fields(spec):
+    from pdftotext_spark.core.document import options_from_json
+
+    opts = options_from_json(spec)
+    for k, v in spec.items():
+        assert getattr(opts, k) == v
