@@ -60,6 +60,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "daily_activity": relational.daily_activity,            # time-bucket rollup
     "distinct_users_by_type": relational.distinct_users_by_type,
     "retention_cohorts": relational.retention_cohorts,      # cohort matrix
+    "funnel_conversion": relational.funnel_conversion,      # 2-step funnel
     # custom operators Spark lacks natively (guide §OLAP patterns)
     "asof_join_events": temporal.asof_join_events,          # JVM window carry-forward (pandas merge_asof twin = tested fallback)
     "range_join_tiers": temporal.range_join_tiers,          # broadcast theta join
@@ -124,6 +125,7 @@ _ORACLES: dict[str, str] = {
     "daily_activity": relational.DAILY_ACTIVITY_SQL,
     "distinct_users_by_type": relational.DISTINCT_USERS_BY_TYPE_SQL,
     "retention_cohorts": relational.RETENTION_COHORTS_SQL,
+    "funnel_conversion": relational.FUNNEL_CONVERSION_SQL,
     "asof_join_events": temporal.ASOF_JOIN_EVENTS_SQL,
     "range_join_tiers": temporal.RANGE_JOIN_TIERS_SQL,
     "median_value_by_type": temporal.MEDIAN_VALUE_BY_TYPE_SQL,

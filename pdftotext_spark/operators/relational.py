@@ -538,3 +538,67 @@ SELECT f.cohort_day,
 FROM events e JOIN first_day f USING (user_id)
 GROUP BY f.cohort_day, date_diff('day', f.cohort_day, CAST(e.ts AS DATE))
 """
+
+
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-step funnel: of users whose first 'view' happened on day D,
+    how many purchased within 7 days — per-cohort conversion rates,
+    the canonical event-funnel rollup.
+
+    Shape: the first-view dimension is one partial-agg groupBy
+    (broadcastable, one row per converting user universe), purchases
+    probe it with a broadcast join + range predicate, and the final
+    rollup is a grouped count — no self-join over the raw stream."""
+    events = _read(spark, sf_dir, "events")
+    first_view = (
+        events.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("view_ts"))
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts")
+    )
+    converted = (
+        purchases.join(F.broadcast(first_view), "user_id")
+        .filter(
+            (F.col("p_ts") >= F.col("view_ts"))
+            & (F.col("p_ts") <= F.col("view_ts") + F.expr("INTERVAL 7 DAYS"))
+        )
+        .select("user_id")
+        .distinct()
+        .withColumn("converted", F.lit(1))
+    )
+    return (
+        first_view.join(converted, "user_id", "left")
+        .groupBy(F.to_date("view_ts").alias("view_day"))
+        .agg(
+            F.count("*").cast("long").alias("n_viewers"),
+            F.sum(F.coalesce(F.col("converted"), F.lit(0)))
+            .cast("long")
+            .alias("n_converted"),
+        )
+        .withColumn(
+            "conversion_rate",
+            F.round(F.col("n_converted") / F.col("n_viewers"), 4).cast("double"),
+        )
+    )
+
+
+FUNNEL_CONVERSION_SQL = """
+WITH first_view AS (
+  SELECT user_id, MIN(ts) AS view_ts FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+converted AS (
+  SELECT DISTINCT p.user_id
+  FROM events p JOIN first_view f USING (user_id)
+  WHERE p.event_type = 'purchase'
+    AND p.ts >= f.view_ts AND p.ts <= f.view_ts + INTERVAL 7 DAY
+)
+SELECT CAST(f.view_ts AS DATE) AS view_day,
+       CAST(COUNT(*) AS BIGINT) AS n_viewers,
+       CAST(SUM(CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_converted,
+       CAST(ROUND(SUM(CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 4) AS DOUBLE) AS conversion_rate
+FROM first_view f LEFT JOIN converted c USING (user_id)
+GROUP BY CAST(f.view_ts AS DATE)
+"""
