@@ -38,12 +38,22 @@ def sniff_kind(payload: str) -> str:
         return "pdf"
     if _HTML_RE.search(head) or len(_HTML_LOOSE_RE.findall(head)) >= 2:
         return "html"
-    if "%PDF-" in payload:
-        # deep header: objects.find_header tolerates arbitrary leading
-        # junk (PdfToText.php:1745–1760 scans, never seeks offset 0),
-        # so a junk-prefixed PDF must not fall through to plain
+    if _looks_like_deep_pdf(payload):
         return "pdf"
     return "plain"
+
+
+def _looks_like_deep_pdf(payload) -> bool:
+    """Deep-header probe: objects.find_header tolerates arbitrary
+    leading junk (PdfToText.php:1745–1760 scans, never seeks offset
+    0), so a junk-prefixed PDF must not fall through to plain/HTML —
+    but a conversational payload that merely *mentions* '%PDF-' must
+    not be eaten by the PDF parser either (that would silently destroy
+    the turn's text). Require the corroborating object-span marker a
+    parseable PDF always has."""
+    if isinstance(payload, bytes):
+        return b"%PDF-" in payload and b"endobj" in payload
+    return "%PDF-" in payload and "endobj" in payload
 
 
 def extract_payload(
@@ -84,7 +94,7 @@ def extract_payload(
                 res = ExtractResult(text=text, pages=[text], n_pages=1, kind="html")
                 res.page_offsets = [(0, max(len(text) - 1, 0))]
                 return res
-            if b"%PDF-" in buf:
+            if _looks_like_deep_pdf(buf):
                 # deep header (>1 KiB of leading junk): route to the
                 # PDF parser \u2014 find_header scans the whole buffer
                 res = _extract_pdf(buf, options)

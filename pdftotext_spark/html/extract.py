@@ -89,7 +89,7 @@ def _strip_drop_subtrees(markup: str) -> str:
             if not closing:
                 parts.append(markup[pos : m.start()])
                 pos = m.end()
-                if not m.group(3).rstrip().endswith("/"):
+                if not _self_closing(tag, m.group(3)):
                     drop_tag = tag
                     depth = 1
         elif tag == drop_tag:
@@ -98,13 +98,41 @@ def _strip_drop_subtrees(markup: str) -> str:
                 if depth == 0:
                     drop_tag = None
                     pos = m.end()
-            elif drop_tag not in _RAWTEXT_TAGS and not m.group(3).rstrip().endswith(
-                "/"
+            elif drop_tag not in _RAWTEXT_TAGS and not _self_closing(
+                tag, m.group(3)
             ):
                 depth += 1
     if drop_tag is None:
         parts.append(markup[pos:])
+    elif drop_tag not in _RAWTEXT_TAGS:
+        # unclosed STRUCTURAL drop tag (sloppy real-world markup):
+        # keep the remainder and let block scoring sort the chrome out
+        # — zeroing the whole page costs full recall, where leaked nav
+        # links are caught by link density anyway. Unclosed raw-text
+        # tags (script/style) still swallow to EOF: leaking JS/CSS into
+        # extracted text is worse than dropping a truncated page.
+        parts.append(markup[pos:])
     return " ".join(parts)
+
+
+# script/style never self-close per the HTML5 parser ('<script src=x/>'
+# is an OPEN tag) — and treating them as self-closing leaks code into
+# text. Other drop tags keep honoring explicit XHTML-style '/>' so a
+# dangling '<iframe src=x />' doesn't swallow the page.
+_NEVER_SELF_CLOSE = frozenset(("script", "style"))
+
+
+def _self_closing(tag: str, attrs: str) -> bool:
+    """A trailing '/' marks a self-closing tag only when it is tag
+    syntax, not the tail of an unquoted attribute value
+    (``<script src=http://cdn/lib/>`` is an OPEN tag whose attr ends
+    in '/')."""
+    if tag in _NEVER_SELF_CLOSE:
+        return False
+    a = attrs.rstrip()
+    if not a.endswith("/"):
+        return False
+    return len(a) == 1 or a[-2] in " \t\r\n\"'"
 
 
 def _segment_blocks(markup: str) -> list[tuple[str, int]]:

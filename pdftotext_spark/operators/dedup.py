@@ -176,19 +176,33 @@ WHERE common * 1.0 / (ca.n_sh + cb.n_sh - common) >= {JACCARD_THRESHOLD}
 # ------------------------------------------------------- MinHash + LSH
 
 
-def _signatures_from_shingles(s: DataFrame) -> DataFrame:
-    hashed = s.select(
-        F.col("doc_id").cast("long").alias("doc_id"),
-        F.md5(F.concat(F.lit("a:"), F.col("sh"))).alias("ma"),
-        F.md5(F.concat(F.lit("b:"), F.col("sh"))).alias("mb"),
-    )
-    aggs = [
+# single source for the two-digest slice scheme: every consumer (batch
+# doc_id path, streaming keyed path, band construction) derives from
+# these two helpers, so the scheme cannot desynchronize between the
+# batch family and the streaming band store
+def _sig_aggs() -> list:
+    return [
         F.min(
             F.substring("ma" if k < 4 else "mb", 1 + 8 * (k % 4), 8)
         ).alias(f"h{k}")
         for k in range(N_MINHASH)
     ]
-    return hashed.groupBy("doc_id").agg(*aggs)
+
+
+def _signatures_from_hashed(s: DataFrame, key_cols: list[str]) -> DataFrame:
+    hashed = s.select(
+        *key_cols,
+        F.md5(F.concat(F.lit("a:"), F.col("sh"))).alias("ma"),
+        F.md5(F.concat(F.lit("b:"), F.col("sh"))).alias("mb"),
+    )
+    return hashed.groupBy(*key_cols).agg(*_sig_aggs())
+
+
+def _signatures_from_shingles(s: DataFrame) -> DataFrame:
+    return _signatures_from_hashed(
+        s.select(F.col("doc_id").cast("long").alias("doc_id"), "sh"),
+        ["doc_id"],
+    )
 
 
 def signatures_for(
@@ -204,24 +218,15 @@ def signatures_for(
         f"i -> substring({text_col}, i, {SHINGLE_LEN}))"
     )
     s = df.select(*key_cols, F.explode(F.expr(expr)).alias("sh"))
-    hashed = s.select(
-        *key_cols,
-        F.md5(F.concat(F.lit("a:"), F.col("sh"))).alias("ma"),
-        F.md5(F.concat(F.lit("b:"), F.col("sh"))).alias("mb"),
-    )
-    aggs = [
-        F.min(F.substring("ma" if k < 4 else "mb", 1 + 8 * (k % 4), 8)).alias(
-            f"h{k}"
-        )
-        for k in range(N_MINHASH)
-    ]
-    return hashed.groupBy(*key_cols).agg(*aggs)
+    return _signatures_from_hashed(s, key_cols)
 
 
 def bands_for(sig: DataFrame, key_cols: list[str]) -> DataFrame:
     """Explode a signature frame into its LSH band rows
-    ``(*key_cols, band_idx, band_hash)`` — one slice from each digest
-    per band (see the banding note on ``_lsh_pairs_from_shingles``)."""
+    ``(*key_cols, band_idx, band_hash)``. Band i pairs one slice of
+    digest a with one of digest b (h_i with h_{i+4}) — a band built
+    from two slices of the SAME md5 is intra-digest-coupled and
+    measurably inflates candidates."""
     return sig.select(
         *key_cols,
         F.explode(
@@ -267,26 +272,11 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _lsh_pairs_from_shingles(s: DataFrame) -> DataFrame:
-    sig = _signatures_from_shingles(s)
-    bands = sig.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band_idx"),
-                        F.md5(
-                            # band i pairs one slice of digest a with one of digest b so
-                            # no band is built from two slices of the SAME md5
-                            # (intra-digest coupling inflates candidates)
-                            F.concat(F.col(f"h{i}"), F.col(f"h{i + 4}"))
-                        ).alias("band_hash"),
-                    )
-                    for i in range(N_MINHASH // BAND_SIZE)
-                ]
-            )
-        ).alias("band"),
-    ).select("doc_id", "band.band_idx", "band.band_hash")
+    return _lsh_pairs_from_sig(_signatures_from_shingles(s))
+
+
+def _lsh_pairs_from_sig(sig: DataFrame) -> DataFrame:
+    bands = bands_for(sig, ["doc_id"])
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -695,8 +685,11 @@ def minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate list; exact counts run only over candidates."""
     docs = _read(spark, sf_dir, "documents")
     s = _shingles(docs).localCheckpoint()
-    cand = _lsh_pairs_from_shingles(s)
-    sig = _signatures_from_shingles(s)
+    # ONE signature aggregation feeds both the candidate bands and the
+    # estimate join (deriving candidates from the shingles again would
+    # re-shuffle and re-aggregate the whole signature frame)
+    sig = _signatures_from_shingles(s).localCheckpoint()
+    cand = _lsh_pairs_from_sig(sig)
     sa = sig.select(
         F.col("doc_id").alias("doc_a"),
         *[F.col(f"h{k}").alias(f"a{k}") for k in range(N_MINHASH)],

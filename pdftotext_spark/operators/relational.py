@@ -508,15 +508,16 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     the activation dashboard every event pipeline carries.
 
     100 TB shape: one groupBy(user) for first-day (map-side partial
-    min), broadcast that small dimension back onto the events scan,
-    then one grouped distinct count. No self-join, no window over the
-    raw event stream."""
+    min), joined back onto the events scan — the per-user dimension
+    scales with the key universe, so the join strategy is left to AQE
+    (broadcast while it fits, shuffle-hash beyond) rather than forced.
+    No self-join, no window over the raw event stream."""
     events = _read(spark, sf_dir, "events")
     first_day = events.groupBy("user_id").agg(
         F.min(F.to_date("ts")).alias("cohort_day")
     )
     return (
-        events.join(F.broadcast(first_day), "user_id")
+        events.join(first_day, "user_id")
         .groupBy(
             F.col("cohort_day"),
             F.datediff(F.to_date("ts"), F.col("cohort_day"))
@@ -545,10 +546,11 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     how many purchased within 7 days — per-cohort conversion rates,
     the canonical event-funnel rollup.
 
-    Shape: the first-view dimension is one partial-agg groupBy
-    (broadcastable, one row per converting user universe), purchases
-    probe it with a broadcast join + range predicate, and the final
-    rollup is a grouped count — no self-join over the raw stream."""
+    Shape: the first-view dimension is one partial-agg groupBy (one
+    row per viewing user — scales with the key universe, so AQE picks
+    broadcast vs shuffle), purchases probe it with a range predicate,
+    and the final rollup is a grouped count — no self-join over the
+    raw stream."""
     events = _read(spark, sf_dir, "events")
     first_view = (
         events.filter(F.col("event_type") == "view")
@@ -559,7 +561,7 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", F.col("ts").alias("p_ts")
     )
     converted = (
-        purchases.join(F.broadcast(first_view), "user_id")
+        purchases.join(first_view, "user_id")
         .filter(
             (F.col("p_ts") >= F.col("view_ts"))
             & (F.col("p_ts") <= F.col("view_ts") + F.expr("INTERVAL 7 DAYS"))

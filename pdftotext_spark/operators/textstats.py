@@ -289,8 +289,11 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql.window import Window
 
+    # rank on the ROUNDED score: ordering by the raw double lets a
+    # 1-ulp ln() difference between engines flip mathematically-tied
+    # terms and change top-k membership
     w = Window.partitionBy("source").orderBy(
-        F.desc("score"), F.asc("term")
+        F.desc(F.round("score", 6)), F.asc("term")
     )
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -326,7 +329,7 @@ scored AS (
 ),
 ranked AS (
   SELECT source, term, score,
-         ROW_NUMBER() OVER (PARTITION BY source ORDER BY score DESC, term ASC) AS rank
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY ROUND(score, 6) DESC, term ASC) AS rank
   FROM scored
 )
 SELECT source, term, CAST(ROUND(score, 6) AS DOUBLE) AS score,

@@ -62,13 +62,22 @@ def neardup_filter_batch(output_dir: str, store_dir: str):
         keys = ["conv_id", "turn_idx"]
         batch = batch.localCheckpoint()  # consumed by 3 plans below
         bands = bands_for(signatures_for(batch, keys), keys).localCheckpoint()
-        # (a) cross-batch: anything banding with the accepted store
+        # (a) cross-batch: anything banding with the accepted store.
+        # Only a MISSING store (first batch) may be swallowed — a
+        # corrupted or unreadable store must surface, not silently
+        # degrade the filter into a pass-everything no-op
+        from pyspark.errors import AnalysisException
+
         try:
             store = spark.read.parquet(store_dir)
             store_losers = bands.join(
                 store, ["band_idx", "band_hash"], "left_semi"
             ).select(*keys).distinct()
-        except Exception:  # first batch: no store yet
+        except AnalysisException as exc:
+            if "PATH_NOT_FOUND" not in str(exc) and "Path does not exist" not in str(
+                exc
+            ):
+                raise
             store_losers = bands.select(*keys).limit(0)
         # (b) in-batch: min sortable key per band bucket survives
         kstr = F.concat_ws(":", F.col("conv_id"), F.format_string("%012d", "turn_idx"))

@@ -422,3 +422,14 @@ def test_identity_v_and_baseencoding_variants():
         mutated = pdf.replace(old, new)
         assert mutated != pdf
         assert extract_document(mutated).text == golden
+
+
+def test_plain_text_mentioning_pdf_header_stays_plain():
+    # code-review r3: a conversational payload that merely MENTIONS
+    # '%PDF-' deep in the text must not be eaten by the PDF parser
+    chatter = "y" * 1100 + " the magic header is %PDF-1.4 somewhere deep"
+    assert sniff_kind(chatter) == "plain"
+    assert extract_payload(chatter).text == chatter
+    # with the real object markers present, deep routing still works
+    deep = b"X" * 2048 + pb.simple_pdf([["still a pdf"]])
+    assert extract_payload(deep.decode("latin-1")).text == "still a pdf"

@@ -66,9 +66,11 @@ def test_nested_same_tag_chrome_dropped_whole():
     assert "Products" not in out
 
 
-def test_unterminated_drop_tag_swallows_to_eof():
-    # truncated page: an unclosed <nav> must not dump half the chrome
-    # into scoring
+def test_unterminated_drop_tag_chrome_still_suppressed():
+    # truncated page with an unclosed <nav>: the remainder is KEPT
+    # (unclosed structural tags must not zero the page — code-review
+    # r3) and the leaked link chrome is then dropped by link-density
+    # scoring
     html = (
         f"<html><body><article><p>{ARTICLE}</p></article>"
         "<nav><a href=a>menu one</a><a href=b>menu two</a>"
@@ -287,3 +289,28 @@ def test_b64_html_payload_routed_by_content():
     assert res.kind == "html"
     assert ARTICLE in res.text
     assert res.decode_failures == 0
+
+
+def test_unquoted_attr_trailing_slash_not_self_closing():
+    # code-review r3: '<script src=http://cdn/lib/>' is an OPEN tag —
+    # the trailing '/' belongs to the unquoted attribute value, and
+    # script never self-closes; its body must not leak into text
+    html = (
+        "<html><body><script src=http://cdn.example/lib/>"
+        "var leaked = 'boilerplate';</script>"
+        f"<article><p>{ARTICLE}</p></article></body></html>"
+    )
+    out = extract_main_content(html)
+    assert ARTICLE in out
+    assert "leaked" not in out
+
+
+def test_unclosed_structural_drop_tag_keeps_content():
+    # code-review r3: a sloppy page with an unclosed <nav> must not
+    # lose the whole document — the remainder is kept and chrome is
+    # handled by block scoring (unclosed script/style still swallow)
+    html = f"<html><body><nav>menu<p>{ARTICLE}</p>"
+    out = extract_main_content(html)
+    assert ARTICLE in out
+    html2 = f"<html><body><script>var x = 1;<p>{ARTICLE}</p>"
+    assert ARTICLE not in extract_main_content(html2)
