@@ -85,6 +85,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_bucket_stats": similarity.embedding_bucket_stats,
     "srp_buckets": similarity.srp_buckets,
     "srp_neardup_pairs": similarity.srp_neardup_pairs,
+    "dedup_groups_srp": similarity.dedup_groups_srp,
     "embedding_health": similarity.embedding_health,
     "ann_topk_srp": similarity.ann_topk_srp,
     # IVF ANN: iterative (KMeans) → no SQL oracle; driver records the
@@ -145,6 +146,7 @@ _ORACLES: dict[str, str] = {
     "embedding_bucket_stats": similarity.EMBEDDING_BUCKET_STATS_SQL,
     "srp_buckets": similarity.SRP_BUCKETS_SQL,
     "srp_neardup_pairs": similarity.SRP_NEARDUP_PAIRS_SQL,
+    "dedup_groups_srp": similarity.DEDUP_GROUPS_SRP_SQL,
     "embedding_health": similarity.EMBEDDING_HEALTH_SQL,
     "ann_topk_srp": similarity.ANN_TOPK_SRP_SQL,
     "lang_id": textstats.LANG_ID_SQL,

@@ -552,3 +552,40 @@ SELECT * FROM (
     ON a.label = b.label AND a.vec_id < b.vec_id
 ) WHERE cosine >= {NEARDUP_THRESHOLD}
 """
+
+
+def dedup_groups_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the embedding-space SRP near-dup
+    graph — the third candidate family (after MinHash and SimHash)
+    feeding the shared iterative CC engine
+    (:func:`pdftotext_spark.operators.dedup.dedup_groups`), so
+    text-shingle, token-bit and embedding near-dups all group through
+    identical machinery. Checked against a recursive-CTE transitive
+    closure in DuckDB."""
+    from pdftotext_spark.operators.dedup import dedup_groups
+
+    pairs = srp_neardup_pairs(spark, sf_dir).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    return dedup_groups(pairs).select(
+        F.col("doc_id").cast("long").alias("vec_id"),
+        F.col("group_id").cast("long").alias("group_id"),
+    )
+
+
+DEDUP_GROUPS_SRP_SQL = f"""
+WITH RECURSIVE pairs AS ({SRP_NEARDUP_PAIRS_SQL.strip().rstrip()}),
+edges AS (
+  SELECT vec_a AS src, vec_b AS dst FROM pairs
+  UNION
+  SELECT vec_b AS src, vec_a AS dst FROM pairs
+),
+reach AS (
+  SELECT src, dst AS r FROM edges
+  UNION
+  SELECT e.src, reach.r FROM edges e JOIN reach ON reach.src = e.dst
+)
+SELECT CAST(src AS BIGINT) AS vec_id,
+       CAST(LEAST(src, MIN(r)) AS BIGINT) AS group_id
+FROM reach GROUP BY src
+"""
