@@ -95,9 +95,15 @@ def neardup_filter_batch(output_dir: str, store_dir: str):
         )
         losers = store_losers.union(batch_losers).distinct()
         survivors = batch.join(losers, keys, "left_anti").localCheckpoint()
-        survivors.write.mode("append").parquet(output_dir)
-        bands.join(losers, keys, "left_anti").write.mode("append").parquet(
-            store_dir
+        # idempotent per micro-batch: each batch OVERWRITES its own
+        # batch_id= partition, so a foreachBatch retry (at-least-once)
+        # replaces rather than double-appends — both the output and
+        # the band store stay exactly-once per committed batch
+        survivors.write.mode("overwrite").parquet(
+            f"{output_dir}/batch_id={batch_id}"
+        )
+        bands.join(losers, keys, "left_anti").write.mode("overwrite").parquet(
+            f"{store_dir}/batch_id={batch_id}"
         )
 
     return _fn
@@ -111,10 +117,10 @@ def run_neardup_dedup_stream(
     store_dir: str,
 ) -> None:
     """Drain available input through the near-dup filter
-    (Trigger.AvailableNow). foreachBatch + append-parquet is
-    at-least-once on task retry — the downstream exact batch dedup is
-    the idempotency backstop, same trade as every streaming LSH
-    filter."""
+    (Trigger.AvailableNow). Per-batch writes overwrite their own
+    ``batch_id=`` partition, making a retried micro-batch replace its
+    previous attempt (exactly-once per committed batch); the batch
+    dedup pass downstream remains the exact near-dup authority."""
     from pdftotext_spark.streaming.pipeline import read_transcript_stream
 
     q = (
