@@ -433,3 +433,69 @@ def test_plain_text_mentioning_pdf_header_stays_plain():
     # with the real object markers present, deep routing still works
     deep = b"X" * 2048 + pb.simple_pdf([["still a pdf"]])
     assert extract_payload(deep.decode("latin-1")).text == "still a pdf"
+
+
+def test_mixed_fonts_one_page_integration():
+    """Integration golden: one page mixing a Japan1 Identity-H CID
+    font (no ToUnicode), a WinAnsi font, and a /Differences font —
+    per-fragment font switching through the full cascade in a single
+    content stream."""
+    from pdftotext_spark.core.cjk_cid import adobe_japan1_reverse
+    from pdftotext_spark.sources.pdfbuilder import PdfBuilder, escape_literal
+
+    rev = adobe_japan1_reverse()
+    jp = "日本語テスト"
+    jp_hex = "".join(f"{rev[c]:04X}" for c in jp)
+
+    b = PdfBuilder()
+    catalog, pages_node, f_jp, f_jp_desc, f_win, f_diff, encdict, page, content = (
+        b.alloc() for _ in range(9)
+    )
+    b.add(catalog, f"<< /Type /Catalog /Pages {pages_node} 0 R >>\n".encode())
+    b.add(pages_node, f"<< /Type /Pages /Kids [{page} 0 R] /Count 1 >>\n".encode())
+    b.add(
+        f_jp,
+        (
+            f"<< /Type /Font /Subtype /Type0 /BaseFont /MIXED+Mincho "
+            f"/Encoding /Identity-H /DescendantFonts [{f_jp_desc} 0 R] >>\n"
+        ).encode(),
+    )
+    b.add(
+        f_jp_desc,
+        b"<< /Type /Font /Subtype /CIDFontType0 /BaseFont /MIXED+Mincho "
+        b"/CIDSystemInfo << /Registry (Adobe) /Ordering (Japan1) "
+        b"/Supplement 6 >> >>\n",
+    )
+    b.add(
+        f_win,
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helv "
+        b"/Encoding /WinAnsiEncoding >>\n",
+    )
+    b.add(
+        f_diff,
+        f"<< /Type /Font /Subtype /Type1 /BaseFont /Custom /Encoding {encdict} 0 R >>\n".encode(),
+    )
+    b.add(
+        encdict,
+        b"<< /Type /Encoding /BaseEncoding /WinAnsiEncoding "
+        b"/Differences [ 128 /eacute /uni20AC ] >>\n",
+    )
+    b.add(
+        page,
+        (
+            f"<< /Type /Page /Parent {pages_node} 0 R /MediaBox [0 0 612 792] "
+            f"/Resources << /Font << /FJ {f_jp} 0 R /FW {f_win} 0 R "
+            f"/FD {f_diff} 0 R >> >> /Contents {content} 0 R >>\n"
+        ).encode(),
+    )
+    win_text = "caf" + chr(0xE9)  # é via cp1252 high byte
+    stream = (
+        f"BT /FJ 12 Tf 1 0 0 1 72 720 Tm <{jp_hex}> Tj "
+        f"/FW 12 Tf ({escape_literal(' then ')}) Tj "
+        f"/FW 12 Tf ({win_text}) Tj "
+        "/FD 12 Tf (\x80\x81) Tj ET"
+    ).encode("latin-1")
+    b.add_stream(content, b"", stream, "FlateDecode")
+    res = extract_document(b.build())
+    assert res.text == jp + " then caféé€"
+    assert res.decode_failures == 0
