@@ -664,7 +664,7 @@ FROM votes
 
 
 SIMHASH_NEARDUP_PAIRS_SQL = f"""
-WITH sig AS ({SIMHASH_SQL.strip().rstrip()})
+WITH sig AS ({SIMHASH_SQL.strip()})
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
 FROM sig a JOIN sig b ON a.doc_id < b.doc_id
@@ -798,7 +798,7 @@ def dedup_groups_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DEDUP_GROUPS_SIMHASH_SQL = f"""
-WITH RECURSIVE sig AS ({SIMHASH_SQL.strip().rstrip()}),
+WITH RECURSIVE sig AS ({SIMHASH_SQL.strip()}),
 pairs AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM sig a JOIN sig b ON a.doc_id < b.doc_id

@@ -574,7 +574,7 @@ def dedup_groups_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DEDUP_GROUPS_SRP_SQL = f"""
-WITH RECURSIVE pairs AS ({SRP_NEARDUP_PAIRS_SQL.strip().rstrip()}),
+WITH RECURSIVE pairs AS ({SRP_NEARDUP_PAIRS_SQL.strip()}),
 edges AS (
   SELECT vec_a AS src, vec_b AS dst FROM pairs
   UNION

@@ -41,8 +41,10 @@ def neardup_filter_batch(output_dir: str, store_dir: str):
     bucket with an already-accepted turn in the persistent band store,
     or (b) loses an in-batch band collision to a lower-keyed turn (the
     one-pass min-key survivor policy of ``apply_dedup``). Survivors
-    append to the output AND their bands append to the store, so later
-    batches see them.
+    and their bands are written into per-``batch_id`` partitions of
+    the output and the store, so later batches see them and a
+    replayed batch replaces (never duplicates, never self-collides
+    with) its prior attempt.
 
     LSH-positive ⇒ drop is deliberately *approximate* (candidate-level,
     no exact verify): the streaming filter's job is cheap high-recall
@@ -70,6 +72,13 @@ def neardup_filter_batch(output_dir: str, store_dir: str):
 
         try:
             store = spark.read.parquet(store_dir)
+            # a REPLAYED batch (at-least-once) must not collide with
+            # its own bands from the prior attempt — that would
+            # classify every prior survivor as a loser and overwrite
+            # the partition with nothing. The store is batch_id=
+            # partitioned, so excluding the current id prunes the
+            # prior attempt at the scan.
+            store = store.filter(F.col("batch_id") != batch_id)
             store_losers = bands.join(
                 store, ["band_idx", "band_hash"], "left_semi"
             ).select(*keys).distinct()
@@ -118,9 +127,14 @@ def run_neardup_dedup_stream(
 ) -> None:
     """Drain available input through the near-dup filter
     (Trigger.AvailableNow). Per-batch writes overwrite their own
-    ``batch_id=`` partition, making a retried micro-batch replace its
-    previous attempt (exactly-once per committed batch); the batch
-    dedup pass downstream remains the exact near-dup authority."""
+    ``batch_id=`` partition and the store probe excludes the current
+    id, so a retried micro-batch replaces its previous attempt
+    (idempotent per committed batch); the batch dedup pass downstream
+    remains the exact near-dup authority. Operational caveats of every
+    batch_id-keyed design: the checkpoint directory is part of the
+    state — resetting it against an existing output restarts ids at 0
+    and overwrites history; downstream readers see the batch_id
+    partition column."""
     from pdftotext_spark.streaming.pipeline import read_transcript_stream
 
     q = (

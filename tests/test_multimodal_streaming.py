@@ -476,3 +476,48 @@ def test_streaming_neardup_dedup(spark, tmp_path):
         for r in spark.read.parquet(out).collect()
     }
     assert got2 == {("c1", 0), ("c2", 0), ("c4", 0)}  # c3 suppressed
+
+
+def test_streaming_neardup_replay_is_idempotent(spark, tmp_path):
+    """code-review r3: a REPLAYED micro-batch (at-least-once
+    foreachBatch) must not band-collide with its own stored bands —
+    the output partition is replaced with the same survivors, not
+    emptied."""
+    import pandas as pd
+
+    from pdftotext_spark.streaming.dedup import neardup_filter_batch
+
+    out, store = str(tmp_path / "out"), str(tmp_path / "store")
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    batch = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "conv_id": ["c1", "c2"],
+                "turn_idx": pd.array([0, 0], dtype="int32"),
+                "role": ["user", "user"],
+                "text": [base, base + "near dup tail"],
+                "tool": ["plain", "plain"],
+                "ts": pd.to_datetime(["2026-01-01", "2026-01-01"], utc=True).as_unit(
+                    "us"
+                ),
+            }
+        )
+    )
+    fn = neardup_filter_batch(out, store)
+    fn(batch, 0)
+    first = sorted(
+        (r.conv_id, r.turn_idx) for r in spark.read.parquet(out).collect()
+    )
+    assert first == [("c1", 0)]  # in-batch near-dup collapsed
+    fn(batch, 0)  # replay of the SAME batch id
+    again = sorted(
+        (r.conv_id, r.turn_idx) for r in spark.read.parquet(out).collect()
+    )
+    assert again == first  # replaced, not emptied and not duplicated
+    # and a LATER batch still sees the stored bands (suppression intact)
+    batch2 = batch.filter("conv_id = 'c2'")  # near-dup of stored c1
+    fn(batch2, 1)
+    final = sorted(
+        (r.conv_id, r.turn_idx) for r in spark.read.parquet(out).collect()
+    )
+    assert final == [("c1", 0)]
