@@ -74,6 +74,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash": dedup.simhash,
     "simhash_neardup_pairs": dedup.simhash_neardup_pairs,
     "winnowing_fingerprints": dedup.winnowing_fingerprints,
+    "winnowing_shared_pairs": dedup.winnowing_shared_pairs,  # MOSS overlap
     # detect→group→apply chains (iterative CC checked against a
     # recursive-CTE transitive closure in DuckDB)
     "dedup_groups_minhash": dedup.dedup_groups_minhash,
@@ -138,6 +139,7 @@ _ORACLES: dict[str, str] = {
     "simhash": dedup.SIMHASH_SQL,
     "simhash_neardup_pairs": dedup.SIMHASH_NEARDUP_PAIRS_SQL,
     "winnowing_fingerprints": dedup.WINNOWING_FINGERPRINTS_SQL,
+    "winnowing_shared_pairs": dedup.WINNOWING_SHARED_PAIRS_SQL,
     "dedup_groups_minhash": dedup.DEDUP_GROUPS_MINHASH_SQL,
     "dedup_groups_simhash": dedup.DEDUP_GROUPS_SIMHASH_SQL,
     "dedup_apply_minhash": dedup.DEDUP_APPLY_MINHASH_SQL,

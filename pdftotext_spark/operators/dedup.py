@@ -818,3 +818,75 @@ SELECT CAST(src AS BIGINT) AS doc_id,
        CAST(LEAST(src, MIN(r)) AS BIGINT) AS group_id
 FROM reach GROUP BY src
 """
+
+
+WINNOW_MAX_DF = 20     # drop boilerplate fingerprints seen in more docs
+WINNOW_MIN_SHARED = 25  # pairs must share at least this many prints
+
+
+def winnowing_shared_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS-style shared-fingerprint pairs: documents sharing ≥
+    WINNOW_MIN_SHARED winnowing fingerprints — position-robust exact
+    substring overlap, the plagiarism-detection complement to the
+    probabilistic MinHash/SimHash families.
+
+    100 TB shape: the classic MOSS guard drops over-common
+    fingerprints (df > WINNOW_MAX_DF — boilerplate produces the hot
+    buckets) BEFORE the fingerprint equi-join, so bucket sizes stay
+    bounded and the pair aggregation is a plain grouped count."""
+    from pyspark.sql import Window
+
+    docs = _read(spark, sf_dir, "documents")
+    positioned = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, greatest(least(length(text) - {SHINGLE_LEN - 1}, "
+                f"{SHINGLE_SPAN}), 1)), i -> substring(text, i, {SHINGLE_LEN}))"
+            )
+        ).alias("pos", "sh"),
+    ).withColumn("h", F.md5("sh"))
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(0, WINNOW_WINDOW - 1)
+    )
+    selected = positioned.select(
+        "doc_id", F.min("h").over(w).alias("fp")
+    ).distinct()
+    dfc = selected.groupBy("fp").agg(F.count("*").alias("df"))
+    rare = selected.join(dfc.filter(F.col("df") <= WINNOW_MAX_DF), "fp")
+    a = rare.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = rare.select(F.col("doc_id").alias("doc_b"), F.col("fp").alias("fp_b"))
+    return (
+        a.join(b, (F.col("fp") == F.col("fp_b")) & (F.col("doc_a") < F.col("doc_b")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= WINNOW_MIN_SHARED)
+    )
+
+
+WINNOWING_SHARED_PAIRS_SQL = f"""
+WITH positioned AS (
+  SELECT doc_id, i AS pos, md5(substr(text, CAST(i AS INT), {SHINGLE_LEN})) AS h
+  FROM documents, (SELECT unnest(range(1, {SHINGLE_SPAN + 1})) AS i) r
+  WHERE i <= greatest(length(text) - {SHINGLE_LEN - 1}, 1)
+),
+selected AS (
+  SELECT DISTINCT doc_id,
+         MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND {WINNOW_WINDOW - 1} FOLLOWING) AS fp
+  FROM positioned
+),
+dfc AS (SELECT fp, COUNT(*) AS df FROM selected GROUP BY fp),
+rare AS (
+  SELECT s.doc_id, s.fp FROM selected s JOIN dfc USING (fp)
+  WHERE dfc.df <= {WINNOW_MAX_DF}
+)
+SELECT CAST(a.doc_id AS BIGINT) AS doc_a,
+       CAST(b.doc_id AS BIGINT) AS doc_b,
+       CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM rare a JOIN rare b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING COUNT(*) >= {WINNOW_MIN_SHARED}
+"""
