@@ -102,8 +102,11 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # frequency sketches (constant-key-space vocabulary accounting)
     "token_cms": sketches.token_cms,
     "heavy_hitters_exact": sketches.heavy_hitters_exact,
+    "hll_distinct": sketches.hll_distinct,                # HLL register sketch
+    "bloom_novelty": sketches.bloom_novelty,              # Bloom membership probe
     "doc_fingerprint": textstats.doc_fingerprint,
     "tfidf_top_terms": textstats.tfidf_top_terms,        # per-source vocab dashboard
+    "repetition_signals": textstats.repetition_signals,  # Gopher repetition filters
 }
 
 _ORACLES: dict[str, str] = {
@@ -159,8 +162,11 @@ _ORACLES: dict[str, str] = {
     "doc_length_profile": textstats.DOC_LENGTH_PROFILE_SQL,
     "token_cms": sketches.TOKEN_CMS_SQL,
     "heavy_hitters_exact": sketches.HEAVY_HITTERS_EXACT_SQL,
+    "hll_distinct": sketches.HLL_DISTINCT_SQL,
+    "bloom_novelty": sketches.BLOOM_NOVELTY_SQL,
     "doc_fingerprint": textstats.DOC_FINGERPRINT_SQL,
     "tfidf_top_terms": textstats.TFIDF_TOP_TERMS_SQL,
+    "repetition_signals": textstats.REPETITION_SIGNALS_SQL,
 }
 
 

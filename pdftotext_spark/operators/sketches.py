@@ -127,3 +127,265 @@ def cms_point_estimate(cms: DataFrame, token: str) -> int:
     if row["hit"] < CMS_DEPTH:
         return 0  # some row has a zero counter → token absent
     return int(row["est"])
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog distinct-count sketch (Flajolet, Fusy, Gandouet, Meunier
+# 2007) — portable: registers derive from md5 nibble arithmetic so the
+# DuckDB oracle replays every register AND the estimate bit-for-bit
+# (the 2^-rho sum is a bounded-span sum of exact binary fractions, so
+# double addition is exact in any order; the final multiply/divide is
+# deterministic IEEE).
+# ---------------------------------------------------------------------------
+
+HLL_M = 64  # 2^6 registers
+HLL_ALPHA = 0.709  # bias constant for m = 64
+
+
+def _hex_val_sql(h_expr: str, start: int, n: int) -> str:
+    """Integer value of ``n`` md5-hex nibbles starting at 1-based
+    ``start`` — the dialect-neutral position/substr arithmetic shared
+    with the CMS bucket hash (BIGINT casts: 15·16^7 overflows INT)."""
+    parts = [
+        f"CAST(position(substr({h_expr}, {start + j}, 1) "
+        f"IN '0123456789abcdef') - 1 AS BIGINT) * {16 ** (n - 1 - j)}"
+        for j in range(n)
+    ]
+    return "(" + " + ".join(parts) + ")"
+
+
+def hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL estimate of the corpus's distinct char-8-gram shingle count,
+    next to the exact answer (the audit baseline, like
+    ``heavy_hitters_exact`` for the CMS).
+
+    100 TB shape: the sketch path groups into a CONSTANT key space of
+    m=64 registers with map-side partial max — the answer to "how many
+    distinct shingles" without shuffling a shingle-cardinality set.
+    The exact twin (countDistinct) IS that expensive full shuffle; at
+    scale you run only the register path. Raw estimate only (no
+    small-range correction: ln() is not bit-portable across engines;
+    at shingle cardinalities the raw regime is the operative one).
+    """
+    from pdftotext_spark.operators import dedup
+
+    docs = _read(spark, sf_dir, "documents")
+    # duplicate-insensitive (register max), so skip the distinct shuffle
+    sh = dedup._shingles(docs, distinct=False).select("sh")
+    idx = f"({_hex_val_sql('md5(sh)', 1, 2)} % {HLL_M})"
+    w = _hex_val_sql("md5(sh)", 9, 8)  # 32-bit sample for the rank
+    assigned = sh.select(
+        F.expr(idx).cast("int").alias("idx"),
+        F.expr(w).cast("long").alias("w"),
+    ).select(
+        "idx",
+        # rho = leading zeros of the 32-bit w, + 1  =  33 - bit_length(w)
+        F.expr(
+            "CASE WHEN w = 0 THEN 33 "
+            "ELSE 33 - length(conv(CAST(w AS STRING), 10, 2)) END"
+        ).cast("int").alias("rho"),
+    )
+    regs = assigned.groupBy("idx").agg(F.max("rho").alias("maxrho"))
+    summary = regs.agg(
+        F.count("*").cast("long").alias("registers_hit"),
+        F.sum(
+            F.expr(
+                "CAST(1 AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), maxrho) AS DOUBLE)"
+            )
+        ).alias("sum_obs"),
+    )
+    exact = sh.agg(F.countDistinct("sh").cast("long").alias("exact_distinct"))
+    est = (
+        f"round(CAST({HLL_ALPHA} AS DOUBLE) * {HLL_M * HLL_M} "
+        f"/ (sum_obs + ({HLL_M} - registers_hit)), 4)"
+    )
+    return summary.crossJoin(F.broadcast(exact)).select(
+        F.lit(HLL_M).cast("long").alias("m"),
+        "registers_hit",
+        F.expr(est).cast("double").alias("est_distinct"),
+        "exact_distinct",
+    )
+
+
+def _hll_sql() -> str:
+    from pdftotext_spark.operators import dedup
+
+    idx = f"({_hex_val_sql('md5(sh)', 1, 2)} % {HLL_M})"
+    w = _hex_val_sql("md5(sh)", 9, 8)
+    return f"""
+WITH sh AS (
+  SELECT substr(text, CAST(i AS INT), {dedup.SHINGLE_LEN}) AS sh
+  FROM documents, (SELECT unnest(range(1, {dedup.SHINGLE_SPAN + 1})) AS i) r
+  WHERE i <= greatest(length(text) - {dedup.SHINGLE_LEN - 1}, 1)
+),
+assigned AS (SELECT {idx} AS idx, {w} AS w FROM sh),
+rho AS (
+  SELECT idx,
+         CASE WHEN w = 0 THEN 33 ELSE 33 - length(bin(w)) END AS rho
+  FROM assigned
+),
+regs AS (SELECT idx, MAX(rho) AS maxrho FROM rho GROUP BY idx),
+summary AS (
+  SELECT COUNT(*) AS registers_hit,
+         SUM(CAST(1 AS DOUBLE)
+             / CAST((CAST(1 AS BIGINT) << maxrho) AS DOUBLE)) AS sum_obs
+  FROM regs
+),
+exact AS (SELECT COUNT(DISTINCT sh) AS exact_distinct FROM sh)
+SELECT CAST({HLL_M} AS BIGINT) AS m,
+       CAST(registers_hit AS BIGINT) AS registers_hit,
+       CAST(round(CAST({HLL_ALPHA} AS DOUBLE) * {HLL_M * HLL_M}
+            / (sum_obs + ({HLL_M} - registers_hit)), 4) AS DOUBLE)
+         AS est_distinct,
+       CAST(exact_distinct AS BIGINT) AS exact_distinct
+FROM summary, exact
+"""
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter novelty probe (Bloom 1970): build the bit set over one
+# half of the corpus, probe the other half, measure the false-positive
+# rate against the exact membership join. At 100 TB the bits table is
+# ≤ BLOOM_BITS rows after distinct — ALWAYS broadcastable (size m to
+# n·k/ln2 for the target fp; 2^16 here is deliberately tight for the
+# test corpus so the measured fp_rate is non-trivial).
+# ---------------------------------------------------------------------------
+
+BLOOM_K = 4  # hash functions
+BLOOM_NIBBLES = 4  # 16-bit positions -> m = 65536 bits
+BLOOM_BITS = 16 ** BLOOM_NIBBLES
+
+
+def _bloom_pos_sql(salt: int) -> str:
+    return _hex_val_sql(f"md5('{salt}:' || sh)", 1, BLOOM_NIBBLES)
+
+
+def bloom_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split the corpus shingle set by source parity, Bloom-insert the
+    even half, probe the odd half; report measured membership vs the
+    exact semi-join (no false negatives by construction — pinned in
+    tests — and a tunable false-positive rate)."""
+    from pdftotext_spark.operators import dedup
+
+    docs = _read(spark, sf_dir, "documents")
+    docs_par = docs.select(
+        F.expr("CAST(substring(source, 4, 8) AS INT) % 2").alias("doc_id"),
+        "text",
+    )
+    # reuse the dedup shingler with parity standing in for doc_id:
+    # distinct (par, sh) pairs in one scan, shared by both sides
+    s = dedup._shingles(docs_par, distinct=True).withColumnRenamed(
+        "doc_id", "par"
+    ).localCheckpoint()
+    train = s.filter("par = 0").select("sh")
+    probe = s.filter("par = 1").select("sh")
+    bits = (
+        train.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.expr(_bloom_pos_sql(i)).cast("long")
+                        for i in range(BLOOM_K)
+                    ]
+                )
+            ).alias("pos")
+        )
+        .distinct()
+    )
+    probe_pos = probe.select(
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("hi"),
+                        F.expr(_bloom_pos_sql(i)).cast("long").alias("pos"),
+                    )
+                    for i in range(BLOOM_K)
+                ]
+            )
+        ).alias("hp"),
+    ).select("sh", "hp.pos")
+    hits = (
+        probe_pos.join(F.broadcast(bits), "pos")
+        .groupBy("sh")
+        .agg(F.count("*").alias("nhit"))
+    )
+    bloom_pos = hits.filter(F.col("nhit") == BLOOM_K).agg(
+        F.count("*").cast("long").alias("bloom_positives")
+    )
+    true_mem = probe.join(train, "sh", "left_semi").agg(
+        F.count("*").cast("long").alias("true_members")
+    )
+    n_train = train.agg(F.count("*").cast("long").alias("n_train"))
+    n_probe = probe.agg(F.count("*").cast("long").alias("n_probe"))
+    n_bits = bits.agg(F.count("*").cast("long").alias("bits_set"))
+    out = (
+        n_train.crossJoin(F.broadcast(n_probe))
+        .crossJoin(F.broadcast(n_bits))
+        .crossJoin(F.broadcast(bloom_pos))
+        .crossJoin(F.broadcast(true_mem))
+    )
+    return out.select(
+        "n_train",
+        "n_probe",
+        "bits_set",
+        "bloom_positives",
+        "true_members",
+        (F.col("bloom_positives") - F.col("true_members"))
+        .cast("long")
+        .alias("false_positives"),
+        F.expr(
+            "round(CAST(bloom_positives - true_members AS DOUBLE)"
+            " / greatest(n_probe - true_members, 1), 6)"
+        ).cast("double").alias("fp_rate"),
+    )
+
+
+def _bloom_sql() -> str:
+    from pdftotext_spark.operators import dedup
+
+    pos_train = " UNION ALL ".join(
+        f"SELECT {_bloom_pos_sql(i)} AS pos FROM train"
+        for i in range(BLOOM_K)
+    )
+    pos_probe = " UNION ALL ".join(
+        f"SELECT sh, {_bloom_pos_sql(i)} AS pos FROM probe"
+        for i in range(BLOOM_K)
+    )
+    return f"""
+WITH s AS (
+  SELECT DISTINCT substr(text, CAST(i AS INT), {dedup.SHINGLE_LEN}) AS sh,
+         CAST(substr(source, 4) AS INT) % 2 AS par
+  FROM documents, (SELECT unnest(range(1, {dedup.SHINGLE_SPAN + 1})) AS i) r
+  WHERE i <= greatest(length(text) - {dedup.SHINGLE_LEN - 1}, 1)
+),
+train AS (SELECT DISTINCT sh FROM s WHERE par = 0),
+probe AS (SELECT DISTINCT sh FROM s WHERE par = 1),
+bits AS (SELECT DISTINCT pos FROM ({pos_train})),
+ppos AS (SELECT sh, pos FROM ({pos_probe})),
+hits AS (
+  SELECT sh, COUNT(*) AS nhit FROM ppos JOIN bits USING (pos) GROUP BY sh
+),
+agg AS (
+  SELECT (SELECT COUNT(*) FROM train) AS n_train,
+         (SELECT COUNT(*) FROM probe) AS n_probe,
+         (SELECT COUNT(*) FROM bits) AS bits_set,
+         (SELECT COUNT(*) FROM hits WHERE nhit = {BLOOM_K}) AS bloom_positives,
+         (SELECT COUNT(*) FROM probe
+          WHERE sh IN (SELECT sh FROM train)) AS true_members
+)
+SELECT CAST(n_train AS BIGINT) AS n_train,
+       CAST(n_probe AS BIGINT) AS n_probe,
+       CAST(bits_set AS BIGINT) AS bits_set,
+       CAST(bloom_positives AS BIGINT) AS bloom_positives,
+       CAST(true_members AS BIGINT) AS true_members,
+       CAST(bloom_positives - true_members AS BIGINT) AS false_positives,
+       CAST(round(CAST(bloom_positives - true_members AS DOUBLE)
+            / greatest(n_probe - true_members, 1), 6) AS DOUBLE) AS fp_rate
+FROM agg
+"""
+
+
+HLL_DISTINCT_SQL = _hll_sql()
+BLOOM_NOVELTY_SQL = _bloom_sql()

@@ -336,3 +336,92 @@ SELECT source, term, CAST(ROUND(score, 6) AS DOUBLE) AS score,
        CAST(rank AS BIGINT) AS rank
 FROM ranked WHERE rank <= {TFIDF_TOP_K}
 """
+
+
+def repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021,
+    "Scaling Language Models", Table A1): per-document duplicate-word
+    fraction, top-token fraction and top-bigram fraction — the
+    standard "is this page boilerplate/spam" filters of a web-scale
+    curation pipeline.
+
+    100 TB shape: a ZERO-shuffle narrow map — every signal is an
+    array-function expression over the tokenized text (no explode, no
+    groupBy), so the plan is a single WholeStageCodegen scan that
+    scales embarrassingly. Per-row cost is O(distinct·n) with n
+    bounded by document length.
+    """
+    docs = _read(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.expr("filter(split(lower(text), ' '), t -> t <> '')").alias("toks"),
+    )
+    top_tok = (
+        "array_max(transform(array_distinct(toks), "
+        "d -> size(filter(toks, t -> t = d))))"
+    )
+    # sequence(1, 0) is DESCENDING in Spark, so guard size < 2
+    bigrams = (
+        "CASE WHEN size(toks) < 2 THEN CAST(array() AS ARRAY<STRING>) "
+        "ELSE transform(sequence(1, size(toks) - 1), "
+        "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1))) END"
+    )
+    top_big = (
+        "coalesce(array_max(transform(array_distinct(bigrams), "
+        "d -> size(filter(bigrams, t -> t = d)))), 0)"
+    )
+    staged = toks.select(
+        "doc_id",
+        F.size("toks").alias("n_tok"),
+        F.size(F.array_distinct("toks")).alias("n_dis"),
+        F.expr(top_tok).alias("top_tok_cnt"),
+        F.expr(bigrams).alias("bigrams"),
+    ).select(
+        "doc_id", "n_tok", "n_dis", "top_tok_cnt",
+        F.expr(top_big).alias("top_big_cnt"),
+    )
+    # int/int division promotes to double identically in both engines,
+    # but cast the numerator explicitly; greatest(.., 1) guards empties
+    return staged.select(
+        "doc_id",
+        F.col("n_tok").cast("long").alias("n_tokens"),
+        F.col("n_dis").cast("long").alias("n_distinct"),
+        F.expr(
+            "CAST(n_tok - n_dis AS DOUBLE) / greatest(n_tok, 1)"
+        ).alias("dup_word_frac"),
+        F.expr(
+            "CAST(top_tok_cnt AS DOUBLE) / greatest(n_tok, 1)"
+        ).alias("top_token_frac"),
+        F.expr(
+            "CAST(top_big_cnt AS DOUBLE) / greatest(n_tok - 1, 1)"
+        ).alias("top_bigram_frac"),
+    )
+
+
+REPETITION_SIGNALS_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), t -> t <> '') AS toks
+  FROM documents
+),
+big AS (
+  SELECT doc_id, toks,
+         CASE WHEN len(toks) < 2 THEN CAST([] AS VARCHAR[])
+              ELSE list_transform(range(1, len(toks)),
+                                  i -> toks[i] || ' ' || toks[i + 1])
+         END AS bigrams
+  FROM toks
+)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+       CAST(len(toks) - len(list_distinct(toks)) AS DOUBLE)
+         / greatest(len(toks), 1) AS dup_word_frac,
+       CAST(list_max(list_transform(list_distinct(toks),
+              d -> len(list_filter(toks, t -> t = d)))) AS DOUBLE)
+         / greatest(len(toks), 1) AS top_token_frac,
+       CAST(coalesce(list_max(list_transform(list_distinct(bigrams),
+              d -> len(list_filter(bigrams, t -> t = d)))), 0) AS DOUBLE)
+         / greatest(len(toks) - 1, 1) AS top_bigram_frac
+FROM big
+"""

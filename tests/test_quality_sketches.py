@@ -1,0 +1,75 @@
+"""Semantics of the round-3 quality/sketch additions: Gopher
+repetition signals (hand-checked values on a constructed doc), the
+HLL distinct sketch (error bound vs the exact twin) and the Bloom
+novelty probe (no false negatives; sane fp rate)."""
+
+import pytest
+
+from pdftotext_spark.operators import sketches, textstats
+
+pytestmark = pytest.mark.spark
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_repetition_signals_hand_checked(spark, tmp_path):
+    import pandas as pd
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "text": ["a a b", "x"],
+            "lang": ["en", "en"],
+            "source": ["src0", "src1"],
+            "n_chars": [5, 1],
+        }
+    )
+    d = str(tmp_path)
+    spark.createDataFrame(docs).write.mode("overwrite").parquet(
+        f"{d}/documents.parquet"
+    )
+    rows = {
+        r.doc_id: r for r in textstats.repetition_signals(spark, d).collect()
+    }
+    r1 = rows[1]  # tokens: a a b; bigrams: "a a", "a b"
+    assert (r1.n_tokens, r1.n_distinct) == (3, 2)
+    assert r1.dup_word_frac == pytest.approx(1 / 3)
+    assert r1.top_token_frac == pytest.approx(2 / 3)
+    assert r1.top_bigram_frac == pytest.approx(1 / 2)
+    r2 = rows[2]  # single token: no repetition, no bigrams
+    assert (r2.n_tokens, r2.n_distinct) == (1, 1)
+    assert r2.dup_word_frac == 0.0
+    assert r2.top_token_frac == 1.0
+    assert r2.top_bigram_frac == 0.0
+
+
+def test_repetition_signals_ranges(spark):
+    rows = textstats.repetition_signals(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.dup_word_frac < 1
+        assert 0 < r.top_token_frac <= 1
+        assert 0 <= r.top_bigram_frac <= 1
+        assert r.n_distinct <= r.n_tokens
+
+
+def test_hll_tracks_exact_distinct(spark):
+    row = sketches.hll_distinct(spark, SF).collect()[0]
+    assert row.m == sketches.HLL_M
+    # ~12k distinct items across 64 registers: every register is hit
+    assert row.registers_hit == sketches.HLL_M
+    assert row.exact_distinct > 1000
+    rel_err = abs(row.est_distinct - row.exact_distinct) / row.exact_distinct
+    # theoretical sigma = 1.04/sqrt(64) = 13%; allow 3 sigma
+    assert rel_err < 0.4, (row.est_distinct, row.exact_distinct)
+
+
+def test_bloom_no_false_negatives_and_sane_fp(spark):
+    row = sketches.bloom_novelty(spark, SF).collect()[0]
+    assert row.n_train > 0 and row.n_probe > 0
+    # Bloom filters never miss a real member
+    assert row.bloom_positives >= row.true_members
+    assert row.false_positives >= 0
+    assert row.bits_set <= min(sketches.BLOOM_BITS, row.n_train * sketches.BLOOM_K)
+    # m=2^16 sized for ~10% fp at this corpus; 30% means the hash is broken
+    assert row.fp_rate < 0.3
