@@ -314,17 +314,25 @@ def bloom_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     bloom_pos = hits.filter(F.col("nhit") == BLOOM_K).agg(
         F.count("*").cast("long").alias("bloom_positives")
     )
-    true_mem = probe.join(train, "sh", "left_semi").agg(
-        F.count("*").cast("long").alias("true_members")
+    # set sizes + exact membership in ONE grouped pass over s instead
+    # of three separate count/semi-join jobs: per sh, flag which sides
+    # contain it, then sum the flags
+    member_stats = (
+        s.groupBy("sh")
+        .agg(
+            F.max(F.expr("CASE WHEN par = 0 THEN 1 ELSE 0 END")).alias("t"),
+            F.max(F.expr("CASE WHEN par = 1 THEN 1 ELSE 0 END")).alias("p"),
+        )
+        .agg(
+            F.sum("t").cast("long").alias("n_train"),
+            F.sum("p").cast("long").alias("n_probe"),
+            F.sum(F.col("t") * F.col("p")).cast("long").alias("true_members"),
+        )
     )
-    n_train = train.agg(F.count("*").cast("long").alias("n_train"))
-    n_probe = probe.agg(F.count("*").cast("long").alias("n_probe"))
     n_bits = bits.agg(F.count("*").cast("long").alias("bits_set"))
     out = (
-        n_train.crossJoin(F.broadcast(n_probe))
-        .crossJoin(F.broadcast(n_bits))
+        member_stats.crossJoin(F.broadcast(n_bits))
         .crossJoin(F.broadcast(bloom_pos))
-        .crossJoin(F.broadcast(true_mem))
     )
     return out.select(
         "n_train",
