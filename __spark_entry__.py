@@ -107,6 +107,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_fingerprint": textstats.doc_fingerprint,
     "tfidf_top_terms": textstats.tfidf_top_terms,        # per-source vocab dashboard
     "repetition_signals": textstats.repetition_signals,  # Gopher repetition filters
+    "chunk_documents": textstats.chunk_documents,        # token-window chunking
+    "stratified_sample": textstats.stratified_sample,    # deterministic eval split
+    "knn_graph_srp": similarity.knn_graph_srp,           # all-corpus ANN graph
 }
 
 _ORACLES: dict[str, str] = {
@@ -167,6 +170,9 @@ _ORACLES: dict[str, str] = {
     "doc_fingerprint": textstats.DOC_FINGERPRINT_SQL,
     "tfidf_top_terms": textstats.TFIDF_TOP_TERMS_SQL,
     "repetition_signals": textstats.REPETITION_SIGNALS_SQL,
+    "chunk_documents": textstats.CHUNK_DOCUMENTS_SQL,
+    "stratified_sample": textstats.STRATIFIED_SAMPLE_SQL,
+    "knn_graph_srp": similarity.KNN_GRAPH_SRP_SQL,
 }
 
 

@@ -589,3 +589,118 @@ SELECT CAST(src AS BIGINT) AS vec_id,
        CAST(LEAST(src, MIN(r)) AS BIGINT) AS group_id
 FROM reach GROUP BY src
 """
+
+
+KNN_K = 3
+
+
+def knn_graph_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate k-nearest-neighbor GRAPH: for every vector, its
+    top-k cosine neighbors among SRP band-collision candidates — the
+    all-corpus ANN primitive behind semantic dedup clustering and
+    diversity sampling (vs :func:`ann_topk_srp`, which answers for ONE
+    query vector).
+
+    100 TB shape: candidates come only from the banded equi-join
+    (never all-pairs); the per-source top-k is a window over each
+    vector's candidate list (TakeOrdered shape after AQE). Ranking
+    uses the 4dp-ROUNDED cosine with a vec-id tie-break so a 1-ulp
+    engine difference cannot flip top-k membership (the tfidf
+    lesson)."""
+    emb = (
+        _read(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .withColumn("srp", _srp_bucket_col())
+    )
+    banded = emb.select(
+        "vec_id",
+        "embedding",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        F.shiftright("srp", i * _SRP_BAND_BITS)
+                        .bitwiseAND(F.lit((1 << _SRP_BAND_BITS) - 1))
+                        .alias("band_bits"),
+                    )
+                    for i in range(SRP_BANDS)
+                ]
+            )
+        ).alias("b"),
+    ).select("vec_id", "embedding", "b.band_idx", "b.band_bits")
+    a = banded.select(
+        "band_idx", "band_bits",
+        F.col("vec_id").alias("src"),
+        F.col("embedding").alias("emb_a"),
+    )
+    b = banded.select(
+        "band_idx", "band_bits",
+        F.col("vec_id").alias("dst"),
+        F.col("embedding").alias("emb_b"),
+    )
+    # DIRECTED candidates (each side gets its own neighbor list);
+    # distinct BEFORE the cosine so a pair colliding in several bands
+    # pays the dot product once
+    cand = (
+        a.join(b, ["band_idx", "band_bits"])
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst", "emb_a", "emb_b")
+        .distinct()
+    )
+    cos = _dot(F.col("emb_a"), F.col("emb_b")) / (
+        _norm(F.col("emb_a")) * _norm(F.col("emb_b"))
+    )
+    scored = cand.select(
+        "src", "dst", F.round(cos, 4).alias("cosine")
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("src").orderBy(F.desc("cosine"), F.asc("dst"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= KNN_K)
+        .select(
+            F.col("src").cast("long").alias("vec_id"),
+            F.col("dst").cast("long").alias("neighbor_id"),
+            "cosine",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+KNN_GRAPH_SRP_SQL = f"""
+WITH sig AS (
+  SELECT CAST(vec_id AS BIGINT) AS vec_id, embedding,
+         CAST({_SRP_BUCKET_SQL} AS BIGINT) AS srp
+  FROM embeddings
+),
+bands AS ({_SRP_BANDS_SQL}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst,
+         a.embedding AS emb_a, b.embedding AS emb_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_bits = b.band_bits
+   AND a.vec_id <> b.vec_id
+),
+scored AS (
+  SELECT src, dst,
+         ROUND(
+           list_sum(list_transform(list_zip(emb_a, emb_b),
+                                   x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+           / (sqrt(list_sum(list_transform(emb_a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+              * sqrt(list_sum(list_transform(emb_b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+           4) AS cosine
+  FROM cand
+),
+ranked AS (
+  SELECT src, dst, cosine,
+         ROW_NUMBER() OVER (PARTITION BY src ORDER BY cosine DESC, dst ASC) AS rank
+  FROM scored
+)
+SELECT CAST(src AS BIGINT) AS vec_id,
+       CAST(dst AS BIGINT) AS neighbor_id,
+       cosine,
+       CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {KNN_K}
+"""

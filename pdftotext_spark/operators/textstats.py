@@ -425,3 +425,120 @@ SELECT doc_id,
          / greatest(len(toks) - 1, 1) AS top_bigram_frac
 FROM big
 """
+
+
+CHUNK_W = 32  # tokens per chunk
+CHUNK_S = 24  # stride (8-token overlap)
+
+
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking — the primitive that feeds an
+    embedding/indexing pipeline (context-window-sized pieces with
+    overlap so no boundary sentence is lost).
+
+    100 TB shape: zero-shuffle narrow map — chunk count and slices are
+    array expressions per row; output explodes ~n_tokens/stride rows
+    per doc with deterministic (doc_id, chunk_idx) identity, so the
+    stage pipelines straight into a parquet/Iceberg sink with no
+    repartition."""
+    docs = _read(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.expr("filter(split(lower(text), ' '), t -> t <> '')").alias("toks"),
+    ).select("doc_id", "toks", F.size("toks").alias("n_tok"))
+    # chunks = 1 + ceil((n_tok - W) / S) for n_tok > W else 1
+    last_idx = (
+        f"CASE WHEN n_tok <= {CHUNK_W} THEN 0 "
+        f"ELSE CAST(floor((n_tok - {CHUNK_W} + {CHUNK_S} - 1.0) / {CHUNK_S}) AS INT) END"
+    )
+    chunked = toks.select(
+        "doc_id",
+        "toks",
+        "n_tok",
+        F.explode(F.expr(f"sequence(0, {last_idx})")).alias("chunk_idx"),
+    )
+    return chunked.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.expr(
+            f"array_join(slice(toks, chunk_idx * {CHUNK_S} + 1, {CHUNK_W}), ' ')"
+        ).alias("chunk_text"),
+        (F.col("chunk_idx") * CHUNK_S + 1).cast("long").alias("start_tok"),
+        F.expr(f"least(chunk_idx * {CHUNK_S} + {CHUNK_W}, n_tok)")
+        .cast("long")
+        .alias("end_tok"),
+    )
+
+
+CHUNK_DOCUMENTS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), t -> t <> '') AS toks
+  FROM documents
+),
+n AS (SELECT doc_id, toks, len(toks) AS n_tok FROM toks),
+c AS (
+  SELECT doc_id, toks, n_tok,
+         unnest(range(0, CASE WHEN n_tok <= {CHUNK_W} THEN 1
+           ELSE CAST(floor((n_tok - {CHUNK_W} + {CHUNK_S} - 1.0) / {CHUNK_S}) AS INT) + 1 END))
+           AS chunk_idx
+  FROM n
+)
+SELECT doc_id,
+       CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       array_to_string(list_slice(toks, chunk_idx * {CHUNK_S} + 1,
+                                  chunk_idx * {CHUNK_S} + {CHUNK_W}), ' ')
+         AS chunk_text,
+       CAST(chunk_idx * {CHUNK_S} + 1 AS BIGINT) AS start_tok,
+       CAST(least(chunk_idx * {CHUNK_S} + {CHUNK_W}, n_tok) AS BIGINT) AS end_tok
+FROM c
+"""
+
+
+SAMPLE_PER_STRATUM = 5
+
+
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sample: k docs per source, ranked by
+    md5(source:doc_id) — the reproducible eval-split / spot-check
+    primitive (same rows on every run and every engine, unlike
+    ``TABLESAMPLE``).
+
+    100 TB shape: one window per stratum (shuffle on source) and the
+    rank predicate prunes to k rows per group before any wide payload
+    column is carried — select the ids first, join the payload back if
+    needed."""
+    docs = _read(spark, sf_dir, "documents")
+    from pyspark.sql.window import Window
+
+    key = F.md5(F.concat(F.col("source"), F.lit(":"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("source").orderBy(key, F.asc("doc_id"))
+    return (
+        docs.select("source", "doc_id", key.alias("sample_key"))
+        .withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= SAMPLE_PER_STRATUM)
+        .select(
+            "source",
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "sample_key",
+            F.col("sample_rank").cast("long").alias("sample_rank"),
+        )
+    )
+
+
+STRATIFIED_SAMPLE_SQL = f"""
+WITH keyed AS (
+  SELECT source, doc_id,
+         md5(source || ':' || CAST(doc_id AS VARCHAR)) AS sample_key
+  FROM documents
+),
+ranked AS (
+  SELECT source, doc_id, sample_key,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY sample_key, doc_id ASC) AS sample_rank
+  FROM keyed
+)
+SELECT source, CAST(doc_id AS BIGINT) AS doc_id, sample_key,
+       CAST(sample_rank AS BIGINT) AS sample_rank
+FROM ranked WHERE sample_rank <= {SAMPLE_PER_STRATUM}
+"""

@@ -73,3 +73,54 @@ def test_bloom_no_false_negatives_and_sane_fp(spark):
     assert row.bits_set <= min(sketches.BLOOM_BITS, row.n_train * sketches.BLOOM_K)
     # m=2^16 sized for ~10% fp at this corpus; 30% means the hash is broken
     assert row.fp_rate < 0.3
+
+
+def test_chunk_documents_covers_every_token(spark):
+    from pyspark.sql import functions as F
+
+    chunks = textstats.chunk_documents(spark, SF)
+    stats = chunks.groupBy("doc_id").agg(
+        F.max("end_tok").alias("max_end"),
+        F.min("start_tok").alias("min_start"),
+        F.count("*").alias("n_chunks"),
+    )
+    toks = textstats.repetition_signals(spark, SF).select("doc_id", "n_tokens")
+    joined = stats.join(toks, "doc_id")
+    # full coverage: chunks start at token 1 and reach the last token
+    assert joined.filter("min_start <> 1 OR max_end <> n_tokens").count() == 0
+    # chunk_text token count == end - start + 1 (the slice is honest)
+    bad = chunks.filter(
+        F.size(F.split("chunk_text", " ")) != F.col("end_tok") - F.col("start_tok") + 1
+    )
+    assert bad.count() == 0
+
+
+def test_stratified_sample_is_deterministic_k_per_stratum(spark):
+    a = sorted(map(tuple, textstats.stratified_sample(spark, SF).collect()))
+    b = sorted(map(tuple, textstats.stratified_sample(spark, SF).collect()))
+    assert a == b and a
+    from collections import Counter
+
+    per_src = Counter(r[0] for r in a)
+    assert all(v <= textstats.SAMPLE_PER_STRATUM for v in per_src.values())
+    ranks = {r[3] for r in a}
+    assert ranks == set(range(1, max(per_src.values()) + 1))
+
+
+def test_knn_graph_neighbors_are_sane(spark):
+    from pdftotext_spark.operators import similarity
+
+    g = similarity.knn_graph_srp(spark, SF).collect()
+    assert g
+    by_src = {}
+    for r in g:
+        assert r.vec_id != r.neighbor_id
+        assert -1.0 <= r.cosine <= 1.0
+        by_src.setdefault(r.vec_id, []).append(r)
+    for rows in by_src.values():
+        rows.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+        assert len(rows) <= similarity.KNN_K
+        # ranks follow the rounded cosine descending
+        cosines = [r.cosine for r in rows]
+        assert cosines == sorted(cosines, reverse=True)
