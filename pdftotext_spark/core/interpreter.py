@@ -121,57 +121,62 @@ def tokenize(stream: bytes):
     emit = out.append
     pos = 0
     n = len(stream)
-    match = _MASTER_RE.match
     # integer lastindex dispatch (group numbers fixed by _MASTER_RE
     # order), most-frequent kinds first — this loop runs per token of
-    # every content stream and the named-group path costs ~1.4x
-    while pos < n:
-        m = match(stream, pos)
-        if m is None:  # unmatchable byte: skip (parity with old scanner)
-            pos += 1
-            continue
-        pos = m.end()
-        kind = m.lastindex
-        if kind is None:  # whitespace
-            continue
-        if kind == 7:  # num
-            emit(("num", float(m.group(7))))
-        elif kind == 8:  # op
-            emit(("op", m.group(8).decode("latin-1")))
-        elif kind == 1:  # str (non-nested literal)
-            emit(("str", m.group(1)[1:-1]))
-        elif kind == 6:  # name
-            emit(("name", m.group(6)[1:].decode("latin-1")))
-        elif kind == 3:  # hex
-            emit(("hex", m.group(3)[1:-1]))
-        elif kind == 4:  # arr open
-            stack.append([])  # emissions now land in the array
-            emit = stack[-1].append
-        elif kind == 5:  # arr close
-            if stack:
-                arr_list = stack.pop()
-                target = stack[-1] if stack else out
-                emit = target.append
-                emit(("arr", arr_list))
-        elif kind == 2:  # << dict: balanced skip
-            depth = 1
-            j = pos
-            while j < n - 1 and depth:
-                two = stream[j : j + 2]
-                if two == b"<<":
-                    depth += 1
-                    j += 2
-                elif two == b">>":
-                    depth -= 1
-                    j += 2
-                else:
-                    j += 1
-            pos = j
-        elif kind == 9:  # lparen: nested literal — the non-nested
-            # alternative could not match; escape-aware balanced scan
-            tok, pos = _scan_literal(stream, m.start())
-            emit(tok)
-        # kind 10: junk '<' or ')' alone — skipped
+    # every content stream. finditer iterates matches in C (no
+    # per-token Python match(stream, pos) call); search-vs-anchor is
+    # equivalent because the anchored loop skipped non-matching bytes
+    # one at a time. Manual skips (dicts, nested literals) adjust pos
+    # and restart the iterator.
+    restart = True
+    while restart and pos < n:
+        restart = False
+        for m in _MASTER_RE.finditer(stream, pos):
+            kind = m.lastindex
+            if kind is None:  # whitespace
+                continue
+            if kind == 7:  # num
+                emit(("num", float(m.group(7))))
+            elif kind == 8:  # op
+                emit(("op", m.group(8).decode("latin-1")))
+            elif kind == 1:  # str (non-nested literal)
+                emit(("str", m.group(1)[1:-1]))
+            elif kind == 6:  # name
+                emit(("name", m.group(6)[1:].decode("latin-1")))
+            elif kind == 3:  # hex
+                emit(("hex", m.group(3)[1:-1]))
+            elif kind == 4:  # arr open
+                stack.append([])  # emissions now land in the array
+                emit = stack[-1].append
+            elif kind == 5:  # arr close
+                if stack:
+                    arr_list = stack.pop()
+                    target = stack[-1] if stack else out
+                    emit = target.append
+                    emit(("arr", arr_list))
+            elif kind == 2:  # << dict: balanced skip
+                depth = 1
+                j = m.end()
+                while j < n - 1 and depth:
+                    two = stream[j : j + 2]
+                    if two == b"<<":
+                        depth += 1
+                        j += 2
+                    elif two == b">>":
+                        depth -= 1
+                        j += 2
+                    else:
+                        j += 1
+                pos = j
+                restart = True
+                break
+            elif kind == 9:  # lparen: nested literal — the non-nested
+                # alternative could not match; escape-aware balanced scan
+                tok, pos = _scan_literal(stream, m.start())
+                emit(tok)
+                restart = True
+                break
+            # kind 10: junk '<' or ')' alone — skipped
     return out
 
 
@@ -538,30 +543,145 @@ def _extract_text_raw_fused(
 
     pos = 0
     n = len(stream)
-    match = _MASTER_RE.match
-    while pos < n:
-        m = match(stream, pos)
-        if m is None:
-            pos += 1
-            continue
-        pos = m.end()
-        kind = m.lastindex
-        if kind is None:  # whitespace
-            continue
-        if arr_depth:
-            # inside a TJ array: tokens are collected (depth 1 only),
-            # never dispatched — mirrors the token path, where array
-            # elements land in a nested list the interpreter iterates
-            if kind == 5:  # ]
-                arr_depth -= 1
-                if arr_depth == 0:
-                    prev_kind, prev_val = last_kind, last_val
-                    last_kind, last_val = 5, arr
-            elif kind == 4:  # nested [
-                arr_depth += 1
-            elif kind == 2:  # << dict: balanced skip at any depth
+    # finditer iterates token matches in C instead of re-invoking
+    # match(stream, pos) from Python per token (~0.5 µs/call × one
+    # call per token). Equivalence with the anchored loop: the old
+    # loop advanced pos by 1 on a non-matching byte, which is exactly
+    # finditer's search-skip. The rare manual skips (balanced <<…>>
+    # dicts, nested-paren literals) adjust pos directly and restart
+    # the iterator there.
+    restart = True
+    while restart and pos < n:
+        restart = False
+        for m in _MASTER_RE.finditer(stream, pos):
+            kind = m.lastindex
+            if kind is None:  # whitespace
+                continue
+            if arr_depth:
+                # inside a TJ array: tokens are collected (depth 1
+                # only), never dispatched — mirrors the token path,
+                # where array elements land in a nested list the
+                # interpreter iterates
+                if kind == 5:  # ]
+                    arr_depth -= 1
+                    if arr_depth == 0:
+                        prev_kind, prev_val = last_kind, last_val
+                        last_kind, last_val = 5, arr
+                elif kind == 4:  # nested [
+                    arr_depth += 1
+                elif kind == 2:  # << dict: balanced skip at any depth
+                    depth = 1
+                    j = m.end()
+                    while j < n - 1 and depth:
+                        two = stream[j : j + 2]
+                        if two == b"<<":
+                            depth += 1
+                            j += 2
+                        elif two == b">>":
+                            depth -= 1
+                            j += 2
+                        else:
+                            j += 1
+                    pos = j
+                    restart = True
+                    break
+                elif kind == 9:  # nested-paren literal: scan anywhere
+                    tok, pos = _scan_literal(stream, m.start())
+                    if arr_depth == 1:
+                        arr.append((1, tok[1]))
+                    restart = True
+                    break
+                elif arr_depth == 1:
+                    if kind == 7:  # num (kern offset)
+                        arr.append((3, float(m.group(7))))
+                    elif kind == 1:  # literal string
+                        arr.append((1, m.group(1)[1:-1]))
+                    elif kind == 3:  # hex string
+                        arr.append((2, m.group(3)[1:-1]))
+                    # names/operators/junk inside arrays: collected as
+                    # inert elements by the token path, ignored by TJ
+                continue
+            if kind == 7:  # num
+                prev_kind, prev_val = last_kind, last_val
+                v = float(m.group(7))
+                last_kind, last_val = 3, v
+                nums.append(v)
+            elif kind == 8:  # operator: dispatch on raw bytes
+                op = m.group(8)
+                if op == b"Tj":
+                    if last_kind in (1, 2):
+                        out.append(dec(last_kind, last_val))
+                elif op == b"Td" or op == b"TD":
+                    if len(nums) >= 2:
+                        if op == b"TD":
+                            leading = abs(nums[1])
+                        if last_y is None:
+                            last_y = 0.0
+                        move_to_y(last_y + nums[1], relative_dy=nums[1])
+                elif op == b"Tm":
+                    if len(nums) >= 6:
+                        move_to_y(nums[5])
+                elif op == b"TJ":
+                    if last_kind == 5:
+                        for el_kind, el_val in last_val:
+                            if el_kind != 3:
+                                out.append(dec(el_kind, el_val))
+                            elif el_val < -MIN_SPACE_WIDTH:
+                                if repeat_separator:
+                                    n_rep = max(
+                                        1,
+                                        int(
+                                            -el_val
+                                            // max(1000.0, MIN_SPACE_WIDTH)
+                                        ),
+                                    )
+                                    out.append(separator * n_rep)
+                                else:
+                                    out.append(separator)
+                elif op == b"Tf":
+                    if last_kind == 3:
+                        font_size = abs(last_val) or DEFAULT_FONT_SIZE
+                    if prev_kind == 4:
+                        f = fonts.resolve(
+                            prev_val[1:].decode("latin-1"), page
+                        )
+                        if f is not None:
+                            font = f
+                elif op == b"TL":
+                    if last_kind == 3:
+                        leading = abs(last_val)
+                elif op == b"T*":
+                    if last_y is None:
+                        last_y = 0.0
+                    dy = -(leading or font_size)
+                    move_to_y(last_y + dy, relative_dy=dy)
+                elif op == b"'" or op == b'"':
+                    if last_y is None:
+                        last_y = 0.0
+                    dy = -(leading or font_size)
+                    move_to_y(last_y + dy, relative_dy=dy)
+                    if last_kind in (1, 2):
+                        out.append(dec(last_kind, last_val))
+                elif op == b"Do":
+                    emit_newlines(1)  # PdfToText.php:3925-3928
+                prev_kind = last_kind = 0
+                prev_val = last_val = None
+                nums.clear()
+            elif kind == 1:  # non-nested literal string
+                prev_kind, prev_val = last_kind, last_val
+                last_kind, last_val = 1, m.group(1)[1:-1]
+            elif kind == 6:  # name (kept raw; decoded only at Tf)
+                prev_kind, prev_val = last_kind, last_val
+                last_kind, last_val = 4, m.group(6)
+            elif kind == 3:  # hex string
+                prev_kind, prev_val = last_kind, last_val
+                last_kind, last_val = 2, m.group(3)[1:-1]
+            elif kind == 4:  # [ begins a TJ array
+                arr = []
+                arr_depth = 1
+            elif kind == 2:  # << dict: balanced skip
                 depth = 1
-                j = pos
+                j = m.end()
                 while j < n - 1 and depth:
                     two = stream[j : j + 2]
                     if two == b"<<":
@@ -573,112 +693,15 @@ def _extract_text_raw_fused(
                     else:
                         j += 1
                 pos = j
-            elif kind == 9:  # nested-paren literal: scan at any depth
+                restart = True
+                break
+            elif kind == 9:  # nested literal fallback
                 tok, pos = _scan_literal(stream, m.start())
-                if arr_depth == 1:
-                    arr.append((1, tok[1]))
-            elif arr_depth == 1:
-                if kind == 7:  # num (kern offset)
-                    arr.append((3, float(m.group(7))))
-                elif kind == 1:  # literal string
-                    arr.append((1, m.group(1)[1:-1]))
-                elif kind == 3:  # hex string
-                    arr.append((2, m.group(3)[1:-1]))
-                # names/operators/junk inside arrays: collected as inert
-                # elements by the token path, ignored by TJ — dropped
-            continue
-        if kind == 7:  # num
-            prev_kind, prev_val = last_kind, last_val
-            v = float(m.group(7))
-            last_kind, last_val = 3, v
-            nums.append(v)
-        elif kind == 8:  # operator: dispatch on raw bytes
-            op = m.group(8)
-            if op == b"Tj":
-                if last_kind in (1, 2):
-                    out.append(dec(last_kind, last_val))
-            elif op == b"Td" or op == b"TD":
-                if len(nums) >= 2:
-                    if op == b"TD":
-                        leading = abs(nums[1])
-                    if last_y is None:
-                        last_y = 0.0
-                    move_to_y(last_y + nums[1], relative_dy=nums[1])
-            elif op == b"Tm":
-                if len(nums) >= 6:
-                    move_to_y(nums[5])
-            elif op == b"TJ":
-                if last_kind == 5:
-                    for el_kind, el_val in last_val:
-                        if el_kind != 3:
-                            out.append(dec(el_kind, el_val))
-                        elif el_val < -MIN_SPACE_WIDTH:
-                            if repeat_separator:
-                                n_rep = max(
-                                    1,
-                                    int(-el_val // max(1000.0, MIN_SPACE_WIDTH)),
-                                )
-                                out.append(separator * n_rep)
-                            else:
-                                out.append(separator)
-            elif op == b"Tf":
-                if last_kind == 3:
-                    font_size = abs(last_val) or DEFAULT_FONT_SIZE
-                if prev_kind == 4:
-                    f = fonts.resolve(prev_val[1:].decode("latin-1"), page)
-                    if f is not None:
-                        font = f
-            elif op == b"TL":
-                if last_kind == 3:
-                    leading = abs(last_val)
-            elif op == b"T*":
-                if last_y is None:
-                    last_y = 0.0
-                dy = -(leading or font_size)
-                move_to_y(last_y + dy, relative_dy=dy)
-            elif op == b"'" or op == b'"':
-                if last_y is None:
-                    last_y = 0.0
-                dy = -(leading or font_size)
-                move_to_y(last_y + dy, relative_dy=dy)
-                if last_kind in (1, 2):
-                    out.append(dec(last_kind, last_val))
-            elif op == b"Do":
-                emit_newlines(1)  # PdfToText.php:3925-3928
-            prev_kind = last_kind = 0
-            prev_val = last_val = None
-            nums.clear()
-        elif kind == 1:  # non-nested literal string
-            prev_kind, prev_val = last_kind, last_val
-            last_kind, last_val = 1, m.group(1)[1:-1]
-        elif kind == 6:  # name (kept raw; decoded only at Tf)
-            prev_kind, prev_val = last_kind, last_val
-            last_kind, last_val = 4, m.group(6)
-        elif kind == 3:  # hex string
-            prev_kind, prev_val = last_kind, last_val
-            last_kind, last_val = 2, m.group(3)[1:-1]
-        elif kind == 4:  # [ begins a TJ array
-            arr = []
-            arr_depth = 1
-        elif kind == 2:  # << dict: balanced skip
-            depth = 1
-            j = pos
-            while j < n - 1 and depth:
-                two = stream[j : j + 2]
-                if two == b"<<":
-                    depth += 1
-                    j += 2
-                elif two == b">>":
-                    depth -= 1
-                    j += 2
-                else:
-                    j += 1
-            pos = j
-        elif kind == 9:  # nested literal fallback
-            tok, pos = _scan_literal(stream, m.start())
-            prev_kind, prev_val = last_kind, last_val
-            last_kind, last_val = 1, tok[1]
-        # kind 5 (stray ]) / 10 (junk): dropped, registers untouched
+                prev_kind, prev_val = last_kind, last_val
+                last_kind, last_val = 1, tok[1]
+                restart = True
+                break
+            # kind 5 (stray ]) / 10 (junk): dropped, registers untouched
 
     text = "".join(out)
     lines = [ln.rstrip() for ln in text.split("\n")]
