@@ -60,6 +60,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "daily_activity": relational.daily_activity,            # time-bucket rollup
     "distinct_users_by_type": relational.distinct_users_by_type,
     "retention_cohorts": relational.retention_cohorts,      # cohort matrix
+    "cube_activity": relational.cube_activity,              # CUBE subtotals
+    "pivot_daily_by_type": relational.pivot_daily_by_type,  # wide-format pivot
     "funnel_conversion": relational.funnel_conversion,      # 2-step funnel
     # custom operators Spark lacks natively (guide §OLAP patterns)
     "asof_join_events": temporal.asof_join_events,          # JVM window carry-forward (pandas merge_asof twin = tested fallback)
@@ -172,6 +174,8 @@ _ORACLES: dict[str, str] = {
     "repetition_signals": textstats.REPETITION_SIGNALS_SQL,
     "chunk_documents": textstats.CHUNK_DOCUMENTS_SQL,
     "stratified_sample": textstats.STRATIFIED_SAMPLE_SQL,
+    "cube_activity": relational.CUBE_ACTIVITY_SQL,
+    "pivot_daily_by_type": relational.PIVOT_DAILY_BY_TYPE_SQL,
     "knn_graph_srp": similarity.KNN_GRAPH_SRP_SQL,
 }
 

@@ -604,3 +604,69 @@ SELECT CAST(f.view_ts AS DATE) AS view_day,
 FROM first_view f LEFT JOIN converted c USING (user_id)
 GROUP BY CAST(f.view_ts AS DATE)
 """
+
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def cube_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE rollup over (day, event_type): every subtotal combination
+    plus the grand total in ONE pass — the OLAP dashboard query shape
+    (Spark expands the cube through a single Expand+partial-agg plan,
+    no per-grouping rescans). ``gid`` is the standard SQL grouping id
+    (day = MSB), identical bit layout in both engines. Sums go through
+    decimal(18,4) so addition order cannot perturb the double."""
+    events = _read(spark, sf_dir, "events")
+    base = events.select(
+        F.to_date(F.date_trunc("day", F.col("ts"))).alias("day"),
+        "event_type",
+        "value",
+    )
+    return base.cube("day", "event_type").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("sum_value"),
+        F.grouping_id().cast("long").alias("gid"),
+    )
+
+
+CUBE_ACTIVITY_SQL = """
+SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+       CAST(GROUPING(CAST(date_trunc('day', ts) AS DATE), event_type) AS BIGINT) AS gid
+FROM events
+GROUP BY CUBE (CAST(date_trunc('day', ts) AS DATE), event_type)
+"""
+
+
+def pivot_daily_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily event counts pivoted to one column per event type — the
+    wide-format export shape. The value list is EXPLICIT
+    (``EVENT_TYPES``): at 100 TB an implicit pivot means an extra
+    distinct-values job over the full table before the real agg."""
+    events = _read(spark, sf_dir, "events")
+    base = events.select(
+        F.to_date(F.date_trunc("day", F.col("ts"))).alias("day"),
+        "event_type",
+    )
+    out = (
+        base.groupBy("day")
+        .pivot("event_type", list(EVENT_TYPES))
+        .agg(F.count(F.lit(1)))  # count("*") is rejected inside pivot
+        .na.fill(0)
+    )
+    return out.select(
+        "day", *[F.col(t).cast("long").alias(t) for t in EVENT_TYPES]
+    )
+
+
+PIVOT_DAILY_BY_TYPE_SQL = f"""
+SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+       {", ".join(
+           f"CAST(SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS {t}"
+           for t in EVENT_TYPES
+       )}
+FROM events GROUP BY CAST(date_trunc('day', ts) AS DATE)
+"""

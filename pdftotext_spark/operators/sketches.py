@@ -154,6 +154,49 @@ def _hex_val_sql(h_expr: str, start: int, n: int) -> str:
     return "(" + " + ".join(parts) + ")"
 
 
+def hll_registers(items: DataFrame, col: str) -> DataFrame:
+    """Per-register max-rank table ``(idx, maxrho)`` for the string
+    column ``col`` — the mergeable HLL state (max-merge is commutative,
+    associative, AND idempotent, which is what makes the streaming
+    variant replay-safe). Duplicate items are harmless (max)."""
+    idx = f"({_hex_val_sql(f'md5({col})', 1, 2)} % {HLL_M})"
+    w = _hex_val_sql(f"md5({col})", 9, 8)  # 32-bit sample for the rank
+    assigned = items.select(
+        F.expr(idx).cast("int").alias("idx"),
+        F.expr(w).cast("long").alias("w"),
+    ).select(
+        "idx",
+        # rho = leading zeros of the 32-bit w, + 1  =  33 - bit_length(w)
+        F.expr(
+            "CASE WHEN w = 0 THEN 33 "
+            "ELSE 33 - length(conv(CAST(w AS STRING), 10, 2)) END"
+        ).cast("int").alias("rho"),
+    )
+    return assigned.groupBy("idx").agg(F.max("rho").alias("maxrho"))
+
+
+def hll_estimate_from_registers(regs: DataFrame) -> DataFrame:
+    """One-row raw-HLL estimate from an ``(idx, maxrho)`` register
+    table (missing registers count as 2^0)."""
+    summary = regs.agg(
+        F.count("*").cast("long").alias("registers_hit"),
+        F.sum(
+            F.expr(
+                "CAST(1 AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), maxrho) AS DOUBLE)"
+            )
+        ).alias("sum_obs"),
+    )
+    est = (
+        f"round(CAST({HLL_ALPHA} AS DOUBLE) * {HLL_M * HLL_M} "
+        f"/ (sum_obs + ({HLL_M} - registers_hit)), 4)"
+    )
+    return summary.select(
+        F.lit(HLL_M).cast("long").alias("m"),
+        "registers_hit",
+        F.expr(est).cast("double").alias("est_distinct"),
+    )
+
+
 def hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL estimate of the corpus's distinct char-8-gram shingle count,
     next to the exact answer (the audit baseline, like
@@ -172,20 +215,7 @@ def hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents")
     # duplicate-insensitive (register max), so skip the distinct shuffle
     sh = dedup._shingles(docs, distinct=False).select("sh")
-    idx = f"({_hex_val_sql('md5(sh)', 1, 2)} % {HLL_M})"
-    w = _hex_val_sql("md5(sh)", 9, 8)  # 32-bit sample for the rank
-    assigned = sh.select(
-        F.expr(idx).cast("int").alias("idx"),
-        F.expr(w).cast("long").alias("w"),
-    ).select(
-        "idx",
-        # rho = leading zeros of the 32-bit w, + 1  =  33 - bit_length(w)
-        F.expr(
-            "CASE WHEN w = 0 THEN 33 "
-            "ELSE 33 - length(conv(CAST(w AS STRING), 10, 2)) END"
-        ).cast("int").alias("rho"),
-    )
-    regs = assigned.groupBy("idx").agg(F.max("rho").alias("maxrho"))
+    regs = hll_registers(sh, "sh")
     summary = regs.agg(
         F.count("*").cast("long").alias("registers_hit"),
         F.sum(

@@ -1,0 +1,73 @@
+"""Streaming HyperLogLog: maintain the distinct-payload sketch across
+micro-batches.
+
+HLL registers are the textbook mergeable state: max-merge is
+commutative, associative and IDEMPOTENT, so an at-least-once
+``foreachBatch`` replay re-merging the same batch is a no-op by
+construction — on top of that, each batch overwrites its own
+``batch_id=`` partition (the same exactly-once-per-committed-batch
+discipline as the streaming near-dup store). At 100 TB the store is
+≤ 64 rows per batch; the estimate query reads the store and folds it
+to 64 registers, never touching the payload stream again.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pdftotext_spark.operators.sketches import (
+    hll_estimate_from_registers,
+    hll_registers,
+)
+
+
+def hll_register_batch(store_dir: str):
+    """``foreachBatch`` body: fold the batch's payloads into an
+    ``(idx, maxrho)`` register table and write it to the batch's own
+    store partition."""
+
+    def _fn(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        items = batch.filter(F.col("text").isNotNull()).select("text")
+        regs = hll_registers(items, "text")
+        regs.write.mode("overwrite").parquet(f"{store_dir}/batch_id={batch_id}")
+
+    return _fn
+
+
+def hll_stream_estimate(spark: SparkSession, store_dir: str) -> DataFrame:
+    """Current distinct-payload estimate: max-merge every batch's
+    registers, then the raw-HLL fold (one row: m, registers_hit,
+    est_distinct)."""
+    regs = (
+        spark.read.parquet(store_dir)
+        .groupBy("idx")
+        .agg(F.max("maxrho").alias("maxrho"))
+    )
+    return hll_estimate_from_registers(regs)
+
+
+def run_hll_stream(
+    spark: SparkSession,
+    input_dir: str,
+    store_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 1,
+) -> None:
+    """Drain the currently-available transcript files through the
+    sketch (Trigger.AvailableNow), small triggers so tests exercise
+    real multi-batch merging."""
+    from pdftotext_spark.streaming.pipeline import read_transcript_stream
+
+    stream = read_transcript_stream(
+        spark, input_dir, max_files_per_trigger=max_files_per_trigger
+    )
+    (
+        stream.writeStream.foreachBatch(hll_register_batch(store_dir))
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

@@ -1,0 +1,82 @@
+"""Streaming HLL: multi-batch register merging matches the one-shot
+batch sketch over the same payloads, and a replayed stream is a no-op
+(max-merge idempotence + per-batch partition overwrite)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+pytestmark = pytest.mark.spark
+
+
+def _mk_sources(spark, tmp_path, n_files=3, rows_per=60):
+    src = tmp_path / "src"
+    src.mkdir()
+    schema = (
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp"
+    )
+    all_rows = []
+    for f in range(n_files):
+        rows = [
+            (
+                f"c{f}",
+                i,
+                "user",
+                # overlapping payloads across files: dedup matters
+                f"payload-{(f * rows_per + i) % (n_files * rows_per // 2)}",
+                "",
+                None,
+            )
+            for i in range(rows_per)
+        ]
+        all_rows.extend(rows)
+        # the file stream lists files, not nested dirs: write to a
+        # staging dir and link the part file into src as fN.parquet
+        stage = tmp_path / f"stage{f}"
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(stage))
+        part = next(stage.glob("part-*.parquet"))
+        (src / f"f{f}.parquet").symlink_to(part)
+    return src, all_rows
+
+
+def test_stream_hll_matches_batch_sketch(spark, tmp_path):
+    from pdftotext_spark.operators.sketches import (
+        hll_estimate_from_registers,
+        hll_registers,
+    )
+    from pdftotext_spark.streaming.sketches import (
+        hll_stream_estimate,
+        run_hll_stream,
+    )
+
+    src, all_rows = _mk_sources(spark, tmp_path)
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+    run_hll_stream(spark, str(src), store, ckpt, max_files_per_trigger=1)
+
+    # multiple micro-batches actually happened
+    import glob
+
+    parts = glob.glob(f"{store}/batch_id=*")
+    assert len(parts) >= 2, parts
+
+    streamed = hll_stream_estimate(spark, store).collect()[0]
+    batch_df = spark.createDataFrame(
+        [(r[3],) for r in all_rows], "text string"
+    )
+    one_shot = hll_estimate_from_registers(
+        hll_registers(batch_df, "text")
+    ).collect()[0]
+    assert streamed.est_distinct == one_shot.est_distinct
+    assert streamed.registers_hit == one_shot.registers_hit
+
+    exact = len({r[3] for r in all_rows})
+    rel_err = abs(streamed.est_distinct - exact) / exact
+    assert rel_err < 0.5, (streamed.est_distinct, exact)  # m=64 sketch
+
+    # replaying the whole stream (fresh checkpoint, same store) must
+    # not move the estimate: max-merge is idempotent and each batch
+    # overwrites its own partition
+    run_hll_stream(spark, str(src), store, str(tmp_path / "ckpt2"))
+    replayed = hll_stream_estimate(spark, store).collect()[0]
+    assert replayed.est_distinct == streamed.est_distinct
