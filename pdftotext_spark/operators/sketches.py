@@ -36,16 +36,26 @@ def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("tok") != "")
 
 
+def _hex_val_sql(h_expr: str, start: int, n: int) -> str:
+    """Integer value of ``n`` md5-hex nibbles starting at 1-based
+    ``start`` — the dialect-neutral position/substr arithmetic shared
+    by the CMS bucket hash, the HLL registers and the Bloom positions
+    (BIGINT casts: 15·16^7 overflows INT). The SimHash per-bit votes
+    (dedup._simhash_bit_exprs) are the same idiom specialized to one
+    nibble + a bit test."""
+    parts = [
+        f"CAST(position(substr({h_expr}, {start + j}, 1) "
+        f"IN '0123456789abcdef') - 1 AS BIGINT) * {16 ** (n - 1 - j)}"
+        for j in range(n)
+    ]
+    return "(" + " + ".join(parts) + ")"
+
+
 def _bucket_expr(row: int, tok_expr: str = "tok") -> str:
     """Row hash: three md5 hex nibbles of ('row:' || token) assembled
-    into an int mod width — the same dialect-neutral position/substr
-    arithmetic the SimHash operator shares between Spark and DuckDB."""
-    nibs = [
-        f"(position(substr(md5('{row}:' || {tok_expr}), {pos}, 1) "
-        f"IN '0123456789abcdef') - 1) * {mult}"
-        for pos, mult in ((6, 256), (7, 16), (8, 1))
-    ]
-    return f"(({' + '.join(nibs)}) % {CMS_WIDTH})"
+    into an int mod width."""
+    h = f"md5('{row}:' || {tok_expr})"
+    return f"({_hex_val_sql(h, 6, 3)} % {CMS_WIDTH})"
 
 
 def token_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -142,18 +152,6 @@ HLL_M = 64  # 2^6 registers
 HLL_ALPHA = 0.709  # bias constant for m = 64
 
 
-def _hex_val_sql(h_expr: str, start: int, n: int) -> str:
-    """Integer value of ``n`` md5-hex nibbles starting at 1-based
-    ``start`` — the dialect-neutral position/substr arithmetic shared
-    with the CMS bucket hash (BIGINT casts: 15·16^7 overflows INT)."""
-    parts = [
-        f"CAST(position(substr({h_expr}, {start + j}, 1) "
-        f"IN '0123456789abcdef') - 1 AS BIGINT) * {16 ** (n - 1 - j)}"
-        for j in range(n)
-    ]
-    return "(" + " + ".join(parts) + ")"
-
-
 def hll_registers(items: DataFrame, col: str) -> DataFrame:
     """Per-register max-rank table ``(idx, maxrho)`` for the string
     column ``col`` — the mergeable HLL state (max-merge is commutative,
@@ -215,25 +213,10 @@ def hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents")
     # duplicate-insensitive (register max), so skip the distinct shuffle
     sh = dedup._shingles(docs, distinct=False).select("sh")
-    regs = hll_registers(sh, "sh")
-    summary = regs.agg(
-        F.count("*").cast("long").alias("registers_hit"),
-        F.sum(
-            F.expr(
-                "CAST(1 AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), maxrho) AS DOUBLE)"
-            )
-        ).alias("sum_obs"),
-    )
+    estimate = hll_estimate_from_registers(hll_registers(sh, "sh"))
     exact = sh.agg(F.countDistinct("sh").cast("long").alias("exact_distinct"))
-    est = (
-        f"round(CAST({HLL_ALPHA} AS DOUBLE) * {HLL_M * HLL_M} "
-        f"/ (sum_obs + ({HLL_M} - registers_hit)), 4)"
-    )
-    return summary.crossJoin(F.broadcast(exact)).select(
-        F.lit(HLL_M).cast("long").alias("m"),
-        "registers_hit",
-        F.expr(est).cast("double").alias("est_distinct"),
-        "exact_distinct",
+    return estimate.crossJoin(F.broadcast(exact)).select(
+        "m", "registers_hit", "est_distinct", "exact_distinct"
     )
 
 
@@ -298,10 +281,14 @@ def bloom_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pdftotext_spark.operators import dedup
 
     docs = _read(spark, sf_dir, "documents")
+    # full-suffix parse on BOTH sides (an 8-char cap here vs the
+    # oracle's unbounded substr would split 9+-digit ids differently);
+    # non-numeric suffixes -> NULL -> dropped identically (TRY_CAST in
+    # the oracle mirrors Spark's non-ANSI NULL-on-bad-cast)
     docs_par = docs.select(
-        F.expr("CAST(substring(source, 4, 8) AS INT) % 2").alias("doc_id"),
+        F.expr("CAST(substring(source, 4) AS INT) % 2").alias("doc_id"),
         "text",
-    )
+    ).filter(F.col("doc_id").isNotNull())
     # reuse the dedup shingler with parity standing in for doc_id:
     # distinct (par, sh) pairs in one scan, shared by both sides
     s = dedup._shingles(docs_par, distinct=True).withColumnRenamed(
@@ -394,9 +381,10 @@ def _bloom_sql() -> str:
     return f"""
 WITH s AS (
   SELECT DISTINCT substr(text, CAST(i AS INT), {dedup.SHINGLE_LEN}) AS sh,
-         CAST(substr(source, 4) AS INT) % 2 AS par
+         TRY_CAST(substr(source, 4) AS INT) % 2 AS par
   FROM documents, (SELECT unnest(range(1, {dedup.SHINGLE_SPAN + 1})) AS i) r
   WHERE i <= greatest(length(text) - {dedup.SHINGLE_LEN - 1}, 1)
+    AND TRY_CAST(substr(source, 4) AS INT) IS NOT NULL
 ),
 train AS (SELECT DISTINCT sh FROM s WHERE par = 0),
 probe AS (SELECT DISTINCT sh FROM s WHERE par = 1),

@@ -357,8 +357,8 @@ def repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("filter(split(lower(text), ' '), t -> t <> '')").alias("toks"),
     )
     top_tok = (
-        "array_max(transform(array_distinct(toks), "
-        "d -> size(filter(toks, t -> t = d))))"
+        "coalesce(array_max(transform(array_distinct(toks), "
+        "d -> size(filter(toks, t -> t = d)))), 0)"
     )
     # sequence(1, 0) is DESCENDING in Spark, so guard size < 2
     bigrams = (
@@ -417,8 +417,8 @@ SELECT doc_id,
        CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
        CAST(len(toks) - len(list_distinct(toks)) AS DOUBLE)
          / greatest(len(toks), 1) AS dup_word_frac,
-       CAST(list_max(list_transform(list_distinct(toks),
-              d -> len(list_filter(toks, t -> t = d)))) AS DOUBLE)
+       CAST(coalesce(list_max(list_transform(list_distinct(toks),
+              d -> len(list_filter(toks, t -> t = d)))), 0) AS DOUBLE)
          / greatest(len(toks), 1) AS top_token_frac,
        CAST(coalesce(list_max(list_transform(list_distinct(bigrams),
               d -> len(list_filter(bigrams, t -> t = d)))), 0) AS DOUBLE)
@@ -451,12 +451,12 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"CASE WHEN n_tok <= {CHUNK_W} THEN 0 "
         f"ELSE CAST(floor((n_tok - {CHUNK_W} + {CHUNK_S} - 1.0) / {CHUNK_S}) AS INT) END"
     )
-    chunked = toks.select(
+    chunked = toks.filter(F.col("n_tok") > 0).select(
         "doc_id",
         "toks",
         "n_tok",
         F.explode(F.expr(f"sequence(0, {last_idx})")).alias("chunk_idx"),
-    )
+    )  # zero-token docs emit NO chunks (not one empty chunk)
     return chunked.select(
         "doc_id",
         F.col("chunk_idx").cast("long").alias("chunk_idx"),
@@ -479,7 +479,7 @@ WITH toks AS (
 n AS (SELECT doc_id, toks, len(toks) AS n_tok FROM toks),
 c AS (
   SELECT doc_id, toks, n_tok,
-         unnest(range(0, CASE WHEN n_tok <= {CHUNK_W} THEN 1
+         unnest(range(0, CASE WHEN n_tok = 0 THEN 0 WHEN n_tok <= {CHUNK_W} THEN 1
            ELSE CAST(floor((n_tok - {CHUNK_W} + {CHUNK_S} - 1.0) / {CHUNK_S}) AS INT) + 1 END))
            AS chunk_idx
   FROM n

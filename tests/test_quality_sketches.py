@@ -17,11 +17,11 @@ def test_repetition_signals_hand_checked(spark, tmp_path):
 
     docs = pd.DataFrame(
         {
-            "doc_id": [1, 2],
-            "text": ["a a b", "x"],
-            "lang": ["en", "en"],
-            "source": ["src0", "src1"],
-            "n_chars": [5, 1],
+            "doc_id": [1, 2, 3],
+            "text": ["a a b", "x", "  "],  # doc 3: zero tokens
+            "lang": ["en", "en", "en"],
+            "source": ["src0", "src1", "src2"],
+            "n_chars": [5, 1, 2],
         }
     )
     d = str(tmp_path)
@@ -41,6 +41,15 @@ def test_repetition_signals_hand_checked(spark, tmp_path):
     assert r2.dup_word_frac == 0.0
     assert r2.top_token_frac == 1.0
     assert r2.top_bigram_frac == 0.0
+    r3 = rows[3]  # zero tokens: all signals 0, never NULL
+    assert (r3.n_tokens, r3.n_distinct) == (0, 0)
+    assert (r3.dup_word_frac, r3.top_token_frac, r3.top_bigram_frac) == (
+        0.0, 0.0, 0.0,
+    )
+    # and the chunker emits NO chunk for it (not one empty chunk)
+    chunks = textstats.chunk_documents(spark, d)
+    assert chunks.filter("doc_id = 3").count() == 0
+    assert chunks.filter("doc_id = 1").count() == 1
 
 
 def test_repetition_signals_ranges(spark):
