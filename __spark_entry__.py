@@ -110,6 +110,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tfidf_top_terms": textstats.tfidf_top_terms,        # per-source vocab dashboard
     "repetition_signals": textstats.repetition_signals,  # Gopher repetition filters
     "chunk_documents": textstats.chunk_documents,        # token-window chunking
+    "unigram_logloss": textstats.unigram_logloss,        # LM cross-entropy score
     "stratified_sample": textstats.stratified_sample,    # deterministic eval split
     "knn_graph_srp": similarity.knn_graph_srp,           # all-corpus ANN graph
 }
@@ -173,6 +174,7 @@ _ORACLES: dict[str, str] = {
     "tfidf_top_terms": textstats.TFIDF_TOP_TERMS_SQL,
     "repetition_signals": textstats.REPETITION_SIGNALS_SQL,
     "chunk_documents": textstats.CHUNK_DOCUMENTS_SQL,
+    "unigram_logloss": textstats.UNIGRAM_LOGLOSS_SQL,
     "stratified_sample": textstats.STRATIFIED_SAMPLE_SQL,
     "cube_activity": relational.CUBE_ACTIVITY_SQL,
     "pivot_daily_by_type": relational.PIVOT_DAILY_BY_TYPE_SQL,

@@ -58,14 +58,13 @@ def _bucket_expr(row: int, tok_expr: str = "tok") -> str:
     return f"({_hex_val_sql(h, 6, 3)} % {CMS_WIDTH})"
 
 
-def token_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The sketch table: one row per non-empty counter,
-    ``(row_idx, bucket, cnt)``. Point estimate for a token =
-    min over rows of its counter."""
-    toks = _tokens(spark, sf_dir)
-    # ONE token scan: each token explodes into its depth × (row,
-    # bucket) assignments (a union of per-row scans would read and
-    # shingle the corpus depth times)
+def cms_counters(toks: DataFrame) -> DataFrame:
+    """Counter table ``(row_idx, bucket, cnt)`` for a ``tok`` column —
+    the mergeable CMS state (counters are additive: sum-merge across
+    partial sketches is exact, which the streaming variant relies on).
+    ONE token scan: each token explodes into its depth × (row, bucket)
+    assignments (a union of per-row scans would read the corpus depth
+    times)."""
     assigned = toks.select(
         F.explode(
             F.array(
@@ -82,6 +81,13 @@ def token_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assigned.groupBy("row_idx", "bucket").agg(
         F.count("*").cast("long").alias("cnt")
     )
+
+
+def token_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sketch table: one row per non-empty counter,
+    ``(row_idx, bucket, cnt)``. Point estimate for a token =
+    min over rows of its counter."""
+    return cms_counters(_tokens(spark, sf_dir))
 
 
 TOKEN_CMS_SQL = f"""

@@ -542,3 +542,63 @@ SELECT source, CAST(doc_id AS BIGINT) AS doc_id, sample_key,
        CAST(sample_rank AS BIGINT) AS sample_rank
 FROM ranked WHERE sample_rank <= {SAMPLE_PER_STRATUM}
 """
+
+
+def unigram_logloss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document cross-entropy under the corpus unigram LM — the
+    classic perplexity-flavored quality signal (outlier docs score
+    high; boilerplate scores low). score = -mean(log2 p(tok)) with
+    p = corpus_count/corpus_total.
+
+    100 TB shape: one token scan feeds BOTH the vocabulary counts and
+    the per-doc aggregation; the vocab (≤ a few million rows) joins
+    back broadcast-style after AQE sees its size. Engine portability:
+    per-token log2 values are rounded to 6dp BEFORE the per-doc mean
+    (the tfidf lesson: a 1-ulp ln() difference must not survive into
+    the hashed output), and the mean divides an integer-scaled sum so
+    addition order cannot perturb the double."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    total = toks.agg(F.count("*").alias("total"))
+    # integer-scale the per-token loss to whole micro-bits (round,
+    # not cast: Spark's cast-to-long truncates, DuckDB's rounds) so
+    # the per-doc SUM is exact integer arithmetic in any addition order
+    scored = (
+        toks.join(vocab, "tok")
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "loss_i",
+            F.round(-F.log2(F.col("cnt") / F.col("total")) * 1_000_000, 0)
+            .cast("long"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        (
+            (F.sum("loss_i") / F.count("*")) / 1_000_000.0
+        ).alias("logloss_bits"),
+    )
+
+
+UNIGRAM_LOGLOSS_SQL = """
+WITH toks AS (
+  SELECT doc_id, t.tok
+  FROM documents, unnest(string_split(lower(text), ' ')) AS t(tok)
+  WHERE t.tok <> ''
+),
+vocab AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok),
+total AS (SELECT COUNT(*) AS total FROM toks),
+scored AS (
+  SELECT doc_id,
+         CAST(ROUND(-log2(CAST(cnt AS DOUBLE) / total) * 1000000, 0) AS BIGINT)
+           AS loss_i
+  FROM toks JOIN vocab USING (tok) CROSS JOIN total
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       (SUM(loss_i) * 1.0 / COUNT(*)) / 1000000.0 AS logloss_bits
+FROM scored GROUP BY doc_id
+"""

@@ -71,3 +71,60 @@ def run_hll_stream(
         .start()
         .awaitTermination()
     )
+
+
+def cms_counter_batch(store_dir: str):
+    """``foreachBatch`` body for a streaming Count-Min Sketch over the
+    turn-text token stream: fold the batch's tokens into a
+    ``(row_idx, bucket, cnt)`` counter table in the batch's own store
+    partition. Counters are ADDITIVE (unlike HLL's max registers), so
+    exactly-once per committed batch comes only from the partition
+    overwrite — a replay replaces its prior attempt rather than
+    double-counting."""
+
+    def _fn(batch: DataFrame, batch_id: int) -> None:
+        from pdftotext_spark.operators.sketches import cms_counters
+
+        if batch.isEmpty():
+            return
+        toks = batch.select(
+            F.explode(F.split(F.lower("text"), " ")).alias("tok")
+        ).filter(F.col("tok") != "")
+        cms_counters(toks).write.mode("overwrite").parquet(
+            f"{store_dir}/batch_id={batch_id}"
+        )
+
+    return _fn
+
+
+def cms_stream_counters(spark: SparkSession, store_dir: str) -> DataFrame:
+    """Current merged sketch: sum each counter across batches — ready
+    for ``cms_point_estimate``."""
+    return (
+        spark.read.parquet(store_dir)
+        .groupBy("row_idx", "bucket")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+
+
+def run_cms_stream(
+    spark: SparkSession,
+    input_dir: str,
+    store_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 1,
+) -> None:
+    """AvailableNow drain of the transcript directory through the
+    streaming CMS."""
+    from pdftotext_spark.streaming.pipeline import read_transcript_stream
+
+    stream = read_transcript_stream(
+        spark, input_dir, max_files_per_trigger=max_files_per_trigger
+    )
+    (
+        stream.writeStream.foreachBatch(cms_counter_batch(store_dir))
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

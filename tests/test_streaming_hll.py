@@ -80,3 +80,45 @@ def test_stream_hll_matches_batch_sketch(spark, tmp_path):
     run_hll_stream(spark, str(src), store, str(tmp_path / "ckpt2"))
     replayed = hll_stream_estimate(spark, store).collect()[0]
     assert replayed.est_distinct == streamed.est_distinct
+
+
+def test_stream_cms_matches_batch_sketch(spark, tmp_path):
+    from pdftotext_spark.operators.sketches import (
+        cms_counters,
+        cms_point_estimate,
+    )
+    from pdftotext_spark.streaming.sketches import (
+        cms_stream_counters,
+        run_cms_stream,
+    )
+
+    src, all_rows = _mk_sources(spark, tmp_path)
+    store = str(tmp_path / "cms_store")
+    run_cms_stream(spark, str(src), store, str(tmp_path / "cms_ckpt"))
+
+    merged = cms_stream_counters(spark, store)
+    batch_df = spark.createDataFrame([(r[3],) for r in all_rows], "text string")
+    toks = batch_df.select(
+        F.explode(F.split(F.lower("text"), " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    one_shot = cms_counters(toks)
+    # counter tables identical: multi-batch sum-merge == one-shot
+    assert (
+        merged.exceptAll(one_shot).count() == 0
+        and one_shot.exceptAll(merged).count() == 0
+    )
+    # point estimate works against the merged sketch and never
+    # undercounts the true frequency
+    from collections import Counter
+
+    true = Counter(r[3] for r in all_rows)
+    tok, cnt = true.most_common(1)[0]
+    est = cms_point_estimate(merged.cache(), tok)
+    assert est >= cnt
+
+    # replay with a fresh checkpoint: partition overwrite keeps the
+    # additive counters exactly-once (no double counting)
+    run_cms_stream(spark, str(src), store, str(tmp_path / "cms_ckpt2"))
+    replayed = cms_stream_counters(spark, store)
+    assert replayed.exceptAll(one_shot).count() == 0
+    assert one_shot.exceptAll(replayed).count() == 0
