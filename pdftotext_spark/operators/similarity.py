@@ -245,11 +245,11 @@ def srp_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "embedding")
         .withColumn("nrm", _norm(F.col("embedding")))
         .withColumn("srp", _srp_bucket_col())
+        .localCheckpoint()  # consumed by the band join AND the two
+        # embedding joins — one srp/norm computation
     )
     banded = emb.select(
         "vec_id",
-        "embedding",
-        "nrm",
         F.explode(
             F.array(
                 *[
@@ -263,32 +263,34 @@ def srp_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("b"),
-    ).select("vec_id", "embedding", "nrm", "b.band_idx", "b.band_bits")
-    a = banded.select(
-        "band_idx", "band_bits",
-        F.col("vec_id").alias("id_a"),
+    ).select("vec_id", "b.band_idx", "b.band_bits")
+    # NARROW ids through the banded join + cross-band dedup, then join
+    # the embeddings back: a pair colliding in several bands pays ONE
+    # dot product, and the distinct never shuffles 64-float payloads
+    a = banded.select("band_idx", "band_bits", F.col("vec_id").alias("vec_a"))
+    b = banded.select("band_idx", "band_bits", F.col("vec_id").alias("vec_b"))
+    cand = (
+        a.join(b, ["band_idx", "band_bits"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+    ea = emb.select(
+        F.col("vec_id").alias("vec_a"),
         F.col("embedding").alias("emb_a"),
         F.col("nrm").alias("nrm_a"),
     )
-    b = banded.select(
-        "band_idx", "band_bits",
-        F.col("vec_id").alias("id_b"),
+    eb = emb.select(
+        F.col("vec_id").alias("vec_b"),
         F.col("embedding").alias("emb_b"),
         F.col("nrm").alias("nrm_b"),
     )
     cos = _dot(F.col("emb_a"), F.col("emb_b")) / (F.col("nrm_a") * F.col("nrm_b"))
     return (
-        a.join(b, ["band_idx", "band_bits"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select(
-            F.col("id_a").alias("vec_a"),
-            F.col("id_b").alias("vec_b"),
-            F.round(cos, 4).alias("cosine"),
-        )
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .select("vec_a", "vec_b", F.round(cos, 4).alias("cosine"))
         .filter(F.col("cosine") >= SRP_COSINE_THRESHOLD)
-        # a pair may collide in several bands — emit once
-        .groupBy("vec_a", "vec_b")
-        .agg(F.first("cosine").alias("cosine"))
     )
 
 
@@ -611,10 +613,13 @@ def knn_graph_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
         _read(spark, sf_dir, "embeddings")
         .select("vec_id", "embedding")
         .withColumn("srp", _srp_bucket_col())
+        # norm computed ONCE per vector, not per candidate pair
+        .withColumn("nrm", _norm(F.col("embedding")))
+        .localCheckpoint()  # consumed by the band join AND the two
+        # embedding joins below — one srp/norm computation, not three
     )
     banded = emb.select(
         "vec_id",
-        "embedding",
         F.explode(
             F.array(
                 *[
@@ -628,31 +633,41 @@ def knn_graph_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("b"),
-    ).select("vec_id", "embedding", "b.band_idx", "b.band_bits")
-    a = banded.select(
-        "band_idx", "band_bits",
-        F.col("vec_id").alias("src"),
-        F.col("embedding").alias("emb_a"),
-    )
-    b = banded.select(
-        "band_idx", "band_bits",
-        F.col("vec_id").alias("dst"),
-        F.col("embedding").alias("emb_b"),
-    )
-    # DIRECTED candidates (each side gets its own neighbor list);
-    # distinct BEFORE the cosine so a pair colliding in several bands
-    # pays the dot product once
+    ).select("vec_id", "b.band_idx", "b.band_bits")
+    # NARROW candidate generation: ids only through the banded join
+    # and the cross-band dedup (64-float payloads would make the
+    # distinct shuffle 50x wider); undirected so each pair pays ONE
+    # dot product, mirrored afterwards for the per-vector lists
+    a = banded.select("band_idx", "band_bits", F.col("vec_id").alias("src"))
+    b = banded.select("band_idx", "band_bits", F.col("vec_id").alias("dst"))
     cand = (
         a.join(b, ["band_idx", "band_bits"])
-        .filter(F.col("src") != F.col("dst"))
-        .select("src", "dst", "emb_a", "emb_b")
+        .filter(F.col("src") < F.col("dst"))
+        .select("src", "dst")
         .distinct()
     )
-    cos = _dot(F.col("emb_a"), F.col("emb_b")) / (
-        _norm(F.col("emb_a")) * _norm(F.col("emb_b"))
+    ea = emb.select(
+        F.col("vec_id").alias("src"),
+        F.col("embedding").alias("emb_a"),
+        F.col("nrm").alias("nrm_a"),
     )
-    scored = cand.select(
-        "src", "dst", F.round(cos, 4).alias("cosine")
+    eb = emb.select(
+        F.col("vec_id").alias("dst"),
+        F.col("embedding").alias("emb_b"),
+        F.col("nrm").alias("nrm_b"),
+    )
+    cos = _dot(F.col("emb_a"), F.col("emb_b")) / (
+        F.col("nrm_a") * F.col("nrm_b")
+    )
+    half = (
+        cand.join(ea, "src")
+        .join(eb, "dst")
+        .select("src", "dst", F.round(cos, 4).alias("cosine"))
+    )
+    scored = half.union(
+        half.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "cosine"
+        )
     )
     from pyspark.sql.window import Window
 
