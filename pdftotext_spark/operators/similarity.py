@@ -663,6 +663,10 @@ def knn_graph_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.join(ea, "src")
         .join(eb, "dst")
         .select("src", "dst", F.round(cos, 4).alias("cosine"))
+        # materialized: union branches do NOT share non-Exchange
+        # subplans, so an un-checkpointed half would pay the join +
+        # dot product once per direction
+        .localCheckpoint()
     )
     scored = half.union(
         half.select(

@@ -550,9 +550,11 @@ def unigram_logloss(spark: SparkSession, sf_dir: str) -> DataFrame:
     high; boilerplate scores low). score = -mean(log2 p(tok)) with
     p = corpus_count/corpus_total.
 
-    100 TB shape: one token scan feeds BOTH the vocabulary counts and
-    the per-doc aggregation; the vocab (≤ a few million rows) joins
-    back broadcast-style after AQE sees its size. Engine portability:
+    100 TB shape: two token scans — one building the vocabulary (then
+    checkpointed: the corpus-total and the score join reuse it without
+    re-deriving), one scoring; the token stream itself is NOT
+    checkpointed (corpus-sized at scale). The vocab (≤ a few million
+    rows) joins back broadcast-style after AQE sees its size. Engine portability:
     per-token log2 values are rounded to 6dp BEFORE the per-doc mean
     (the tfidf lesson: a 1-ulp ln() difference must not survive into
     the hashed output), and the mean divides an integer-scaled sum so
@@ -561,8 +563,10 @@ def unigram_logloss(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("tok")
     ).filter(F.col("tok") != "")
-    vocab = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
-    total = toks.agg(F.count("*").alias("total"))
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("cnt")).localCheckpoint()
+    # total derives from the (tiny) vocab — re-exploding the corpus
+    # for a scalar would be a third full token scan
+    total = vocab.agg(F.sum("cnt").alias("total"))
     # integer-scale the per-token loss to whole micro-bits (round,
     # not cast: Spark's cast-to-long truncates, DuckDB's rounds) so
     # the per-doc SUM is exact integer arithmetic in any addition order
@@ -590,7 +594,7 @@ WITH toks AS (
   WHERE t.tok <> ''
 ),
 vocab AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok),
-total AS (SELECT COUNT(*) AS total FROM toks),
+total AS (SELECT SUM(cnt) AS total FROM vocab),
 scored AS (
   SELECT doc_id,
          CAST(ROUND(-log2(CAST(cnt AS DOUBLE) / total) * 1000000, 0) AS BIGINT)

@@ -115,7 +115,20 @@ def run_cms_stream(
     max_files_per_trigger: int = 1,
 ) -> None:
     """AvailableNow drain of the transcript directory through the
-    streaming CMS."""
+    streaming CMS.
+
+    ADDITIVE state caveat (unlike the idempotent HLL): per-batch
+    partition overwrite is exactly-once only within one checkpoint
+    lineage, where batch ids and their file coverage reproduce. A
+    FRESH checkpoint re-reads every file under new batch boundaries —
+    summing that into surviving old partitions would double-count, so
+    a fresh lineage RESETS the store here."""
+    import os
+    import shutil
+
+    if not os.path.exists(checkpoint_dir) and os.path.exists(store_dir):
+        shutil.rmtree(store_dir)
+
     from pdftotext_spark.streaming.pipeline import read_transcript_stream
 
     stream = read_transcript_stream(
