@@ -113,6 +113,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "unigram_logloss": textstats.unigram_logloss,        # LM cross-entropy score
     "stratified_sample": textstats.stratified_sample,    # deterministic eval split
     "knn_graph_srp": similarity.knn_graph_srp,           # all-corpus ANN graph
+    "kmeans_ivf_topk": similarity.kmeans_ivf_topk,       # value-checked IVF ANN
 }
 
 _ORACLES: dict[str, str] = {
@@ -179,6 +180,7 @@ _ORACLES: dict[str, str] = {
     "cube_activity": relational.CUBE_ACTIVITY_SQL,
     "pivot_daily_by_type": relational.PIVOT_DAILY_BY_TYPE_SQL,
     "knn_graph_srp": similarity.KNN_GRAPH_SRP_SQL,
+    "kmeans_ivf_topk": similarity.KMEANS_IVF_TOPK_SQL,
 }
 
 

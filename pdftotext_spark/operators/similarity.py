@@ -723,3 +723,246 @@ SELECT CAST(src AS BIGINT) AS vec_id,
        CAST(rank AS BIGINT) AS rank
 FROM ranked WHERE rank <= {KNN_K}
 """
+
+
+KM_K = 8  # clusters
+KM_ITERS = 2  # fixed, unrolled Lloyd iterations
+KM_PROBE = 2  # probed inverted lists
+
+
+def _emb_double(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _read(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("emb"),
+    )
+
+
+def kmeans_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN whose coarse quantizer is a FULLY value-checked KMeans:
+    md5-ranked seed vectors, a FIXED number of unrolled Lloyd
+    iterations, and centroid means computed as exact DECIMAL sums
+    divided once — every float the two engines compare derives from
+    identical deterministic arithmetic, so unlike :func:`ivf_topk`
+    (pyspark.ml KMeans, iterative early-stop, rows-only check) this
+    variant has a complete DuckDB oracle.
+
+    100 TB shape: per iteration one narrow assignment pass (vectors ×
+    K broadcast centroids, TakeOrdered per vector) and one
+    constant-key-space centroid aggregation (K × dim groups,
+    map-side partial); the probe touches only n_probe inverted lists.
+    Centroid frames are localCheckpointed per iteration (8 rows) so
+    the unrolled plan never re-derives earlier iterations."""
+    from pyspark.sql.window import Window
+
+    emb = _emb_double(spark, sf_dir).localCheckpoint()
+    # deterministic seeds: the K vectors with the smallest
+    # md5(vec_id) (vec_id tie-break)
+    seed_w = Window.orderBy(
+        F.md5(F.col("vec_id").cast("string")), F.asc("vec_id")
+    )
+    cent = (
+        emb.withColumn("rn", F.row_number().over(seed_w))
+        .filter(F.col("rn") <= KM_K)
+        .select(
+            (F.col("rn") - 1).cast("int").alias("cluster"),
+            F.col("emb").alias("centroid"),
+        )
+        .localCheckpoint()
+    )
+    dist = F.expr(
+        "aggregate(zip_with(emb, centroid, (x, y) -> (x - y) * (x - y)), "
+        "CAST(0 AS DOUBLE), (a, v) -> a + v)"
+    )
+    assign_w = Window.partitionBy("vec_id").orderBy(
+        F.asc("dist"), F.asc("cluster")
+    )
+
+    def _assign(centroids: DataFrame) -> DataFrame:
+        return (
+            emb.join(F.broadcast(centroids))
+            .withColumn("dist", dist)
+            .withColumn("rn", F.row_number().over(assign_w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "cluster", "emb")
+        )
+
+    for _ in range(KM_ITERS):
+        assigned = _assign(cent)
+        comp = assigned.select(
+            "cluster", F.posexplode("emb").alias("pos", "val")
+        )
+        # exact decimal sum -> ONE double division: addition order
+        # cannot perturb the centroid in either engine
+        sums = comp.groupBy("cluster", "pos").agg(
+            (
+                F.sum(F.col("val").cast("decimal(27,10)")).cast("double")
+                / F.count("*")
+            ).alias("comp")
+        )
+        cent = (
+            sums.groupBy("cluster")
+            .agg(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(pos, comp))), "
+                    "s -> s.comp)"
+                ).alias("centroid")
+            )
+            .localCheckpoint()
+        )
+
+    final = _assign(cent).localCheckpoint()
+    q = final.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("emb").alias("q_emb")
+    )
+    qcos = F.expr(
+        "aggregate(zip_with(centroid, q_emb, (x, y) -> x * y), "
+        "CAST(0 AS DOUBLE), (a, v) -> a + v)"
+    ) / (
+        F.sqrt(
+            F.expr(
+                "aggregate(transform(centroid, x -> x * x), "
+                "CAST(0 AS DOUBLE), (a, v) -> a + v)"
+            )
+        )
+        * F.sqrt(
+            F.expr(
+                "aggregate(transform(q_emb, x -> x * x), "
+                "CAST(0 AS DOUBLE), (a, v) -> a + v)"
+            )
+        )
+    )
+    probe_w = Window.orderBy(F.desc("qc"), F.asc("cluster"))
+    probe = (
+        cent.join(F.broadcast(q))
+        .select("cluster", F.round(qcos, 4).alias("qc"))
+        .withColumn("rn", F.row_number().over(probe_w))
+        .filter(F.col("rn") <= KM_PROBE)
+        .select("cluster")
+    )
+    cand = final.join(F.broadcast(probe), "cluster").filter(
+        F.col("vec_id") != QUERY_VEC_ID
+    )
+    cos = F.expr(
+        "aggregate(zip_with(emb, q_emb, (x, y) -> x * y), "
+        "CAST(0 AS DOUBLE), (a, v) -> a + v)"
+    ) / (
+        F.sqrt(
+            F.expr(
+                "aggregate(transform(emb, x -> x * x), "
+                "CAST(0 AS DOUBLE), (a, v) -> a + v)"
+            )
+        )
+        * F.sqrt(
+            F.expr(
+                "aggregate(transform(q_emb, x -> x * x), "
+                "CAST(0 AS DOUBLE), (a, v) -> a + v)"
+            )
+        )
+    )
+    return (
+        cand.join(F.broadcast(q))
+        .select(
+            F.col("vec_id").cast("long").alias("vec_id"),
+            F.col("cluster").cast("int").alias("cluster"),
+            F.round(cos, 4).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(TOP_K)
+    )
+
+
+def _kmeans_sql() -> str:
+    """Unrolled Lloyd-KMeans + IVF probe oracle. Mirrors the Spark
+    plan exactly: sequential-fold distances, DECIMAL(27,10) centroid
+    sums with one double division (half-away-from-zero tie rounding
+    verified identical in both engines), rounded-cosine probe ranks."""
+    d2 = (
+        "list_sum(list_transform(list_zip(e.emb, c.centroid), "
+        "x -> (x[1] - x[2]) * (x[1] - x[2])))"
+    )
+
+    def assign(n: int, cent: str) -> str:
+        return f"""
+assign{n} AS (
+  SELECT vec_id, cluster, emb FROM (
+    SELECT e.vec_id, c.cluster, e.emb,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY {d2} ASC, c.cluster ASC) AS rn
+    FROM emb e CROSS JOIN {cent} c
+  ) WHERE rn = 1
+)"""
+
+    def update(n: int, frm: str) -> str:
+        return f"""
+cent{n} AS (
+  SELECT cluster, list(comp ORDER BY pos) AS centroid FROM (
+    SELECT cluster, i AS pos,
+           CAST(SUM(CAST(emb[CAST(i AS INT)] AS DECIMAL(27,10))) AS DOUBLE)
+             / COUNT(*) AS comp
+    FROM {frm}, (SELECT unnest(range(1, {SRP_DIM + 1})) AS i) r
+    GROUP BY cluster, i
+  ) GROUP BY cluster
+)"""
+
+    dot = (
+        "list_sum(list_transform(list_zip({a}, {b}), x -> x[1] * x[2]))"
+    )
+    nrm = "sqrt(list_sum(list_transform({a}, x -> x * x)))"
+    cos_q = (
+        dot.format(a="{v}", b="q.q_emb")
+        + " / ("
+        + nrm.format(a="{v}")
+        + " * "
+        + nrm.format(a="q.q_emb")
+        + ")"
+    )
+    iters = []
+    prev = "cent0"
+    for it in range(1, KM_ITERS + 1):
+        iters.append(assign(it, prev) + ",")
+        iters.append(update(it, f"assign{it}") + ",")
+        prev = f"cent{it}"
+    chain = "\n".join(iters)
+    return f"""
+WITH emb AS (
+  SELECT CAST(vec_id AS BIGINT) AS vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings
+),
+cent0 AS (
+  SELECT CAST(rn - 1 AS INT) AS cluster, emb AS centroid FROM (
+    SELECT emb, ROW_NUMBER() OVER (
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id ASC) AS rn
+    FROM emb
+  ) WHERE rn <= {KM_K}
+),
+{chain}
+final AS (
+  SELECT vec_id, cluster, emb FROM (
+    SELECT e.vec_id, c.cluster, e.emb,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY {d2} ASC, c.cluster ASC) AS rn
+    FROM emb e CROSS JOIN {prev} c
+  ) WHERE rn = 1
+),
+q AS (SELECT emb AS q_emb FROM final WHERE vec_id = {QUERY_VEC_ID}),
+probe AS (
+  SELECT cluster FROM (
+    SELECT c.cluster,
+           ROW_NUMBER() OVER (
+             ORDER BY ROUND({cos_q.format(v='c.centroid')}, 4) DESC,
+                      c.cluster ASC) AS rn
+    FROM {prev} c, q
+  ) WHERE rn <= {KM_PROBE}
+)
+SELECT CAST(f.vec_id AS BIGINT) AS vec_id,
+       CAST(f.cluster AS INT) AS cluster,
+       ROUND({cos_q.format(v='f.emb')}, 4) AS cosine
+FROM final f JOIN probe USING (cluster), q
+WHERE f.vec_id <> {QUERY_VEC_ID}
+ORDER BY cosine DESC, vec_id ASC
+LIMIT {TOP_K}
+"""
+
+
+KMEANS_IVF_TOPK_SQL = _kmeans_sql()
