@@ -1,14 +1,21 @@
-"""Streaming HyperLogLog: maintain the distinct-payload sketch across
-micro-batches.
+"""Streaming sketch maintenance across micro-batches: HyperLogLog
+(distinct payloads), Count-Min (token frequencies) and Bloom
+(membership).
 
-HLL registers are the textbook mergeable state: max-merge is
-commutative, associative and IDEMPOTENT, so an at-least-once
-``foreachBatch`` replay re-merging the same batch is a no-op by
-construction — on top of that, each batch overwrites its own
-``batch_id=`` partition (the same exactly-once-per-committed-batch
-discipline as the streaming near-dup store). At 100 TB the store is
-≤ 64 rows per batch; the estimate query reads the store and folds it
-to 64 registers, never touching the payload stream again.
+All three follow one discipline — ``foreachBatch`` folds each batch
+into its own ``batch_id=`` store partition (overwrite ⇒ exactly-once
+per committed batch, same as the streaming near-dup store) and a
+reader merges partitions on demand — but their merge algebras differ,
+and that difference is the whole design:
+
+- HLL register max-merge and Bloom bit-set union are IDEMPOTENT:
+  replays and re-drains under ANY batching are safe by construction.
+- CMS counter sum-merge is only ADDITIVE: exactly-once holds within a
+  checkpoint lineage, so a fresh lineage resets the CMS store.
+
+At 100 TB the stores are tiny (≤64 register rows / ≤2^16 bit rows /
+depth×width counters per batch); readers never touch the payload
+stream again.
 """
 
 from __future__ import annotations
@@ -136,6 +143,96 @@ def run_cms_stream(
     )
     (
         stream.writeStream.foreachBatch(cms_counter_batch(store_dir))
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+def bloom_insert_batch(store_dir: str):
+    """``foreachBatch`` body for a streaming Bloom filter over payload
+    texts: write the batch's distinct bit positions to its own store
+    partition. Bit-set union is idempotent (like the HLL registers,
+    unlike the CMS counters), so replays and re-drains under any
+    batching are safe by construction."""
+
+    def _fn(batch: DataFrame, batch_id: int) -> None:
+        from pdftotext_spark.operators.sketches import BLOOM_K, _bloom_pos_sql
+
+        if batch.isEmpty():
+            return
+        items = (
+            batch.filter(F.col("text").isNotNull())
+            .select(F.col("text").alias("sh"))
+            .distinct()
+        )
+        bits = items.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.expr(_bloom_pos_sql(i)).cast("long")
+                        for i in range(BLOOM_K)
+                    ]
+                )
+            ).alias("pos")
+        ).distinct()
+        bits.write.mode("overwrite").parquet(f"{store_dir}/batch_id={batch_id}")
+
+    return _fn
+
+
+def bloom_probe(spark: SparkSession, store_dir: str, probe: DataFrame) -> DataFrame:
+    """Membership probe against the streamed bit set: returns the
+    probe rows with a ``maybe_member`` flag (true ⇔ all K positions
+    set; false negatives impossible). The merged bit set is ≤
+    BLOOM_BITS rows — broadcastable at any corpus size."""
+    from pdftotext_spark.operators.sketches import BLOOM_K, _bloom_pos_sql
+
+    bits = spark.read.parquet(store_dir).select("pos").distinct()
+    ppos = probe.select(
+        F.col("text").alias("sh")
+    ).distinct().select(
+        "sh",
+        F.explode(
+            F.array(
+                *[F.expr(_bloom_pos_sql(i)).cast("long") for i in range(BLOOM_K)]
+            )
+        ).alias("pos"),
+    )
+    hits = (
+        ppos.join(F.broadcast(bits), "pos")
+        .groupBy("sh")
+        .agg(F.count("*").alias("nhit"))
+    )
+    return (
+        probe.select(F.col("text").alias("sh")).distinct()
+        .join(hits, "sh", "left")
+        .select(
+            F.col("sh").alias("text"),
+            (F.coalesce(F.col("nhit"), F.lit(0)) == BLOOM_K).alias(
+                "maybe_member"
+            ),
+        )
+    )
+
+
+def run_bloom_stream(
+    spark: SparkSession,
+    input_dir: str,
+    store_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 1,
+) -> None:
+    """AvailableNow drain of the transcript directory into the Bloom
+    bit store."""
+    from pdftotext_spark.streaming.pipeline import read_transcript_stream
+
+    stream = read_transcript_stream(
+        spark, input_dir, max_files_per_trigger=max_files_per_trigger
+    )
+    (
+        stream.writeStream.foreachBatch(bloom_insert_batch(store_dir))
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()

@@ -122,3 +122,35 @@ def test_stream_cms_matches_batch_sketch(spark, tmp_path):
     replayed = cms_stream_counters(spark, store)
     assert replayed.exceptAll(one_shot).count() == 0
     assert one_shot.exceptAll(replayed).count() == 0
+
+
+def test_stream_bloom_no_false_negatives(spark, tmp_path):
+    from pdftotext_spark.streaming.sketches import (
+        bloom_probe,
+        run_bloom_stream,
+    )
+
+    src, all_rows = _mk_sources(spark, tmp_path)
+    store = str(tmp_path / "bloom_store")
+    run_bloom_stream(spark, str(src), store, str(tmp_path / "bloom_ckpt"))
+
+    seen = {r[3] for r in all_rows}
+    probe_rows = [(t,) for t in sorted(seen)] + [
+        (f"never-seen-{i}",) for i in range(50)
+    ]
+    probe = spark.createDataFrame(probe_rows, "text string")
+    res = {r.text: r.maybe_member for r in bloom_probe(spark, store, probe).collect()}
+    # Bloom guarantees: every streamed payload reports member
+    assert all(res[t] for t in seen)
+    # unseen probes: mostly negative (fp possible but bounded)
+    fp = sum(1 for i in range(50) if res[f"never-seen-{i}"])
+    assert fp <= 10, fp
+
+    # replay under DIFFERENT batching (fresh checkpoint, all files in
+    # one trigger): OR-merge idempotence keeps the answers identical
+    run_bloom_stream(
+        spark, str(src), store, str(tmp_path / "bloom_ckpt2"),
+        max_files_per_trigger=10,
+    )
+    res2 = {r.text: r.maybe_member for r in bloom_probe(spark, store, probe).collect()}
+    assert res2 == res
