@@ -110,12 +110,15 @@ class PageMap:
         # every object in every document
         if b"Catalog" not in body and b"Page" not in body:
             return
-        if _TYPE_CATALOG_RE.search(body):
+        # per-branch substring gates: a plain /Type /Page object (the
+        # common case past the outer gate) should pay ONE regex, not
+        # three — "Catalog"/"Pages" memmem-fail first
+        if b"Catalog" in body and _TYPE_CATALOG_RE.search(body):
             pages_ref = dict_value(body, b"Pages")
             refs = object_references(pages_ref) if pages_ref else []
             self._peeked[obj.obj_id] = _Peeked("catalog", refs=refs)
             return
-        if _TYPE_PAGES_RE.search(body):
+        if b"Pages" in body and _TYPE_PAGES_RE.search(body):
             kids = dict_value(body, b"Kids")
             refs = object_references(kids) if kids else []
             self._peeked[obj.obj_id] = _Peeked("pages", refs=refs)
