@@ -81,6 +81,15 @@ class ExtractOptions:
     # breach, remaining pages are skipped and a failure is recorded —
     # never a task kill (SURVEY.md §4).
     max_seconds: float = 0.0
+    # PDFOPT_IGNORE_TEXT_LEADING (PdfToText.php:1061, guard at 3822):
+    # TL/TD leading values are ignored; T*/'/" advance by font size
+    ignore_text_leading: bool = False
+    # MaxGlobalExecutionTime analog (PdfToText.php:1190, 1515–1522):
+    # absolute epoch deadline stamped at job-build time (0 = off) —
+    # every executor stops parsing NEW payloads once the job's global
+    # wall budget is spent; skipped payloads surface as metrics, the
+    # job still completes (never a task kill)
+    global_deadline_epoch: float = 0.0
     # image *data* extraction is opt-in, matching the reference's
     # PDFOPT_GET_IMAGE_DATA default-off (PdfToText.php:1027–1035):
     # n_images is always counted, but image streams are only inflated
@@ -147,6 +156,14 @@ def extract_document(buf: bytes, options: ExtractOptions | None = None) -> Extra
     maps engine errors to typed exceptions; our per-payload contract
     is try/except → ``decode_failures``)."""
     opts = options or ExtractOptions()
+    if opts.global_deadline_epoch > 0:
+        import time as _time
+
+        if _time.time() > opts.global_deadline_epoch:
+            res = ExtractResult()
+            res.decode_failures += 1
+            res.failure_reasons.append("global time budget exceeded")
+            return res
     cid_overrides = None
     if opts.cid_tables:
         # scoped per-call: materialized into this document's FontTable,
@@ -296,6 +313,7 @@ def extract_document(buf: bytes, options: ExtractOptions | None = None) -> Extra
                 page=pno,
                 stats=res.stats if opts.enhanced_statistics else None,
                 repeat_separator=opts.repeat_separator,
+                ignore_text_leading=opts.ignore_text_leading,
             )
         if opts.rtl:
             page_text = rtl_reorder(page_text)

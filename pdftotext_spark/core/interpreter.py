@@ -335,6 +335,7 @@ def extract_text_raw(
     separator: str = " ",
     stats: dict[str, int] | None = None,
     repeat_separator: bool = False,
+    ignore_text_leading: bool = False,
 ) -> str:
     """Raw-mode extraction (PdfToText.php:3327–3845).
 
@@ -346,10 +347,12 @@ def extract_text_raw(
     """
     if stats is None:
         return _extract_text_raw_fused(
-            stream, fonts, page, separator, repeat_separator
+            stream, fonts, page, separator, repeat_separator,
+            ignore_text_leading,
         )
     return _extract_text_raw_tokens(
-        stream, fonts, page, separator, stats, repeat_separator
+        stream, fonts, page, separator, stats, repeat_separator,
+        ignore_text_leading,
     )
 
 
@@ -360,6 +363,7 @@ def _extract_text_raw_tokens(
     separator: str = " ",
     stats: dict[str, int] | None = None,
     repeat_separator: bool = False,
+    ignore_text_leading: bool = False,
 ) -> str:
     """Token-loop raw extraction (reference path; also accumulates the
     M5 / PDFOPT_ENHANCED_STATISTICS counters, PdfToText.php:1686–1711:
@@ -422,7 +426,8 @@ def _extract_text_raw_tokens(
                 if f is not None:
                     font = f
         elif op == "TL":
-            if operands and operands[-1][0] == "num":
+            # PDFOPT_IGNORE_TEXT_LEADING (PdfToText.php:3822)
+            if not ignore_text_leading and operands and operands[-1][0] == "num":
                 leading = abs(operands[-1][1])
         elif op == "Tm":
             nums = [t[1] for t in operands if t[0] == "num"]
@@ -431,7 +436,7 @@ def _extract_text_raw_tokens(
         elif op in ("Td", "TD"):
             nums = [t[1] for t in operands if t[0] == "num"]
             if len(nums) >= 2:
-                if op == "TD":
+                if op == "TD" and not ignore_text_leading:
                     leading = abs(nums[1])
                 if last_y is None:
                     last_y = 0.0
@@ -483,6 +488,7 @@ def _extract_text_raw_fused(
     page: int | None = None,
     separator: str = " ",
     repeat_separator: bool = False,
+    ignore_text_leading: bool = False,
 ) -> str:
     """Fused scan+interpret raw extraction — semantics identical to
     :func:`_extract_text_raw_tokens` (differential-tested), but one
@@ -613,7 +619,7 @@ def _extract_text_raw_fused(
                         out.append(dec(last_kind, last_val))
                 elif op == b"Td" or op == b"TD":
                     if len(nums) >= 2:
-                        if op == b"TD":
+                        if op == b"TD" and not ignore_text_leading:
                             leading = abs(nums[1])
                         if last_y is None:
                             last_y = 0.0
@@ -648,7 +654,8 @@ def _extract_text_raw_fused(
                         if f is not None:
                             font = f
                 elif op == b"TL":
-                    if last_kind == 3:
+                    # PDFOPT_IGNORE_TEXT_LEADING (PdfToText.php:3822)
+                    if last_kind == 3 and not ignore_text_leading:
                         leading = abs(last_val)
                 elif op == b"T*":
                     if last_y is None:

@@ -250,12 +250,27 @@ def run_extraction(
     run_id: str = "run-0",
     resume: bool = True,
     options=None,
+    max_global_seconds: float = 0.0,
 ) -> DataFrame:
     """End-to-end job: read → (resume filter) → extract → write +
     manifest. Returns the extracted DataFrame (lazily if not written).
     ``options`` is an :class:`~pdftotext_spark.core.document.
     ExtractOptions` (or None for defaults) — it rides inside the
-    pickled UDF so the full option surface reaches executors."""
+    pickled UDF so the full option surface reaches executors.
+    ``max_global_seconds`` > 0 stamps a job-wide wall deadline into
+    the options (MaxGlobalExecutionTime analog): once spent, executors
+    skip remaining payloads as recorded failures instead of parsing
+    them — the job completes with partial output + honest metrics."""
+    if max_global_seconds > 0:
+        import dataclasses
+        import time as _time
+
+        from pdftotext_spark.core.document import ExtractOptions
+
+        options = dataclasses.replace(
+            options or ExtractOptions(),
+            global_deadline_epoch=_time.time() + max_global_seconds,
+        )
     transcripts = read_transcripts(spark, input_path)
     if output_path is not None and resume:
         try:

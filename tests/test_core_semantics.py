@@ -391,3 +391,56 @@ def test_find_based_split_object_matches_regex():
         cases.append(b"".join(random.choices(toks, k=random.randrange(0, 14))))
     for c in cases:
         assert split_object(c) == ref(c), c[:60]
+
+
+def test_ignore_text_leading_option():
+    """PDFOPT_IGNORE_TEXT_LEADING: TL/TD leading is ignored, so the
+    accumulated y-trajectory (and therefore blank-line counts on a
+    later absolute Tm) changes; fused and token paths must agree in
+    BOTH settings."""
+    from pdftotext_spark.core.fonts import FontTable
+    from pdftotext_spark.core.interpreter import (
+        _extract_text_raw_fused,
+        _extract_text_raw_tokens,
+    )
+
+    # TL 100 then three T*: honored leading walks y down 300; ignored
+    # leading walks only 3 x font size. The absolute Tm afterwards
+    # yields different dy -> different blank-line runs.
+    stream = (
+        b"BT /F1 12 Tf 100 TL (a) Tj T* (b) Tj T* (c) Tj T* "
+        b"1 0 0 1 0 -350 Tm (z) Tj ET"
+    )
+    ft = FontTable()
+    honored_f = _extract_text_raw_fused(stream, ft)
+    ignored_f = _extract_text_raw_fused(stream, ft, ignore_text_leading=True)
+    assert honored_f != ignored_f
+    honored_t = _extract_text_raw_tokens(stream, ft)
+    ignored_t = _extract_text_raw_tokens(
+        stream, ft, ignore_text_leading=True
+    )
+    assert honored_t == honored_f and ignored_t == ignored_f
+    # ignored-leading run sees a much larger Tm drop -> more newlines
+    assert ignored_f.count("\n") > honored_f.count("\n")
+
+
+def test_global_deadline_skips_payloads():
+    """MaxGlobalExecutionTime analog: an expired global deadline skips
+    the payload as a recorded failure without parsing; a future
+    deadline parses normally."""
+    import time
+
+    from pdftotext_spark.core.document import ExtractOptions, extract_document
+    from pdftotext_spark.sources.pdfbuilder import simple_pdf
+
+    buf = simple_pdf([["hello world"]])
+    expired = ExtractOptions(global_deadline_epoch=time.time() - 1)
+    res = extract_document(buf, expired)
+    assert res.decode_failures == 1
+    assert res.failure_reasons == ["global time budget exceeded"]
+    assert res.text == "" and not res.pages
+
+    live = ExtractOptions(global_deadline_epoch=time.time() + 3600)
+    res2 = extract_document(buf, live)
+    assert res2.decode_failures == 0
+    assert "hello world" in "\n".join(res2.pages)
