@@ -435,10 +435,13 @@ def dedup_groups(pairs: DataFrame, max_iterations: int = 10) -> DataFrame:
     label initialization as a plain groupBy. Returns (doc_id,
     group_id) for every doc in a pair.
 
-    (Measured dead end: explicitly repartitioning edges/labels to an
+    (Measured dead ends: explicitly repartitioning edges/labels to an
     edge-count-sized partition count made sf0.1 *slower* — 10.2s →
     16.8s — the added exchanges cost more than the small-task overhead
-    they removed. AQE's coalescing already handles the tiny shuffles.)
+    they removed; AQE's coalescing already handles the tiny shuffles.
+    And THREE fused cycles per round did not cut the round count on
+    the sf0.1 LSH graph — still 3 rounds, 6.6s → 11-22s from the
+    deeper per-round plans. Two cycles is the measured optimum.)
     """
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
