@@ -148,3 +148,93 @@ def test_kmeans_ivf_recall_vs_exact(spark):
     # every returned neighbour must come from a probed cluster and
     # never be the query vector itself
     assert similarity.QUERY_VEC_ID not in approx
+
+
+def test_repetition_and_chunking_match_python_model(spark, tmp_path):
+    """Differential check on 200 seeded random docs: the zero-shuffle
+    array-expression plans must agree exactly with a direct Python
+    reimplementation of the Gopher signals and the chunk math."""
+    import random
+
+    import pandas as pd
+
+    rng = random.Random(1234)
+    vocab = [f"w{i}" for i in range(12)]
+    texts = []
+    for _ in range(200):
+        n = rng.randint(1, 120)
+        # mix in runs to exercise repetition fractions
+        toks = []
+        while len(toks) < n:
+            w = rng.choice(vocab)
+            toks.extend([w] * rng.randint(1, 4))
+        texts.append(" ".join(toks[:n]))
+    docs = pd.DataFrame(
+        {
+            "doc_id": range(len(texts)),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": [f"src{i % 5}" for i in range(len(texts))],
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    d = str(tmp_path)
+    spark.createDataFrame(docs).write.mode("overwrite").parquet(
+        f"{d}/documents.parquet"
+    )
+
+    from collections import Counter
+
+    def model_signals(text):
+        toks = [t for t in text.lower().split(" ") if t]
+        n = len(toks)
+        dis = len(set(toks))
+        top = max(Counter(toks).values())
+        bigs = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        topb = max(Counter(bigs).values()) if bigs else 0
+        return (
+            n,
+            dis,
+            (n - dis) / max(n, 1),
+            top / max(n, 1),
+            topb / max(n - 1, 1),
+        )
+
+    got = {
+        r.doc_id: (
+            r.n_tokens,
+            r.n_distinct,
+            r.dup_word_frac,
+            r.top_token_frac,
+            r.top_bigram_frac,
+        )
+        for r in textstats.repetition_signals(spark, d).collect()
+    }
+    for i, t in enumerate(texts):
+        exp = model_signals(t)
+        assert got[i][:2] == exp[:2], (i, got[i], exp)
+        for g, e in zip(got[i][2:], exp[2:]):
+            assert g == pytest.approx(e), (i, got[i], exp)
+
+    W, S = textstats.CHUNK_W, textstats.CHUNK_S
+
+    def model_chunks(text):
+        toks = [t for t in text.lower().split(" ") if t]
+        n = len(toks)
+        if n == 0:
+            return []
+        n_chunks = 1 if n <= W else 1 + -(-(n - W) // S)
+        out = []
+        for c in range(n_chunks):
+            s = c * S
+            out.append((c, " ".join(toks[s : s + W]), s + 1, min(s + W, n)))
+        return out
+
+    chunks = {}
+    for r in textstats.chunk_documents(spark, d).collect():
+        chunks.setdefault(r.doc_id, []).append(
+            (r.chunk_idx, r.chunk_text, r.start_tok, r.end_tok)
+        )
+    for i, t in enumerate(texts):
+        exp = model_chunks(t)
+        assert sorted(chunks.get(i, [])) == sorted(exp), (i, t)
