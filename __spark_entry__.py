@@ -77,6 +77,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_neardup_pairs": dedup.simhash_neardup_pairs,
     "winnowing_fingerprints": dedup.winnowing_fingerprints,
     "winnowing_shared_pairs": dedup.winnowing_shared_pairs,  # MOSS overlap
+    "decontamination_overlap": dedup.decontamination_overlap,  # train/test hygiene
+    "dedup_group_sizes": dedup.dedup_group_sizes,            # cluster histogram
     # detect→group→apply chains (iterative CC checked against a
     # recursive-CTE transitive closure in DuckDB)
     "dedup_groups_minhash": dedup.dedup_groups_minhash,
@@ -181,6 +183,8 @@ _ORACLES: dict[str, str] = {
     "pivot_daily_by_type": relational.PIVOT_DAILY_BY_TYPE_SQL,
     "knn_graph_srp": similarity.KNN_GRAPH_SRP_SQL,
     "kmeans_ivf_topk": similarity.KMEANS_IVF_TOPK_SQL,
+    "decontamination_overlap": dedup.DECONTAMINATION_OVERLAP_SQL,
+    "dedup_group_sizes": dedup.DEDUP_GROUP_SIZES_SQL,
 }
 
 

@@ -893,3 +893,136 @@ FROM rare a JOIN rare b ON a.fp = b.fp AND a.doc_id < b.doc_id
 GROUP BY a.doc_id, b.doc_id
 HAVING COUNT(*) >= {WINNOW_MIN_SHARED}
 """
+
+
+def decontamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination check (the train/test hygiene pass of
+    every LLM data pipeline, cf. GPT-3 appendix C / Dodge et al. 2021):
+    treating source ``src0`` as the held-out benchmark, score every
+    OTHER document by the fraction of its distinct char-8-gram
+    shingles that appear anywhere in the benchmark — docs above a
+    threshold get quarantined before training.
+
+    100 TB shape: one distinct-shingle scan feeds both sides; the
+    benchmark shingle set (bounded by the benchmark corpus, not the
+    training corpus) joins via left-semi equi-join — AQE broadcasts it
+    while small, shuffles cleanly when not. Output: per-doc overlap
+    fraction, exact arithmetic (int/int division)."""
+    docs = _read(spark, sf_dir, "documents")
+    s = _shingles(docs.select("doc_id", "text"), distinct=True).join(
+        docs.select("doc_id", "source"), "doc_id"
+    ).localCheckpoint()
+    bench_sh = s.filter(F.col("source") == "src0").select("sh").distinct()
+    train = s.filter(F.col("source") != "src0")
+    hits = train.join(bench_sh, "sh", "left_semi").groupBy("doc_id").agg(
+        F.count("*").alias("n_hit")
+    )
+    totals = train.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    return (
+        totals.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_shingles").cast("long").alias("n_shingles"),
+            F.coalesce(F.col("n_hit"), F.lit(0)).cast("long").alias("n_contaminated"),
+            (
+                F.coalesce(F.col("n_hit"), F.lit(0)).cast("double")
+                / F.col("n_shingles")
+            ).alias("contamination_frac"),
+        )
+    )
+
+
+DECONTAMINATION_OVERLAP_SQL = f"""
+WITH s AS (
+  SELECT DISTINCT d.doc_id, d.source,
+         substr(d.text, CAST(i AS INT), {SHINGLE_LEN}) AS sh
+  FROM documents d, (SELECT unnest(range(1, {SHINGLE_SPAN + 1})) AS i) r
+  WHERE i <= greatest(length(d.text) - {SHINGLE_LEN - 1}, 1)
+),
+bench AS (SELECT DISTINCT sh FROM s WHERE source = 'src0'),
+train AS (SELECT doc_id, sh FROM s WHERE source <> 'src0'),
+hits AS (
+  SELECT doc_id, COUNT(*) AS n_hit
+  FROM train WHERE sh IN (SELECT sh FROM bench) GROUP BY doc_id
+),
+totals AS (SELECT doc_id, COUNT(*) AS n_shingles FROM train GROUP BY doc_id)
+SELECT t.doc_id,
+       CAST(t.n_shingles AS BIGINT) AS n_shingles,
+       CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_contaminated,
+       CAST(coalesce(h.n_hit, 0) AS DOUBLE) / t.n_shingles
+         AS contamination_frac
+FROM totals t LEFT JOIN hits h USING (doc_id)
+"""
+
+
+def dedup_group_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster-size histogram over the MinHash-LSH groups —
+    the curation dashboard that tells you whether dedup is removing
+    boilerplate mega-clusters or just pairs: one row per group size,
+    with how many groups have it and how many docs they hold. Singleton
+    docs (never in any pair) count as size-1 groups.
+
+    100 TB shape: reuses the full detect→group chain, then two
+    constant-ish aggregations (group sizes, then a size histogram)."""
+    docs = _read(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(spark, sf_dir)
+    groups = dedup_groups(pairs)
+    membered = docs.select("doc_id").join(groups, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("group_id"), F.col("doc_id")).alias("group_id"),
+    )
+    sizes = membered.groupBy("group_id").agg(F.count("*").alias("group_size"))
+    return (
+        sizes.groupBy("group_size")
+        .agg(F.count("*").cast("long").alias("n_groups"))
+        .select(
+            F.col("group_size").cast("long").alias("group_size"),
+            "n_groups",
+            (F.col("group_size") * F.col("n_groups"))
+            .cast("long")
+            .alias("n_docs"),
+        )
+    )
+
+
+DEDUP_GROUP_SIZES_SQL = f"""
+WITH RECURSIVE s AS ({_SHINGLES_SQL}),
+sig AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         {_SIG_EXPRS_SQL}
+  FROM s GROUP BY doc_id
+),
+bands AS ({_BANDS_SQL}),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach AS (
+  SELECT src, dst AS r FROM edges
+  UNION
+  SELECT e.src, reach.r FROM edges e JOIN reach ON reach.src = e.dst
+),
+groups AS (
+  SELECT CAST(src AS BIGINT) AS doc_id,
+         CAST(LEAST(src, MIN(r)) AS BIGINT) AS group_id
+  FROM reach GROUP BY src
+),
+membered AS (
+  SELECT d.doc_id, coalesce(g.group_id, d.doc_id) AS group_id
+  FROM documents d LEFT JOIN groups g ON d.doc_id = g.doc_id
+),
+sizes AS (
+  SELECT group_id, COUNT(*) AS group_size FROM membered GROUP BY group_id
+)
+SELECT CAST(group_size AS BIGINT) AS group_size,
+       CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(group_size * COUNT(*) AS BIGINT) AS n_docs
+FROM sizes GROUP BY group_size
+"""
