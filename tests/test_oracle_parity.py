@@ -71,6 +71,10 @@ def test_query_matches_oracle(spark, duck, name):
     duck_rows = _rows(duck_cols, cur.fetchall())
 
     assert sorted(spark_cols) == sorted(duck_cols), f"{name}: column mismatch"
+    # a 0-row result makes the value-hash gate TRIVIALLY green (the
+    # round-2 cosine-threshold lesson): every registry query must
+    # produce rows at the driver's scale factor
+    assert spark_rows, f"{name}: oracle gate is trivially green on 0 rows"
     assert len(spark_rows) == len(duck_rows), (
         f"{name}: row count {len(spark_rows)} vs {len(duck_rows)}"
     )
