@@ -85,10 +85,14 @@ class ExtractOptions:
     # TL/TD leading values are ignored; T*/'/" advance by font size
     ignore_text_leading: bool = False
     # MaxGlobalExecutionTime analog (PdfToText.php:1190, 1515–1522):
-    # absolute epoch deadline stamped at job-build time (0 = off) —
+    # absolute epoch deadline stamped at job-BUILD time (0 = off) —
     # every executor stops parsing NEW payloads once the job's global
     # wall budget is spent; skipped payloads surface as metrics, the
-    # job still completes (never a task kill)
+    # job still completes (never a task kill). Wall-clock semantics
+    # are deliberate and match the reference (PHP counts from process
+    # start): the budget includes scheduling/queue delay, and the
+    # comparison assumes NTP-sane executor clocks — skew shifts the
+    # effective budget by the skew, it never crashes the job.
     global_deadline_epoch: float = 0.0
     # image *data* extraction is opt-in, matching the reference's
     # PDFOPT_GET_IMAGE_DATA default-off (PdfToText.php:1027–1035):

@@ -533,7 +533,10 @@ def dedup_groups_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-DEDUP_GROUPS_MINHASH_SQL = f"""
+# the full LSH-pair + recursive-closure CTE chain, shared by every
+# groups-family oracle (a second literal copy could silently diverge
+# from a closure fix)
+_MINHASH_CLOSURE_SQL = f"""
 WITH RECURSIVE s AS ({_SHINGLES_SQL}),
 sig AS (
   SELECT CAST(doc_id AS BIGINT) AS doc_id,
@@ -556,10 +559,16 @@ reach AS (
   SELECT src, dst AS r FROM edges
   UNION
   SELECT e.src, reach.r FROM edges e JOIN reach ON reach.src = e.dst
-)
-SELECT CAST(src AS BIGINT) AS doc_id,
-       CAST(LEAST(src, MIN(r)) AS BIGINT) AS group_id
-FROM reach GROUP BY src
+),
+groups AS (
+  SELECT CAST(src AS BIGINT) AS doc_id,
+         CAST(LEAST(src, MIN(r)) AS BIGINT) AS group_id
+  FROM reach GROUP BY src
+)"""
+
+DEDUP_GROUPS_MINHASH_SQL = f"""
+{_MINHASH_CLOSURE_SQL}
+SELECT doc_id, group_id FROM groups
 """
 
 
@@ -914,21 +923,21 @@ def decontamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint()
     bench_sh = s.filter(F.col("source") == "src0").select("sh").distinct()
     train = s.filter(F.col("source") != "src0")
-    hits = train.join(bench_sh, "sh", "left_semi").groupBy("doc_id").agg(
-        F.count("*").alias("n_hit")
+    # ONE aggregation over the dominant (train) set: a marker left
+    # join tags benchmark shingles, then total and hit counts come
+    # from the same groupBy — not separate semi-join + count shuffles
+    marked = train.join(
+        bench_sh.withColumn("m", F.lit(1)), "sh", "left"
     )
-    totals = train.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
-    return (
-        totals.join(hits, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.col("n_shingles").cast("long").alias("n_shingles"),
-            F.coalesce(F.col("n_hit"), F.lit(0)).cast("long").alias("n_contaminated"),
-            (
-                F.coalesce(F.col("n_hit"), F.lit(0)).cast("double")
-                / F.col("n_shingles")
-            ).alias("contamination_frac"),
-        )
+    return marked.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_shingles"),
+        F.sum(F.coalesce(F.col("m"), F.lit(0)))
+        .cast("long")
+        .alias("n_contaminated"),
+        (
+            F.sum(F.coalesce(F.col("m"), F.lit(0))).cast("double")
+            / F.count("*")
+        ).alias("contamination_frac"),
     )
 
 
@@ -986,34 +995,7 @@ def dedup_group_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DEDUP_GROUP_SIZES_SQL = f"""
-WITH RECURSIVE s AS ({_SHINGLES_SQL}),
-sig AS (
-  SELECT CAST(doc_id AS BIGINT) AS doc_id,
-         {_SIG_EXPRS_SQL}
-  FROM s GROUP BY doc_id
-),
-bands AS ({_BANDS_SQL}),
-pairs AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bands a JOIN bands b
-    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
-   AND a.doc_id < b.doc_id
-),
-edges AS (
-  SELECT doc_a AS src, doc_b AS dst FROM pairs
-  UNION
-  SELECT doc_b AS src, doc_a AS dst FROM pairs
-),
-reach AS (
-  SELECT src, dst AS r FROM edges
-  UNION
-  SELECT e.src, reach.r FROM edges e JOIN reach ON reach.src = e.dst
-),
-groups AS (
-  SELECT CAST(src AS BIGINT) AS doc_id,
-         CAST(LEAST(src, MIN(r)) AS BIGINT) AS group_id
-  FROM reach GROUP BY src
-),
+{_MINHASH_CLOSURE_SQL},
 membered AS (
   SELECT d.doc_id, coalesce(g.group_id, d.doc_id) AS group_id
   FROM documents d LEFT JOIN groups g ON d.doc_id = g.doc_id

@@ -755,14 +755,18 @@ def kmeans_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     emb = _emb_double(spark, sf_dir).localCheckpoint()
-    # deterministic seeds: the K vectors with the smallest
-    # md5(vec_id) (vec_id tie-break)
+    # deterministic seeds: the K vectors with the smallest md5(vec_id)
+    # (vec_id tie-break). orderBy().limit(K) plans as
+    # TakeOrderedAndProject — an UN-partitioned row_number window here
+    # would sort the whole table on one partition at scale. The window
+    # only ranks the ALREADY-reduced K rows.
+    seed_key = F.md5(F.col("vec_id").cast("string"))
+    seeds = emb.orderBy(seed_key, F.asc("vec_id")).limit(KM_K)
     seed_w = Window.orderBy(
         F.md5(F.col("vec_id").cast("string")), F.asc("vec_id")
     )
     cent = (
-        emb.withColumn("rn", F.row_number().over(seed_w))
-        .filter(F.col("rn") <= KM_K)
+        seeds.withColumn("rn", F.row_number().over(seed_w))
         .select(
             (F.col("rn") - 1).cast("int").alias("cluster"),
             F.col("emb").alias("centroid"),
@@ -814,22 +818,10 @@ def kmeans_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = final.filter(F.col("vec_id") == QUERY_VEC_ID).select(
         F.col("emb").alias("q_emb")
     )
-    qcos = F.expr(
-        "aggregate(zip_with(centroid, q_emb, (x, y) -> x * y), "
-        "CAST(0 AS DOUBLE), (a, v) -> a + v)"
-    ) / (
-        F.sqrt(
-            F.expr(
-                "aggregate(transform(centroid, x -> x * x), "
-                "CAST(0 AS DOUBLE), (a, v) -> a + v)"
-            )
-        )
-        * F.sqrt(
-            F.expr(
-                "aggregate(transform(q_emb, x -> x * x), "
-                "CAST(0 AS DOUBLE), (a, v) -> a + v)"
-            )
-        )
+    # the module's sequential-fold helpers — the same semantics the
+    # whole oracle family depends on (no hand-rolled twin to drift)
+    qcos = _dot(F.col("centroid"), F.col("q_emb")) / (
+        _norm(F.col("centroid")) * _norm(F.col("q_emb"))
     )
     probe_w = Window.orderBy(F.desc("qc"), F.asc("cluster"))
     probe = (
@@ -842,22 +834,8 @@ def kmeans_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = final.join(F.broadcast(probe), "cluster").filter(
         F.col("vec_id") != QUERY_VEC_ID
     )
-    cos = F.expr(
-        "aggregate(zip_with(emb, q_emb, (x, y) -> x * y), "
-        "CAST(0 AS DOUBLE), (a, v) -> a + v)"
-    ) / (
-        F.sqrt(
-            F.expr(
-                "aggregate(transform(emb, x -> x * x), "
-                "CAST(0 AS DOUBLE), (a, v) -> a + v)"
-            )
-        )
-        * F.sqrt(
-            F.expr(
-                "aggregate(transform(q_emb, x -> x * x), "
-                "CAST(0 AS DOUBLE), (a, v) -> a + v)"
-            )
-        )
+    cos = _dot(F.col("emb"), F.col("q_emb")) / (
+        _norm(F.col("emb")) * _norm(F.col("q_emb"))
     )
     return (
         cand.join(F.broadcast(q))

@@ -139,14 +139,16 @@ def test_kmeans_ivf_recall_vs_exact(spark):
     from pdftotext_spark.operators import similarity
 
     exact = [r.vec_id for r in similarity.cosine_topk(spark, SF).collect()]
-    approx = [r.vec_id for r in similarity.kmeans_ivf_topk(spark, SF).collect()]
+    rows = similarity.kmeans_ivf_topk(spark, SF).collect()
+    approx = [r.vec_id for r in rows]
     assert approx, "probe lists should not be empty"
     # IVF with n_probe=2 of 8 clusters: expect meaningful overlap with
     # the exact top-k (not a guarantee — pin a floor, not equality)
     overlap = len(set(exact) & set(approx)) / len(exact)
     assert overlap >= 0.3, (exact, approx)
-    # every returned neighbour must come from a probed cluster and
-    # never be the query vector itself
+    # every returned neighbour must come from a probed cluster (at
+    # most n_probe distinct clusters appear) and never be the query
+    assert len({r.cluster for r in rows}) <= similarity.KM_PROBE
     assert similarity.QUERY_VEC_ID not in approx
 
 
