@@ -1,0 +1,56 @@
+#!/usr/bin/env python
+"""Regenerate PLANS.md: captured .explain("formatted") op-trees for a
+representative slice of the registry, annotated with the plan property
+each one evidences (the properties themselves are enforced by
+tests/test_plan_quality.py — this is the human-readable capture)."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+PICKS = {
+    "pricing_summary": "classic OLAP agg: partial (map-side) HashAggregate under the shuffle, pushed filter, pruned scan",
+    "segment_revenue": "broadcast dim join: BroadcastHashJoin, no shuffle of the fact side beyond the agg",
+    "cosine_topk": "top-k: TakeOrderedAndProject, 1-row broadcast query vector, no sort of the full table",
+    "minhash_lsh_pairs": "banded LSH: equi-join on (band_idx, band_hash) — no cartesian anywhere",
+    "simhash_neardup_pairs": "pigeonhole banding: equi-join + popcount filter",
+    "kmeans_ivf_topk": "seeds via TakeOrderedAndProject; assignment joins broadcast centroids",
+    "repetition_signals": "zero-shuffle: one WholeStageCodegen scan, array expressions only",
+    "cube_activity": "CUBE: single Expand + partial aggregate, no per-grouping rescans",
+}
+
+
+def main() -> None:
+    import bench
+
+    import __spark_entry__ as mod
+
+    spark = bench.build_spark(8)
+    out = [
+        "# PLANS — captured physical-plan evidence (sf0.01, local[8])",
+        "",
+        "Regenerate: `python scripts/capture_plans.py` (or rerun the snippet in",
+        "the git log). The plan-shape PROPERTIES are enforced continuously by",
+        "`tests/test_plan_quality.py`; this file is the human-readable capture.",
+        "",
+    ]
+    qs = mod.queries()
+    for name, note in PICKS.items():
+        df = qs[name](spark, "/root/testdata/sf0.01")
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        tree = buf.getvalue().split("\n\n")[0]
+        out += [f"## {name}", f"_{note}_", "```", tree.strip(), "```", ""]
+    (REPO / "PLANS.md").write_text("\n".join(out))
+    print(f"wrote PLANS.md ({len(PICKS)} plans)")
+
+
+if __name__ == "__main__":
+    main()
