@@ -113,6 +113,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "repetition_signals": textstats.repetition_signals,  # Gopher repetition filters
     "chunk_documents": textstats.chunk_documents,        # token-window chunking
     "unigram_logloss": textstats.unigram_logloss,        # LM cross-entropy score
+    "bpe_token_profile": textstats.bpe_token_profile,    # BPE-vs-ws token budget
     "stratified_sample": textstats.stratified_sample,    # deterministic eval split
     "knn_graph_srp": similarity.knn_graph_srp,           # all-corpus ANN graph
     "kmeans_ivf_topk": similarity.kmeans_ivf_topk,       # value-checked IVF ANN
@@ -178,6 +179,7 @@ _ORACLES: dict[str, str] = {
     "repetition_signals": textstats.REPETITION_SIGNALS_SQL,
     "chunk_documents": textstats.CHUNK_DOCUMENTS_SQL,
     "unigram_logloss": textstats.UNIGRAM_LOGLOSS_SQL,
+    "bpe_token_profile": textstats.BPE_TOKEN_PROFILE_SQL,
     "stratified_sample": textstats.STRATIFIED_SAMPLE_SQL,
     "cube_activity": relational.CUBE_ACTIVITY_SQL,
     "pivot_daily_by_type": relational.PIVOT_DAILY_BY_TYPE_SQL,

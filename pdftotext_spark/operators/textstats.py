@@ -606,3 +606,44 @@ SELECT doc_id,
        (SUM(loss_i) * 1.0 / COUNT(*)) / 1000000.0 AS logloss_bits
 FROM scored GROUP BY doc_id
 """
+
+
+# BPE-ish pre-tokenizer: GPT-2-style contiguous runs (letters /
+# digits / other, optional leading space) — the same pattern string
+# compiles identically under Java regex (Spark) and RE2 (DuckDB)
+BPE_PATTERN = " ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+"
+
+
+def bpe_token_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget accounting under BOTH counting conventions: naive
+    whitespace tokens vs a BPE-style regex pre-tokenization (the
+    GPT-2 pattern family) — the ratio is what converts a corpus's
+    word counts into model-token budgets per source.
+
+    100 TB shape: pure per-row expressions + one grouped rollup
+    (map-side partial); `regexp_extract_all` is JVM-side."""
+    docs = _read(spark, sf_dir, "documents")
+    ws = _count_occ(F.col("text"), " ") + 1
+    bpe = F.expr(
+        f"size(regexp_extract_all(lower(text), '{BPE_PATTERN}', 0))"
+    )
+    return docs.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(ws).cast("long").alias("ws_tokens"),
+        F.sum(bpe).cast("long").alias("bpe_tokens"),
+        F.round(
+            F.sum(bpe).cast("double") / F.sum(ws), 4
+        ).alias("bpe_to_ws_ratio"),
+    )
+
+
+BPE_TOKEN_PROFILE_SQL = f"""
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM({_count_occ_sql('text', ' ')} + 1) AS BIGINT) AS ws_tokens,
+       CAST(SUM(len(regexp_extract_all(lower(text), '{BPE_PATTERN}'))) AS BIGINT)
+         AS bpe_tokens,
+       ROUND(CAST(SUM(len(regexp_extract_all(lower(text), '{BPE_PATTERN}'))) AS DOUBLE)
+             / SUM({_count_occ_sql('text', ' ')} + 1), 4) AS bpe_to_ws_ratio
+FROM documents GROUP BY source
+"""
