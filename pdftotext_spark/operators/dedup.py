@@ -914,9 +914,10 @@ def decontamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     100 TB shape: one distinct-shingle scan feeds both sides; the
     benchmark shingle set (bounded by the benchmark corpus, not the
-    training corpus) joins via left-semi equi-join — AQE broadcasts it
-    while small, shuffles cleanly when not. Output: per-doc overlap
-    fraction, exact arithmetic (int/int division)."""
+    training corpus) joins in as a marker LEFT join — AQE broadcasts
+    it while small, shuffles cleanly when not — and total + hit
+    counts come from ONE aggregation over the dominant train set.
+    Output: per-doc overlap fraction, exact arithmetic."""
     docs = _read(spark, sf_dir, "documents")
     s = _shingles(docs.select("doc_id", "text"), distinct=True).join(
         docs.select("doc_id", "source"), "doc_id"

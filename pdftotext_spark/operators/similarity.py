@@ -762,9 +762,8 @@ def kmeans_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # only ranks the ALREADY-reduced K rows.
     seed_key = F.md5(F.col("vec_id").cast("string"))
     seeds = emb.orderBy(seed_key, F.asc("vec_id")).limit(KM_K)
-    seed_w = Window.orderBy(
-        F.md5(F.col("vec_id").cast("string")), F.asc("vec_id")
-    )
+    # the window MUST rank on the same key the TakeOrdered selected by
+    seed_w = Window.orderBy(seed_key, F.asc("vec_id"))
     cent = (
         seeds.withColumn("rn", F.row_number().over(seed_w))
         .select(
