@@ -78,6 +78,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "winnowing_fingerprints": dedup.winnowing_fingerprints,
     "winnowing_shared_pairs": dedup.winnowing_shared_pairs,  # MOSS overlap
     "decontamination_overlap": dedup.decontamination_overlap,  # train/test hygiene
+    "duplicated_span_fraction": dedup.duplicated_span_fraction,  # ExactSubstr metric
     "dedup_group_sizes": dedup.dedup_group_sizes,            # cluster histogram
     # detect→group→apply chains (iterative CC checked against a
     # recursive-CTE transitive closure in DuckDB)
@@ -186,6 +187,7 @@ _ORACLES: dict[str, str] = {
     "knn_graph_srp": similarity.KNN_GRAPH_SRP_SQL,
     "kmeans_ivf_topk": similarity.KMEANS_IVF_TOPK_SQL,
     "decontamination_overlap": dedup.DECONTAMINATION_OVERLAP_SQL,
+    "duplicated_span_fraction": dedup.DUPLICATED_SPAN_FRACTION_SQL,
     "dedup_group_sizes": dedup.DEDUP_GROUP_SIZES_SQL,
 }
 

@@ -1009,3 +1009,128 @@ SELECT CAST(group_size AS BIGINT) AS group_size,
        CAST(group_size * COUNT(*) AS BIGINT) AS n_docs
 FROM sizes GROUP BY group_size
 """
+
+
+def duplicated_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication metric (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better",
+    ExactSubstr): per document, the fraction of its prefix covered by
+    length-SHINGLE_LEN substrings that occur more than once in the
+    corpus — the signal that drives span-level (not doc-level) dedup.
+
+    Positioned shingles → corpus-duplicated shingle set (count > 1,
+    intra-doc repeats included) → classic gaps-and-islands interval
+    merge per doc with window functions → covered chars / prefix len.
+
+    100 TB shape: one shingle scan, one grouped duplicate-set
+    aggregation (AQE-broadcastable join back), and a per-doc window —
+    partitioned by doc_id, so no global sort. Integer arithmetic
+    throughout (position/island algebra), double only at the final
+    division."""
+    from pyspark.sql.window import Window
+
+    docs = _read(spark, sf_dir, "documents")
+    pos_sh = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, greatest(least(length(text) - {SHINGLE_LEN - 1}, "
+                f"{SHINGLE_SPAN}), 1)), i -> substring(text, i, {SHINGLE_LEN}))"
+            )
+        ).alias("p0", "sh"),
+    ).select("doc_id", (F.col("p0") + 1).alias("pos"), "sh")
+    dup_sh = (
+        pos_sh.groupBy("sh")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > 1)
+        .select("sh")
+    )
+    marked = pos_sh.join(dup_sh, "sh", "left_semi")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    wprev = w.rowsBetween(Window.unboundedPreceding, -1)
+    islands = (
+        marked.withColumn(
+            "prev_end", F.max(F.col("pos") + SHINGLE_LEN).over(wprev)
+        )
+        .withColumn(
+            "new_island",
+            F.when(
+                F.col("prev_end").isNull()
+                | (F.col("pos") > F.col("prev_end")),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("island", F.sum("new_island").over(w))
+    )
+    covered = (
+        islands.groupBy("doc_id", "island")
+        .agg(
+            (
+                F.max(F.col("pos") + SHINGLE_LEN) - F.min("pos")
+            ).alias("span_len")
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("span_len").alias("dup_chars"))
+    )
+    prefix = docs.select(
+        "doc_id",
+        F.expr(
+            f"least(length(text), {SHINGLE_SPAN + SHINGLE_LEN - 1})"
+        ).alias("prefix_len"),
+    )
+    return (
+        prefix.join(covered, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("prefix_len").cast("long").alias("prefix_len"),
+            F.coalesce(F.col("dup_chars"), F.lit(0))
+            .cast("long")
+            .alias("dup_chars"),
+            (
+                F.coalesce(F.col("dup_chars"), F.lit(0)).cast("double")
+                / F.greatest(F.col("prefix_len"), F.lit(1))
+            ).alias("dup_frac"),
+        )
+    )
+
+
+DUPLICATED_SPAN_FRACTION_SQL = f"""
+WITH pos_sh AS (
+  SELECT doc_id, CAST(i AS INT) AS pos,
+         substr(text, CAST(i AS INT), {SHINGLE_LEN}) AS sh
+  FROM documents, (SELECT unnest(range(1, {SHINGLE_SPAN + 1})) AS i) r
+  WHERE i <= greatest(length(text) - {SHINGLE_LEN - 1}, 1)
+),
+dup_sh AS (SELECT sh FROM pos_sh GROUP BY sh HAVING COUNT(*) > 1),
+marked AS (
+  SELECT doc_id, pos FROM pos_sh WHERE sh IN (SELECT sh FROM dup_sh)
+),
+flagged AS (
+  SELECT doc_id, pos,
+         MAX(pos + {SHINGLE_LEN}) OVER (
+           PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+  FROM marked
+),
+islanded AS (
+  SELECT doc_id, pos,
+         SUM(CASE WHEN prev_end IS NULL OR pos > prev_end THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM flagged
+),
+covered AS (
+  SELECT doc_id, SUM(span_len) AS dup_chars FROM (
+    SELECT doc_id, island,
+           MAX(pos + {SHINGLE_LEN}) - MIN(pos) AS span_len
+    FROM islanded GROUP BY doc_id, island
+  ) GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(least(length(d.text), {SHINGLE_SPAN + SHINGLE_LEN - 1}) AS BIGINT)
+         AS prefix_len,
+       CAST(coalesce(c.dup_chars, 0) AS BIGINT) AS dup_chars,
+       CAST(coalesce(c.dup_chars, 0) AS DOUBLE)
+         / greatest(least(length(d.text), {SHINGLE_SPAN + SHINGLE_LEN - 1}), 1)
+         AS dup_frac
+FROM documents d LEFT JOIN covered c ON d.doc_id = c.doc_id
+"""

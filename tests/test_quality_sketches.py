@@ -240,3 +240,39 @@ def test_repetition_and_chunking_match_python_model(spark, tmp_path):
     for i, t in enumerate(texts):
         exp = model_chunks(t)
         assert sorted(chunks.get(i, [])) == sorted(exp), (i, t)
+
+
+def test_duplicated_span_fraction_hand_checked(spark, tmp_path):
+    """Two docs sharing one 8-char run and a fully-unique doc: the
+    ExactSubstr coverage math is checkable by hand (8 of 16 chars
+    covered -> 0.5; unique doc -> 0.0)."""
+    import pandas as pd
+
+    from pdftotext_spark.operators import dedup
+
+    texts = [
+        "XXXXXXXXqwertyui",  # dup run at chars 1-8
+        "zcvbnmkXXXXXXXXp",  # dup run at chars 8-15
+        "abdefghijlmnopqr",  # no 8-gram occurs twice anywhere
+    ]
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": texts,
+            "lang": ["en"] * 3,
+            "source": ["src0"] * 3,
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    d = str(tmp_path)
+    spark.createDataFrame(docs).write.mode("overwrite").parquet(
+        f"{d}/documents.parquet"
+    )
+    rows = {
+        r.doc_id: r
+        for r in dedup.duplicated_span_fraction(spark, d).collect()
+    }
+    assert rows[1].prefix_len == 16 and rows[1].dup_chars == 8
+    assert rows[1].dup_frac == pytest.approx(0.5)
+    assert rows[2].dup_chars == 8 and rows[2].dup_frac == pytest.approx(0.5)
+    assert rows[3].dup_chars == 0 and rows[3].dup_frac == 0.0
