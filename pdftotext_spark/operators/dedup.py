@@ -1030,15 +1030,24 @@ def duplicated_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     docs = _read(spark, sf_dir, "documents")
-    pos_sh = docs.select(
-        "doc_id",
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(1, greatest(least(length(text) - {SHINGLE_LEN - 1}, "
-                f"{SHINGLE_SPAN}), 1)), i -> substring(text, i, {SHINGLE_LEN}))"
-            )
-        ).alias("p0", "sh"),
-    ).select("doc_id", (F.col("p0") + 1).alias("pos"), "sh")
+    # FULL-length shingles only (unlike _shingles' one-truncated-
+    # shingle fallback, which MinHash needs): a truncated shingle
+    # would credit SHINGLE_LEN covered chars to a shorter doc and push
+    # dup_frac past 1.0. Docs shorter than SHINGLE_LEN have no 8-gram
+    # and correctly report 0 coverage via the left join.
+    pos_sh = (
+        docs.filter(F.length("text") >= SHINGLE_LEN)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(1, least(length(text) - {SHINGLE_LEN - 1}, "
+                    f"{SHINGLE_SPAN})), i -> substring(text, i, {SHINGLE_LEN}))"
+                )
+            ).alias("p0", "sh"),
+        )
+        .select("doc_id", (F.col("p0") + 1).alias("pos"), "sh")
+    )
     dup_sh = (
         pos_sh.groupBy("sh")
         .agg(F.count("*").alias("n"))
@@ -1096,10 +1105,12 @@ def duplicated_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DUPLICATED_SPAN_FRACTION_SQL = f"""
 WITH pos_sh AS (
+  -- FULL-length shingles only: no truncated fallback (it would credit
+  -- {SHINGLE_LEN} covered chars to a shorter doc, dup_frac > 1)
   SELECT doc_id, CAST(i AS INT) AS pos,
          substr(text, CAST(i AS INT), {SHINGLE_LEN}) AS sh
   FROM documents, (SELECT unnest(range(1, {SHINGLE_SPAN + 1})) AS i) r
-  WHERE i <= greatest(length(text) - {SHINGLE_LEN - 1}, 1)
+  WHERE i <= length(text) - {SHINGLE_LEN - 1}
 ),
 dup_sh AS (SELECT sh FROM pos_sh GROUP BY sh HAVING COUNT(*) > 1),
 marked AS (

@@ -254,13 +254,15 @@ def test_duplicated_span_fraction_hand_checked(spark, tmp_path):
         "XXXXXXXXqwertyui",  # dup run at chars 1-8
         "zcvbnmkXXXXXXXXp",  # dup run at chars 8-15
         "abdefghijlmnopqr",  # no 8-gram occurs twice anywhere
+        "abc",  # shorter than a shingle: no 8-gram exists
+        "abc",  # ... even when the short text itself is duplicated
     ]
     docs = pd.DataFrame(
         {
-            "doc_id": [1, 2, 3],
+            "doc_id": [1, 2, 3, 4, 5],
             "text": texts,
-            "lang": ["en"] * 3,
-            "source": ["src0"] * 3,
+            "lang": ["en"] * 5,
+            "source": ["src0"] * 5,
             "n_chars": [len(t) for t in texts],
         }
     )
@@ -276,3 +278,8 @@ def test_duplicated_span_fraction_hand_checked(spark, tmp_path):
     assert rows[1].dup_frac == pytest.approx(0.5)
     assert rows[2].dup_chars == 8 and rows[2].dup_frac == pytest.approx(0.5)
     assert rows[3].dup_chars == 0 and rows[3].dup_frac == 0.0
+    # sub-shingle docs can never exceed full coverage (the truncated-
+    # shingle overshoot bug): no 8-gram -> zero, not 8/3
+    for i in (4, 5):
+        assert rows[i].dup_chars == 0 and rows[i].dup_frac == 0.0
+    assert all(0.0 <= r.dup_frac <= 1.0 for r in rows.values())
