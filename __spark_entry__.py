@@ -108,6 +108,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_cms": sketches.token_cms,
     "heavy_hitters_exact": sketches.heavy_hitters_exact,
     "hll_distinct": sketches.hll_distinct,                # HLL register sketch
+    "value_quantile_sketch": sketches.value_quantile_sketch,  # log2 DDSketch
     "bloom_novelty": sketches.bloom_novelty,              # Bloom membership probe
     "doc_fingerprint": textstats.doc_fingerprint,
     "tfidf_top_terms": textstats.tfidf_top_terms,        # per-source vocab dashboard
@@ -174,6 +175,7 @@ _ORACLES: dict[str, str] = {
     "token_cms": sketches.TOKEN_CMS_SQL,
     "heavy_hitters_exact": sketches.HEAVY_HITTERS_EXACT_SQL,
     "hll_distinct": sketches.HLL_DISTINCT_SQL,
+    "value_quantile_sketch": sketches.VALUE_QUANTILE_SKETCH_SQL,
     "bloom_novelty": sketches.BLOOM_NOVELTY_SQL,
     "doc_fingerprint": textstats.DOC_FINGERPRINT_SQL,
     "tfidf_top_terms": textstats.TFIDF_TOP_TERMS_SQL,

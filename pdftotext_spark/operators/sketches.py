@@ -421,3 +421,97 @@ FROM agg
 
 HLL_DISTINCT_SQL = _hll_sql()
 BLOOM_NOVELTY_SQL = _bloom_sql()
+
+
+# ---------------------------------------------------------------------------
+# Log2-bucket quantile sketch (DDSketch shape, Masson et al. 2019,
+# with gamma = 2): bucket = bit_length of the 2^20-scaled value — an
+# EXACT integer computation in both engines (the conv/bin trick the
+# HLL rank shares), so unlike t-digest there is zero float-boundary
+# risk and the oracle value-checks every bucket. Quantile estimates
+# carry the guaranteed relative-error bound of the bucket base
+# (here 2x; a production gamma of 1.02 just means more buckets —
+# the key-space stays constant-bounded either way).
+# ---------------------------------------------------------------------------
+
+QSKETCH_SCALE = 1 << 20  # value scaling before integer bucketing
+
+
+def value_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sketch table over ``events.value``: one row per occupied
+    log2 bucket with count, cumulative count, and the bucket's value
+    bounds — everything a quantile query needs without touching the
+    event stream again.
+
+    100 TB shape: constant key space (≤ 64 buckets) with map-side
+    partial aggregation — the quantile answer at any scale without
+    sorting or shuffling values (the exact twin,
+    ``median_value_by_type``, IS that expensive full percentile)."""
+    events = _read(spark, sf_dir, "events")
+    # round BEFORE the integer cast: Spark's cast truncates where
+    # DuckDB's rounds (the unigram_logloss lesson)
+    bucket = F.expr(
+        f"length(conv(CAST(CAST(ROUND(value * {QSKETCH_SCALE}, 0) AS BIGINT) "
+        "AS STRING), 10, 2))"
+    ).cast("long")
+    hist = (
+        events.filter(F.col("value") > 0)
+        .select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return hist.select(
+        "bucket",
+        "cnt",
+        F.sum("cnt").over(w).cast("long").alias("cum_cnt"),
+        F.expr(
+            f"CAST(shiftleft(CAST(1 AS BIGINT), CAST(bucket AS INT) - 1) AS DOUBLE)"
+            f" / {QSKETCH_SCALE}"
+        ).alias("lo"),
+        F.expr(
+            f"CAST(shiftleft(CAST(1 AS BIGINT), CAST(bucket AS INT)) AS DOUBLE)"
+            f" / {QSKETCH_SCALE}"
+        ).alias("hi"),
+    )
+
+
+VALUE_QUANTILE_SKETCH_SQL = f"""
+WITH hist AS (
+  SELECT CAST(length(bin(CAST(ROUND(value * {QSKETCH_SCALE}, 0) AS BIGINT)))
+           AS BIGINT) AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events WHERE value > 0 GROUP BY 1
+)
+SELECT bucket, cnt,
+       CAST(SUM(cnt) OVER (ORDER BY bucket
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_cnt,
+       CAST((CAST(1 AS BIGINT) << CAST(bucket - 1 AS INT)) AS DOUBLE)
+         / {QSKETCH_SCALE} AS lo,
+       CAST((CAST(1 AS BIGINT) << CAST(bucket AS INT)) AS DOUBLE)
+         / {QSKETCH_SCALE} AS hi
+FROM hist
+"""
+
+
+def qsketch_quantile(sketch_rows, q: float) -> float:
+    """Quantile estimate from collected sketch rows: the upper bound
+    of the first bucket whose cumulative count reaches rank
+    ceil(q * n) — guaranteed within the bucket's relative-error
+    bound of the true quantile."""
+    import math
+
+    rows = sorted(sketch_rows, key=lambda r: r["bucket"])
+    if not rows:
+        return float("nan")
+    n = rows[-1]["cum_cnt"]
+    rank = max(1, math.ceil(q * n))
+    for r in rows:
+        if r["cum_cnt"] >= rank:
+            return r["hi"]
+    return rows[-1]["hi"]

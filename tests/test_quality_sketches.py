@@ -283,3 +283,33 @@ def test_duplicated_span_fraction_hand_checked(spark, tmp_path):
     for i in (4, 5):
         assert rows[i].dup_chars == 0 and rows[i].dup_frac == 0.0
     assert all(0.0 <= r.dup_frac <= 1.0 for r in rows.values())
+
+
+def test_quantile_sketch_bounds_true_quantiles(spark):
+    """DDSketch guarantee at gamma=2: the sketch quantile is within
+    one bucket (a factor of 2) of the true quantile, and the bucket
+    table is internally consistent."""
+    rows = [
+        r.asDict()
+        for r in sketches.value_quantile_sketch(spark, SF).collect()
+    ]
+    assert rows
+    rows.sort(key=lambda r: r["bucket"])
+    total = rows[-1]["cum_cnt"]
+    assert total == sum(r["cnt"] for r in rows)
+    for r in rows:
+        assert r["hi"] == 2 * r["lo"]
+
+    import duckdb
+
+    exact = duckdb.sql(
+        f"SELECT quantile_cont(value, 0.5), quantile_cont(value, 0.95) "
+        f"FROM read_parquet('{SF}/events.parquet') WHERE value > 0"
+    ).fetchone()
+    for q, true_q in zip((0.5, 0.95), exact):
+        est = sketches.qsketch_quantile(rows, q)
+        # upper-bound estimate: true quantile sits inside the chosen
+        # bucket, so hi/2 <= true < hi (up to rank-vs-interp slack)
+        assert est / 2 <= true_q * 1.05 and true_q <= est * 1.05, (
+            q, est, true_q,
+        )
