@@ -1,8 +1,8 @@
 """Streaming sketch maintenance across micro-batches: HyperLogLog
-(distinct payloads), Count-Min (token frequencies) and Bloom
-(membership).
+(distinct payloads), Count-Min (token frequencies), Bloom
+(membership) and the log2 quantile histogram (value distribution).
 
-All three follow one discipline — ``foreachBatch`` folds each batch
+All four follow one discipline — ``foreachBatch`` folds each batch
 into its own ``batch_id=`` store partition (overwrite ⇒ exactly-once
 per committed batch, same as the streaming near-dup store) and a
 reader merges partitions on demand — but their merge algebras differ,
@@ -10,12 +10,13 @@ and that difference is the whole design:
 
 - HLL register max-merge and Bloom bit-set union are IDEMPOTENT:
   replays and re-drains under ANY batching are safe by construction.
-- CMS counter sum-merge is only ADDITIVE: exactly-once holds within a
-  checkpoint lineage, so a fresh lineage resets the CMS store.
+- CMS counter and quantile-bucket sum-merges are only ADDITIVE:
+  exactly-once holds within a checkpoint lineage, so a fresh lineage
+  resets those stores.
 
 At 100 TB the stores are tiny (≤64 register rows / ≤2^16 bit rows /
-depth×width counters per batch); readers never touch the payload
-stream again.
+depth×width counters / ≤64 buckets per batch); readers never touch
+the payload stream again.
 """
 
 from __future__ import annotations
@@ -233,6 +234,95 @@ def run_bloom_stream(
     )
     (
         stream.writeStream.foreachBatch(bloom_insert_batch(store_dir))
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+def qsketch_batch(store_dir: str):
+    """``foreachBatch`` body for the streaming quantile sketch over a
+    numeric ``value`` column: fold the batch into its own log2-bucket
+    histogram partition. Counters are ADDITIVE like the CMS, so the
+    same lineage discipline applies (fresh checkpoint ⇒ reset store,
+    handled by :func:`run_qsketch_stream`)."""
+
+    def _fn(batch: DataFrame, batch_id: int) -> None:
+        from pdftotext_spark.operators.sketches import QSKETCH_SCALE
+
+        if batch.isEmpty():
+            return
+        bucket = F.expr(
+            f"length(conv(CAST(CAST(ROUND(value * {QSKETCH_SCALE}, 0) AS BIGINT) "
+            "AS STRING), 10, 2))"
+        ).cast("long")
+        hist = (
+            batch.filter(F.col("value") > 0)
+            .select(bucket.alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count("*").cast("long").alias("cnt"))
+        )
+        hist.write.mode("overwrite").parquet(f"{store_dir}/batch_id={batch_id}")
+
+    return _fn
+
+
+def qsketch_stream_table(spark: SparkSession, store_dir: str) -> DataFrame:
+    """Merged sketch in the same shape as the batch
+    ``value_quantile_sketch`` output (bucket, cnt, cum_cnt, lo, hi) —
+    feed it straight to ``qsketch_quantile``."""
+    from pyspark.sql.window import Window
+
+    from pdftotext_spark.operators.sketches import QSKETCH_SCALE
+
+    hist = (
+        spark.read.parquet(store_dir)
+        .groupBy("bucket")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+    w = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return hist.select(
+        "bucket",
+        "cnt",
+        F.sum("cnt").over(w).cast("long").alias("cum_cnt"),
+        F.expr(
+            f"CAST(shiftleft(CAST(1 AS BIGINT), CAST(bucket AS INT) - 1) AS DOUBLE)"
+            f" / {QSKETCH_SCALE}"
+        ).alias("lo"),
+        F.expr(
+            f"CAST(shiftleft(CAST(1 AS BIGINT), CAST(bucket AS INT)) AS DOUBLE)"
+            f" / {QSKETCH_SCALE}"
+        ).alias("hi"),
+    )
+
+
+def run_qsketch_stream(
+    spark: SparkSession,
+    input_dir: str,
+    store_dir: str,
+    checkpoint_dir: str,
+    schema: str = "event_id long, ts timestamp, user_id long, "
+    "event_type string, value double, props string",
+    max_files_per_trigger: int = 1,
+) -> None:
+    """AvailableNow drain of an events directory into the quantile
+    store. Additive counters: a fresh checkpoint lineage resets the
+    store (the CMS rule)."""
+    import os
+    import shutil
+
+    if not os.path.exists(checkpoint_dir) and os.path.exists(store_dir):
+        shutil.rmtree(store_dir)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+    (
+        stream.writeStream.foreachBatch(qsketch_batch(store_dir))
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()

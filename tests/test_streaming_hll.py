@@ -154,3 +154,45 @@ def test_stream_bloom_no_false_negatives(spark, tmp_path):
     )
     res2 = {r.text: r.maybe_member for r in bloom_probe(spark, store, probe).collect()}
     assert res2 == res
+
+
+def test_stream_quantile_sketch_matches_batch(spark, tmp_path):
+    from pdftotext_spark.operators.sketches import qsketch_quantile
+    from pdftotext_spark.streaming.sketches import (
+        qsketch_stream_table,
+        run_qsketch_stream,
+    )
+
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    src = tmp_path / "qsrc"
+    src.mkdir()
+    vals = []
+    for f in range(3):
+        rows = [
+            (f * 100 + i, None, i, "view", 0.5 + (f * 100 + i) * 1.37, "{}")
+            for i in range(100)
+        ]
+        vals.extend(r[4] for r in rows)
+        stage = tmp_path / f"qstage{f}"
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(stage))
+        part = next(stage.glob("part-*.parquet"))
+        (src / f"f{f}.parquet").symlink_to(part)
+
+    store = str(tmp_path / "qstore")
+    run_qsketch_stream(spark, str(src), store, str(tmp_path / "qckpt"))
+    table = [r.asDict() for r in qsketch_stream_table(spark, store).collect()]
+    assert sum(r["cnt"] for r in table) == len(vals)
+    # estimate within the 2x bucket bound of the true median
+    import statistics
+
+    true_med = statistics.median(vals)
+    est = qsketch_quantile(table, 0.5)
+    assert est / 2 <= true_med <= est * 1.05, (est, true_med)
+
+    # replay under the same lineage: no double counting
+    run_qsketch_stream(spark, str(src), store, str(tmp_path / "qckpt"))
+    table2 = [r.asDict() for r in qsketch_stream_table(spark, store).collect()]
+    assert sum(r["cnt"] for r in table2) == len(vals)
