@@ -435,31 +435,32 @@ BLOOM_NOVELTY_SQL = _bloom_sql()
 # ---------------------------------------------------------------------------
 
 QSKETCH_SCALE = 1 << 20  # value scaling before integer bucketing
+# shift-safe top bucket: bucket 63 would be 1<<63, which OVERFLOWS in
+# DuckDB (error) and WRAPS negative in Spark — values >= 2^42 saturate
+# into bucket 62 instead (documented edge of the sketch's range)
+QSKETCH_MAX_BUCKET = 62
 
 
-def value_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The sketch table over ``events.value``: one row per occupied
-    log2 bucket with count, cumulative count, and the bucket's value
-    bounds — everything a quantile query needs without touching the
-    event stream again.
+def qsketch_bucket_col():
+    """The log2 bucket expression for a ``value`` column — the single
+    source both the batch operator and the streaming fold use (a
+    drifted copy would silently split the two sketches).
 
-    100 TB shape: constant key space (≤ 64 buckets) with map-side
-    partial aggregation — the quantile answer at any scale without
-    sorting or shuffling values (the exact twin,
-    ``median_value_by_type``, IS that expensive full percentile)."""
-    events = _read(spark, sf_dir, "events")
-    # round BEFORE the integer cast: Spark's cast truncates where
-    # DuckDB's rounds (the unigram_logloss lesson)
-    bucket = F.expr(
-        f"length(conv(CAST(CAST(ROUND(value * {QSKETCH_SCALE}, 0) AS BIGINT) "
-        "AS STRING), 10, 2))"
+    GREATEST(scaled, 1): positive values below the 2^-20 resolution
+    round to scaled 0 and saturate into bucket 1 (below-resolution
+    values lose the relative-error bound, by construction of any
+    fixed-resolution log sketch). ROUND before the integer cast:
+    Spark's cast truncates where DuckDB's rounds."""
+    return F.expr(
+        f"least(length(conv(CAST(GREATEST(CAST(ROUND(value * {QSKETCH_SCALE}, 0) "
+        f"AS BIGINT), 1) AS STRING), 10, 2)), {QSKETCH_MAX_BUCKET})"
     ).cast("long")
-    hist = (
-        events.filter(F.col("value") > 0)
-        .select(bucket.alias("bucket"))
-        .groupBy("bucket")
-        .agg(F.count("*").cast("long").alias("cnt"))
-    )
+
+
+def qsketch_table_from_hist(hist: DataFrame) -> DataFrame:
+    """Attach cumulative counts and value bounds to a ``(bucket,
+    cnt)`` histogram — shared by the batch operator and the streaming
+    merge reader."""
     from pyspark.sql.window import Window
 
     w = Window.orderBy("bucket").rowsBetween(
@@ -480,10 +481,32 @@ def value_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def value_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sketch table over ``events.value``: one row per occupied
+    log2 bucket with count, cumulative count, and the bucket's value
+    bounds — everything a quantile query needs without touching the
+    event stream again.
+
+    100 TB shape: constant key space (≤ 62 buckets) with map-side
+    partial aggregation — the quantile answer at any scale without
+    sorting or shuffling values (the exact twin,
+    ``median_value_by_type``, IS that expensive full percentile).
+    Range: the 2x bound holds for values in [2^-19, 2^42]; outside,
+    counts saturate into the edge buckets."""
+    events = _read(spark, sf_dir, "events")
+    hist = (
+        events.filter(F.col("value") > 0)
+        .select(qsketch_bucket_col().alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    return qsketch_table_from_hist(hist)
+
+
 VALUE_QUANTILE_SKETCH_SQL = f"""
 WITH hist AS (
-  SELECT CAST(length(bin(CAST(ROUND(value * {QSKETCH_SCALE}, 0) AS BIGINT)))
-           AS BIGINT) AS bucket,
+  SELECT CAST(least(length(bin(GREATEST(CAST(ROUND(value * {QSKETCH_SCALE}, 0)
+           AS BIGINT), 1))), {QSKETCH_MAX_BUCKET}) AS BIGINT) AS bucket,
          CAST(COUNT(*) AS BIGINT) AS cnt
   FROM events WHERE value > 0 GROUP BY 1
 )
@@ -502,8 +525,10 @@ FROM hist
 def qsketch_quantile(sketch_rows, q: float) -> float:
     """Quantile estimate from collected sketch rows: the upper bound
     of the first bucket whose cumulative count reaches rank
-    ceil(q * n) — guaranteed within the bucket's relative-error
-    bound of the true quantile."""
+    ceil(q * n) — within the bucket's relative-error bound of the
+    RANK ORDER STATISTIC (not an interpolated quantile: on gapped
+    distributions quantile_cont can land between buckets; compare
+    against quantile_disc / sorted(values)[rank-1])."""
     import math
 
     rows = sorted(sketch_rows, key=lambda r: r["bucket"])

@@ -249,17 +249,13 @@ def qsketch_batch(store_dir: str):
     handled by :func:`run_qsketch_stream`)."""
 
     def _fn(batch: DataFrame, batch_id: int) -> None:
-        from pdftotext_spark.operators.sketches import QSKETCH_SCALE
+        from pdftotext_spark.operators.sketches import qsketch_bucket_col
 
         if batch.isEmpty():
             return
-        bucket = F.expr(
-            f"length(conv(CAST(CAST(ROUND(value * {QSKETCH_SCALE}, 0) AS BIGINT) "
-            "AS STRING), 10, 2))"
-        ).cast("long")
         hist = (
             batch.filter(F.col("value") > 0)
-            .select(bucket.alias("bucket"))
+            .select(qsketch_bucket_col().alias("bucket"))
             .groupBy("bucket")
             .agg(F.count("*").cast("long").alias("cnt"))
         )
@@ -272,31 +268,14 @@ def qsketch_stream_table(spark: SparkSession, store_dir: str) -> DataFrame:
     """Merged sketch in the same shape as the batch
     ``value_quantile_sketch`` output (bucket, cnt, cum_cnt, lo, hi) —
     feed it straight to ``qsketch_quantile``."""
-    from pyspark.sql.window import Window
-
-    from pdftotext_spark.operators.sketches import QSKETCH_SCALE
+    from pdftotext_spark.operators.sketches import qsketch_table_from_hist
 
     hist = (
         spark.read.parquet(store_dir)
         .groupBy("bucket")
         .agg(F.sum("cnt").cast("long").alias("cnt"))
     )
-    w = Window.orderBy("bucket").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    return hist.select(
-        "bucket",
-        "cnt",
-        F.sum("cnt").over(w).cast("long").alias("cum_cnt"),
-        F.expr(
-            f"CAST(shiftleft(CAST(1 AS BIGINT), CAST(bucket AS INT) - 1) AS DOUBLE)"
-            f" / {QSKETCH_SCALE}"
-        ).alias("lo"),
-        F.expr(
-            f"CAST(shiftleft(CAST(1 AS BIGINT), CAST(bucket AS INT)) AS DOUBLE)"
-            f" / {QSKETCH_SCALE}"
-        ).alias("hi"),
-    )
+    return qsketch_table_from_hist(hist)
 
 
 def run_qsketch_stream(

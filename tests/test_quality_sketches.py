@@ -302,14 +302,17 @@ def test_quantile_sketch_bounds_true_quantiles(spark):
 
     import duckdb
 
+    # rank ORDER STATISTIC (quantile_disc), not quantile_cont: the
+    # sketch's bound is against the ranked value — interpolation can
+    # land between buckets on gapped distributions
     exact = duckdb.sql(
-        f"SELECT quantile_cont(value, 0.5), quantile_cont(value, 0.95) "
+        f"SELECT quantile_disc(value, 0.5), quantile_disc(value, 0.95) "
         f"FROM read_parquet('{SF}/events.parquet') WHERE value > 0"
     ).fetchone()
     for q, true_q in zip((0.5, 0.95), exact):
         est = sketches.qsketch_quantile(rows, q)
-        # upper-bound estimate: true quantile sits inside the chosen
-        # bucket, so hi/2 <= true < hi (up to rank-vs-interp slack)
+        # upper-bound estimate: the ranked value sits inside the
+        # chosen bucket, so hi/2 <= true <= hi (small rounding slack)
         assert est / 2 <= true_q * 1.05 and true_q <= est * 1.05, (
             q, est, true_q,
         )

@@ -185,10 +185,33 @@ def test_stream_quantile_sketch_matches_batch(spark, tmp_path):
     run_qsketch_stream(spark, str(src), store, str(tmp_path / "qckpt"))
     table = [r.asDict() for r in qsketch_stream_table(spark, store).collect()]
     assert sum(r["cnt"] for r in table) == len(vals)
-    # estimate within the 2x bucket bound of the true median
-    import statistics
 
-    true_med = statistics.median(vals)
+    # merged-table == one-shot batch sketch over the same values (the
+    # pin the CMS/HLL/Bloom streaming twins all carry)
+    from pdftotext_spark.operators.sketches import (
+        qsketch_bucket_col,
+        qsketch_table_from_hist,
+    )
+    from pyspark.sql import functions as SF_
+
+    one_shot_hist = (
+        spark.createDataFrame([(v,) for v in vals], "value double")
+        .filter(SF_.col("value") > 0)
+        .select(qsketch_bucket_col().alias("bucket"))
+        .groupBy("bucket")
+        .agg(SF_.count("*").cast("long").alias("cnt"))
+    )
+    one_shot = sorted(
+        (r.asDict() for r in qsketch_table_from_hist(one_shot_hist).collect()),
+        key=lambda r: r["bucket"],
+    )
+    assert sorted(table, key=lambda r: r["bucket"]) == one_shot
+
+    # estimate within the 2x bucket bound of the true rank statistic
+    import math
+
+    srt = sorted(vals)
+    true_med = srt[max(1, math.ceil(0.5 * len(srt))) - 1]
     est = qsketch_quantile(table, 0.5)
     assert est / 2 <= true_med <= est * 1.05, (est, true_med)
 
