@@ -130,21 +130,24 @@ def main() -> None:
         query_secs[name] = round(best, 3)
 
     total = round(sum(query_secs.values()) + extraction["wall_sec"], 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": query_secs,
-                "sf": sf,
-                "extraction": extraction,
-                "cpus": cpus,
-                "reps": BENCH_REPS,
-            }
-        )
-    )
+    payload = {
+        "metric": "headline_suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": query_secs,
+        "sf": sf,
+        "extraction": extraction,
+        "cpus": cpus,
+        "reps": BENCH_REPS,
+    }
+    # stop Spark BEFORE printing so no JVM shutdown logging lands after
+    # the JSON line, emit compact separators to keep the line small,
+    # and mirror to a repo file — r3's headline was lost when the
+    # driver's tail window truncated the (last) JSON line.
     spark.stop()
+    line = json.dumps(payload, separators=(",", ":"))
+    (REPO / "BENCH_LOCAL.json").write_text(line + "\n")
+    print(line, flush=True)
 
 
 if __name__ == "__main__":

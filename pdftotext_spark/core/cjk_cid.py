@@ -80,8 +80,12 @@ def _latin_cids() -> dict[int, str]:
         out[cp - 0x1F] = chr(cp)
     out[61] = "¥"   # JIS-Roman 0x5C = yen
     out[95] = "‾"   # JIS-Roman 0x7E = overline
-    out[96] = "~"        # supplemental: ASCII tilde
-    out[97] = "\\"       # supplemental: ASCII backslash
+    # supplemental pair, cross-checked against the public
+    # UniJIS-UCS2-H cidranges — the CMap splits the ASCII run exactly
+    # around them: <0020><005B>→1, <005C>→97, <005D><007D>→62,
+    # <007E>→96 (pinned by hardcoded-CID test, not the reverse map)
+    out[96] = "~"        # U+007E tilde
+    out[97] = "\\"       # U+005C backslash
     return out
 
 

@@ -43,17 +43,32 @@ def sniff_kind(payload: str) -> str:
     return "plain"
 
 
+_OBJ_SPAN_RE = re.compile(r"\d+\s+\d+\s+obj\b")
+_OBJ_SPAN_RE_B = re.compile(rb"\d+\s+\d+\s+obj\b")
+
+
 def _looks_like_deep_pdf(payload) -> bool:
     """Deep-header probe: objects.find_header tolerates arbitrary
     leading junk (PdfToText.php:1745–1760 scans, never seeks offset
     0), so a junk-prefixed PDF must not fall through to plain/HTML —
     but a conversational payload that merely *mentions* '%PDF-' must
     not be eaten by the PDF parser either (that would silently destroy
-    the turn's text). Require the corroborating object-span marker a
-    parseable PDF always has."""
+    the turn's text). Require the corroborating markers a parseable
+    PDF always has: an ``N G obj`` span header plus ``endobj``; a
+    quoting conversation rarely carries all three, and the deep route
+    additionally falls back to plain when its parse yields nothing
+    (see :func:`extract_payload`)."""
     if isinstance(payload, bytes):
-        return b"%PDF-" in payload and b"endobj" in payload
-    return "%PDF-" in payload and "endobj" in payload
+        return (
+            b"%PDF-" in payload
+            and b"endobj" in payload
+            and _OBJ_SPAN_RE_B.search(payload) is not None
+        )
+    return (
+        "%PDF-" in payload
+        and "endobj" in payload
+        and _OBJ_SPAN_RE.search(payload) is not None
+    )
 
 
 def extract_payload(
@@ -99,7 +114,7 @@ def extract_payload(
                 # PDF parser \u2014 find_header scans the whole buffer
                 res = _extract_pdf(buf, options)
                 res.kind = "pdf-b64"
-                return res
+                return _maybe_plain_fallback_bytes(buf, res)
             if was_gzip:
                 # a valid gzip member that is neither PDF nor HTML was
                 # deliberately wrapped text — emit it as plain, not as
@@ -110,9 +125,19 @@ def extract_payload(
                 return res
         res = _extract_pdf(buf, options)
         res.kind = "pdf-b64"
-        return res
+        return _maybe_plain_fallback_bytes(buf, res)
     if kind == "pdf":
-        return _extract_pdf(payload.encode("latin-1", errors="replace"), options)
+        res = _extract_pdf(payload.encode("latin-1", errors="replace"), options)
+        if (
+            res.n_pages == 0
+            and not res.text
+            and not payload.lstrip().startswith("%PDF-")
+        ):
+            # an empty parse on a payload that doesn't genuinely BEGIN
+            # with the header means the turn merely quotes PDF markup —
+            # restore its text instead of destroying it (ADVICE r3)
+            return _plain_fallback(payload, res)
+        return res
     if kind == "html":
         text = extract_main_content(payload)
         res = ExtractResult(text=text, pages=[text], n_pages=1, kind="html")
@@ -120,6 +145,38 @@ def extract_payload(
         return res
     res = ExtractResult(text=payload, pages=[payload], n_pages=1, kind="plain")
     res.page_offsets = [(0, max(len(payload) - 1, 0))]
+    return res
+
+
+def _maybe_plain_fallback_bytes(buf: bytes, res: ExtractResult) -> ExtractResult:
+    """Bytes-payload twin of the empty-parse plain fallback: only fires
+    when the buffer doesn't genuinely begin with the PDF header AND its
+    head is mostly printable text (binary garbage must stay an empty
+    pdf result, not become mojibake 'text')."""
+    if res.n_pages > 0 or res.text or buf.lstrip().startswith(b"%PDF-"):
+        return res
+    head = buf[:4096]
+    if not head:
+        return res
+    printable = sum(1 for b in head if 32 <= b < 127 or b in (9, 10, 13))
+    if printable / len(head) < 0.9:
+        return res
+    from pdftotext_spark.html import decode_html_bytes
+
+    fallback = _plain_fallback(decode_html_bytes(buf).lstrip("\ufeff"), res)
+    fallback.kind = "plain"
+    return fallback
+
+
+def _plain_fallback(text: str, parse_res: ExtractResult) -> ExtractResult:
+    """Deep-PDF-probe false positive: emit the payload as plain text
+    while preserving the parse attempt's failure metrics (the probe's
+    second line of defense — see ADVICE r3)."""
+    res = ExtractResult(text=text, pages=[text], n_pages=1, kind="plain")
+    res.page_offsets = [(0, max(len(text) - 1, 0))]
+    res.decode_failures = parse_res.decode_failures
+    res.failure_reasons = list(parse_res.failure_reasons)
+    res.failure_reasons.append("deep-pdf probe parse empty; fell back to plain")
     return res
 
 

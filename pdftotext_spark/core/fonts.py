@@ -36,6 +36,13 @@ _DESCENDANT_RE = re.compile(rb"/DescendantFonts\s*\[\s*(\d+)\s+\d+\s+R")
 _ORDERING_RE = re.compile(rb"/Ordering\s*\(\s*([^)]*?)\s*\)")
 _WIDTHS_RE = re.compile(rb"/Widths\s*\[([^\]]*)\]")
 _MISSING_WIDTH_RE = re.compile(rb"/MissingWidth\s+(\d+(?:\.\d+)?)")
+# /FontMatrix [a b c d e f]: 'a' scales glyph-space widths to text
+# space; width_em = w * a * 1000 (PdfToText.php:6549–6552 — the
+# reference's integer-only regex zeroes out fractional matrices like
+# Type3's usual [0.001 ...]; we parse the float, which is what its
+# `1000 * multiplier` formula intends)
+_FONTMATRIX_RE = re.compile(rb"/FontMatrix\s*\[\s*(-?\d*\.?\d+)")
+_CHARPROCS_RE = re.compile(rb"/CharProcs\s*<<(.*?)>>", re.S)
 # <</F1 26 0 R /F2 27 0 R>> style alias maps (PdfToText.php:169–180)
 FONT_ALIAS_RE = re.compile(rb"/([A-Za-z0-9.#_+-]+)\s+(\d+)\s+\d+\s+R")
 
@@ -81,6 +88,14 @@ class Font:
     first_char: int = 0
     widths: list[float] = field(default_factory=list)
     missing_width: float = DEFAULT_CHAR_WIDTH
+    # standard-14 metric fallback (decoded-char keyed, core/stdfonts.py)
+    std_widths: dict[int, float] | None = None
+    # /FontMatrix width scale (Type3), applied to embedded /Widths
+    width_matrix_mult: float = 1.0
+    # Type3 /CharProcs present: embedded widths are re-keyed through
+    # /Differences (PdfToText.php:6524–6543, 6560–6572)
+    has_charprocs: bool = False
+    _char_widths: dict[int, float] | None = None
     _memo: dict[int, str] = field(default_factory=dict)
     _width_memo: dict[str, float] = field(default_factory=dict)
     _translate_table: dict[int, str] | None = None
@@ -205,12 +220,37 @@ class Font:
         mc = self.map_char
         return "".join(map(mc, data))
 
+    def _build_char_widths(self) -> dict[int, float]:
+        """Reference width-table build (PdfToText.php:6459–6577):
+        standard-14 metrics first, embedded /Widths overwrite their
+        code range (zero entries → /MissingWidth default; values scale
+        by the /FontMatrix multiplier; a Type3 /CharProcs font re-keys
+        each code through its /Differences decoded char so lookup by
+        decoded text works, PdfToText.php:6560–6572)."""
+        cw: dict[int, float] = dict(self.std_widths) if self.std_widths else {}
+        diffs = (
+            self.encoding_map.diffs
+            if (self.has_charprocs and self.encoding_map is not None)
+            else None
+        )
+        mult = self.width_matrix_mult
+        for i, w in enumerate(self.widths):
+            code = self.first_char + i
+            if diffs is not None:
+                decoded = diffs.get(code)
+                if decoded:
+                    code = ord(decoded[0])
+            cw[code] = w * mult if w else self.missing_width
+        return cw
+
     def char_width(self, code: int) -> float:
-        """Per-char advance in 1/1000 em (PdfToText.php:6459–6577)."""
-        idx = code - self.first_char
-        if 0 <= idx < len(self.widths):
-            return self.widths[idx]
-        return self.missing_width
+        """Per-char advance in 1/1000 em, keyed by decoded character
+        (PdfToText.php:6641–6680 ``GetStringWidth``)."""
+        cw = self._char_widths
+        if cw is None:
+            cw = self._char_widths = self._build_char_widths()
+        w = cw.get(code)
+        return w if w is not None else self.missing_width
 
     def string_width(self, text: str, font_size: float) -> float:
         """Approximate rendered width (F15, PdfToText.php:6641–6680)."""
@@ -259,6 +299,18 @@ def parse_font(obj_id: int, body: bytes) -> Font:
     mm = _MISSING_WIDTH_RE.search(body)
     if mm:
         font.missing_width = float(mm.group(1))
+    fx = _FONTMATRIX_RE.search(body)
+    if fx:
+        font.width_matrix_mult = 1000.0 * float(fx.group(1))
+    font.has_charprocs = _CHARPROCS_RE.search(body) is not None
+    # standard-14 metric fallback (PdfToText.php:6469–6494 loads the
+    # FontMetrics table for Type1 base-14 names; we also honor the
+    # well-known metric-compatible aliases and don't require the
+    # /Subtype gate — embedded /Widths still take precedence)
+    if font.base_font and not font.cid:
+        from pdftotext_spark.core.stdfonts import std_font_widths
+
+        font.std_widths = std_font_widths(font.base_font)
     return font
 
 
@@ -328,6 +380,9 @@ class FontTable:
                     font.encoding_map = parse_encoding_cached(body)
                     font.encoding = font.encoding_map.base
                     font._translate_table = None
+                    # Type3 width re-keying depends on /Differences
+                    font._char_widths = None
+                    font._width_memo.clear()
 
     def resolve(self, alias: str, page: int | None = None) -> Font | None:
         oid = None

@@ -302,5 +302,10 @@ def glyph_to_char(name: str) -> str:
     if m and m.group(1):
         return glyph_to_char(m.group(1))
     if "_" in name:
-        return "".join(glyph_to_char(part) for part in name.split("_") if part)
+        # ADVICE r3: '_' / '__' have zero components — returning ''
+        # would silently drop the glyph; only take the ligature branch
+        # when at least one component resolves
+        resolved = [glyph_to_char(part) for part in name.split("_") if part]
+        if any(r != UNKNOWN_GLYPH for r in resolved):
+            return "".join(resolved)
     return UNKNOWN_GLYPH

@@ -30,6 +30,36 @@ from pdftotext_spark.operators.sketches import (
 )
 
 
+def _hadoop_path(spark: SparkSession, path_str: str):
+    """Resolve ``path_str`` through the JVM Hadoop FileSystem API so
+    existence checks and deletes work for ANY scheme the cluster knows
+    (file://, hdfs://, s3a://, ...) — ``os.path``/``shutil`` silently
+    no-op on non-local URIs (ADVICE r3)."""
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(path_str)
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, path
+
+
+def reset_additive_store_on_fresh_lineage(
+    spark: SparkSession, store_dir: str, checkpoint_dir: str
+) -> bool:
+    """ADDITIVE-state discipline (CMS counters, quantile buckets):
+    per-batch partition overwrite is exactly-once only within one
+    checkpoint lineage. A fresh checkpoint re-reads every file under
+    new batch boundaries — summing that into surviving old partitions
+    would double-count, so a fresh lineage deletes the store first.
+    Returns True when a reset happened."""
+    fs_c, p_c = _hadoop_path(spark, checkpoint_dir)
+    if fs_c.exists(p_c):
+        return False
+    fs_s, p_s = _hadoop_path(spark, store_dir)
+    if fs_s.exists(p_s):
+        fs_s.delete(p_s, True)
+        return True
+    return False
+
+
 def hll_register_batch(store_dir: str):
     """``foreachBatch`` body: fold the batch's payloads into an
     ``(idx, maxrho)`` register table and write it to the batch's own
@@ -130,12 +160,9 @@ def run_cms_stream(
     lineage, where batch ids and their file coverage reproduce. A
     FRESH checkpoint re-reads every file under new batch boundaries —
     summing that into surviving old partitions would double-count, so
-    a fresh lineage RESETS the store here."""
-    import os
-    import shutil
-
-    if not os.path.exists(checkpoint_dir) and os.path.exists(store_dir):
-        shutil.rmtree(store_dir)
+    a fresh lineage RESETS the store here (via the Hadoop FS API so
+    HDFS/S3 store URIs reset too, not just local paths)."""
+    reset_additive_store_on_fresh_lineage(spark, store_dir, checkpoint_dir)
 
     from pdftotext_spark.streaming.pipeline import read_transcript_stream
 
@@ -289,12 +316,8 @@ def run_qsketch_stream(
 ) -> None:
     """AvailableNow drain of an events directory into the quantile
     store. Additive counters: a fresh checkpoint lineage resets the
-    store (the CMS rule)."""
-    import os
-    import shutil
-
-    if not os.path.exists(checkpoint_dir) and os.path.exists(store_dir):
-        shutil.rmtree(store_dir)
+    store (the CMS rule, via the Hadoop FS API)."""
+    reset_additive_store_on_fresh_lineage(spark, store_dir, checkpoint_dir)
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)

@@ -130,7 +130,14 @@ def test_adobe_japan1_public_anchors():
 
     t = adobe_japan1_subset().plain
     assert t[1] == " " and t[94] == "}"       # proportional Latin run
-    assert t[61] == "¥" and t[97] == "\\"     # JIS-Roman swaps
+    assert t[61] == "¥" and t[95] == "‾"      # JIS-Roman swaps
+    # ADVICE r3: the supplemental pair pinned by HARDCODED CIDs from
+    # the public UniJIS-UCS2-H cidranges (not via the repo's own
+    # reverse map): <005C> 97 (backslash), <007E> 96 (tilde) — the
+    # CMap splits the ASCII run <0020>-<005B>→1.. / <005D>-<007D>→62..
+    # precisely around these two substitutions
+    assert t[96] == "~"
+    assert t[97] == "\\"
     assert t[633] == "　"                  # full-width space
     assert t[843] == "あ" and t[842] == "ぁ"   # hiragana base
     assert t[925] == "ァ"                      # katakana base
@@ -433,6 +440,52 @@ def test_plain_text_mentioning_pdf_header_stays_plain():
     # with the real object markers present, deep routing still works
     deep = b"X" * 2048 + pb.simple_pdf([["still a pdf"]])
     assert extract_payload(deep.decode("latin-1")).text == "still a pdf"
+
+
+def test_quoted_pdf_markup_falls_back_to_plain():
+    """ADVICE r3 (dispatch deep-probe misroute): a conversational turn
+    QUOTING PDF markup — header + object markers, but no parseable
+    document — must keep its text (plain fallback + metric), while a
+    genuinely corrupt real PDF must stay an empty pdf result."""
+    import base64
+
+    from pdftotext_spark.core.dispatch import B64_SENTINEL
+
+    # string payload quoting markup near the head: parse is empty ->
+    # plain fallback preserves the full turn text
+    chat = (
+        "user: my file begins %PDF-1.4 then has 1 0 obj ... endobj, "
+        "can you explain xref tables? " + "context " * 200
+    )
+    res = extract_payload(chat)
+    assert res.kind == "plain"
+    assert res.text == chat
+    assert "fell back to plain" in res.failure_reasons[-1]
+
+    # same conversation base64-wrapped (printable bytes): also restored
+    b64 = B64_SENTINEL + base64.b64encode(chat.encode()).decode()
+    res_b = extract_payload(b64)
+    assert res_b.kind == "plain"
+    assert res_b.text == chat
+
+    # binary garbage carrying the markers stays an empty pdf-b64 result
+    # (mojibake must NOT become 'text')
+    garbage = B64_SENTINEL + base64.b64encode(
+        b"%PDF- junk 1 0 obj endobj" + bytes(range(256)) * 16
+    ).decode()
+    res_g = extract_payload(garbage)
+    assert res_g.kind == "pdf-b64"
+    assert res_g.text == ""
+
+    # an honest header-at-offset-0 PDF that fails completely keeps the
+    # empty pdf result + decode metric (no text invented)
+    pdf = pb.simple_pdf([["good"]], stream_filter="FlateDecode")
+    i = pdf.index(b"stream\n") + 7
+    broken = (pdf[:i] + b"\xff\x00\xff\x00" + pdf[i + 4 :]).decode("latin-1")
+    res_p = extract_payload(broken)
+    assert res_p.kind == "pdf"
+    assert res_p.decode_failures >= 1
+    assert res_p.text == ""
 
 
 def test_mixed_fonts_one_page_integration():

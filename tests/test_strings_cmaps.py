@@ -80,6 +80,14 @@ def test_glyph_names_ligature_and_multi_hex():
     assert glyph_to_char("uni00410042") == "AB"
     assert glyph_to_char("eacute.sc") == "é"
     assert glyph_to_char("uni0041.alt") == "A"
+    # ADVICE r3: underscore-only / unresolvable-component names must
+    # surface as UNKNOWN_GLYPH, never silently vanish as ''
+    from pdftotext_spark.core.glyphs import UNKNOWN_GLYPH
+
+    assert glyph_to_char("_") == UNKNOWN_GLYPH
+    assert glyph_to_char("__") == UNKNOWN_GLYPH
+    assert glyph_to_char("zzqq_zzqq") == UNKNOWN_GLYPH
+    assert glyph_to_char("_f") == "f"  # leading underscore, one resolvable part
 
 
 def test_generated_latin_names_match_unicodedata():
