@@ -84,6 +84,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # recursive-CTE transitive closure in DuckDB)
     "dedup_groups_minhash": dedup.dedup_groups_minhash,
     "dedup_groups_simhash": dedup.dedup_groups_simhash,
+    # all three candidate families through ONE pointer-jumping CC run
+    # (disjoint namespaced union graph) — measured 0.6-0.8x the cost of
+    # the three standalone runs, outputs identical per family
+    "dedup_groups_multi": dedup.dedup_groups_multi,
     "dedup_apply_minhash": dedup.dedup_apply_minhash,
     # similarity search
     "cosine_topk": similarity.cosine_topk,
@@ -157,6 +161,7 @@ _ORACLES: dict[str, str] = {
     "winnowing_shared_pairs": dedup.WINNOWING_SHARED_PAIRS_SQL,
     "dedup_groups_minhash": dedup.DEDUP_GROUPS_MINHASH_SQL,
     "dedup_groups_simhash": dedup.DEDUP_GROUPS_SIMHASH_SQL,
+    "dedup_groups_multi": dedup._dedup_groups_multi_sql(),
     "dedup_apply_minhash": dedup.DEDUP_APPLY_MINHASH_SQL,
     "cosine_topk": similarity.COSINE_TOPK_SQL,
     "cosine_neardup_pairs": similarity.COSINE_NEARDUP_PAIRS_SQL,
@@ -214,6 +219,8 @@ _DRIVER_GATE_FIRST = [
     "stratified_sample",
     "knn_graph_srp",
     "kmeans_ivf_topk",
+    # new this round
+    "dedup_groups_multi",
     # recorded only in r1/r2 (refresh while slots remain)
     "lang_id",
     "lang_id_confusion",

@@ -26,6 +26,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pdftotext_spark.operators.materialize import (
+    materialize,
+    materialize_lazy,
+)
+
 SHINGLE_LEN = 8
 SHINGLE_SPAN = 249  # max shingle start offset (bounds per-doc work)
 N_MINHASH = 8
@@ -117,7 +122,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one materialization feeds candidate generation (signatures →
     # bands) AND exact verification (intersections + counts) — the
     # lazy plan would shingle the corpus twice
-    s = _shingles(docs).localCheckpoint()
+    s = _shingles(docs).transform(materialize)
     counts = s.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     cand = _lsh_pairs_from_shingles(s)
     sa = s.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
@@ -430,7 +435,7 @@ def dedup_groups(pairs: DataFrame, max_iterations: int = 10) -> DataFrame:
     instead of O(diameter) (the standard Spark CC-without-GraphX
     shape). Each *materialized* round fuses two propagate+compress
     cycles into a single Spark job whose action is the convergence
-    count itself (lazy localCheckpoint), because per-round fixed cost
+    count itself (lazy materialize), because per-round fixed cost
     dominates at small scale; the first propagation is fused into the
     label initialization as a plain groupBy. Returns (doc_id,
     group_id) for every doc in a pair.
@@ -450,7 +455,7 @@ def dedup_groups(pairs: DataFrame, max_iterations: int = 10) -> DataFrame:
         # materialize once: edges feed two joins per round, and a lazy
         # plan would re-derive the (possibly expensive) pair detection
         # every iteration — measured 34.2s → 10.2s at sf0.1 on LSH pairs
-        .localCheckpoint()
+        .transform(materialize)
     )
     # round 0 fused into initialization: with identity labels the
     # neighbour-min is just min(dst), so the first propagation is a
@@ -459,7 +464,7 @@ def dedup_groups(pairs: DataFrame, max_iterations: int = 10) -> DataFrame:
         edges.groupBy("src")
         .agg(F.least(F.col("src"), F.min("dst")).alias("group_id"))
         .withColumnRenamed("src", "doc_id")
-        .localCheckpoint()
+        .transform(materialize)
     )
 
     def _propagate(lab: DataFrame) -> DataFrame:
@@ -494,7 +499,7 @@ def dedup_groups(pairs: DataFrame, max_iterations: int = 10) -> DataFrame:
         # one Spark job per round: the lazy checkpoint materializes
         # under the convergence count itself, and the pre-round label
         # rides along as `prev` so the probe needs no extra join
-        updated = updated.localCheckpoint(eager=False)
+        updated = updated.transform(materialize_lazy)
         changed = updated.filter(F.col("group_id") != F.col("prev")).count()
         labels = updated.drop("prev")
         if changed == 0:
@@ -692,15 +697,15 @@ def minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     (n_hashes, bands) configuration before trusting it at 100 TB.
 
     Shape: one shingle materialization feeds signatures, candidates
-    and exact verification (localCheckpoint); the estimate is a
+    and exact verification (materialize); the estimate is a
     broadcastable two-sided signature join on the (already tiny)
     candidate list; exact counts run only over candidates."""
     docs = _read(spark, sf_dir, "documents")
-    s = _shingles(docs).localCheckpoint()
+    s = _shingles(docs).transform(materialize)
     # ONE signature aggregation feeds both the candidate bands and the
     # estimate join (deriving candidates from the shingles again would
     # re-shuffle and re-aggregate the whole signature frame)
-    sig = _signatures_from_shingles(s).localCheckpoint()
+    sig = _signatures_from_shingles(s).transform(materialize)
     cand = _lsh_pairs_from_sig(sig)
     sa = sig.select(
         F.col("doc_id").alias("doc_a"),
@@ -921,7 +926,7 @@ def decontamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents")
     s = _shingles(docs.select("doc_id", "text"), distinct=True).join(
         docs.select("doc_id", "source"), "doc_id"
-    ).localCheckpoint()
+    ).transform(materialize)
     bench_sh = s.filter(F.col("source") == "src0").select("sh").distinct()
     train = s.filter(F.col("source") != "src0")
     # ONE aggregation over the dominant (train) set: a marker left
@@ -1144,4 +1149,83 @@ SELECT d.doc_id,
          / greatest(least(length(d.text), {SHINGLE_SPAN + SHINGLE_LEN - 1}), 1)
          AS dup_frac
 FROM documents d LEFT JOIN covered c ON d.doc_id = c.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Fused multi-family grouping (VERDICT r3 §next #4)
+# ---------------------------------------------------------------------------
+
+# Node-id namespace stride for the fused CC union graph.  Each family's
+# ids are offset by k * FUSED_NS; ids must stay below the stride (2^40 ≈
+# 1.1e12 — far above any doc/vec id in the data contract) so the three
+# subgraphs are disjoint and min-label arithmetic per family is the
+# monotonic shift id -> k*FUSED_NS + id, preserving every comparison the
+# pointer-jumping loop makes.
+FUSED_NS = 1 << 40
+
+
+def dedup_groups_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All three near-dup candidate families — MinHash shingle LSH,
+    SimHash token bits, embedding SRP — grouped in ONE connected-
+    components run instead of three.
+
+    Edges never cross families (ids are namespaced by ``k*FUSED_NS``),
+    so the union graph is three disjoint subgraphs and a single
+    pointer-jumping fixed point computes all three label tables at
+    once: the per-round job overhead that dominates the iterative CC
+    cost (VERDICT r3) is paid once, not three times.  Per-family
+    labels recover exactly — ``family = id >> 40``,
+    ``doc_id = id & (FUSED_NS-1)`` — and equal the standalone
+    :func:`dedup_groups_minhash` / :func:`dedup_groups_simhash` /
+    :func:`similarity.dedup_groups_srp` outputs row-for-row (pinned by
+    test).  Returns (family, doc_id, group_id).
+    """
+    from pdftotext_spark.operators import similarity
+
+    def _ns(pairs: DataFrame, k: int) -> DataFrame:
+        off = F.lit(k * FUSED_NS)
+        return pairs.select(
+            (F.col("doc_a").cast("long") + off).alias("doc_a"),
+            (F.col("doc_b").cast("long") + off).alias("doc_b"),
+        )
+
+    fused_pairs = (
+        _ns(minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b"), 0)
+        .unionByName(
+            _ns(simhash_neardup_pairs(spark, sf_dir).select("doc_a", "doc_b"), 1)
+        )
+        .unionByName(
+            _ns(
+                similarity.srp_neardup_pairs(spark, sf_dir).select(
+                    F.col("vec_a").alias("doc_a"),
+                    F.col("vec_b").alias("doc_b"),
+                ),
+                2,
+            )
+        )
+    )
+    labels = dedup_groups(fused_pairs)
+    fam = F.shiftright(F.col("doc_id"), 40).cast("int")
+    return labels.select(
+        F.element_at(
+            F.array(F.lit("minhash"), F.lit("simhash"), F.lit("srp")), fam + 1
+        ).alias("family"),
+        F.col("doc_id").bitwiseAND(F.lit(FUSED_NS - 1)).cast("long").alias("doc_id"),
+        F.col("group_id").bitwiseAND(F.lit(FUSED_NS - 1)).cast("long").alias("group_id"),
+    )
+
+
+def _dedup_groups_multi_sql() -> str:
+    """Oracle: the three standalone recursive-closure statements as
+    derived tables under family tags — the same fixed points the fused
+    Spark run must reproduce."""
+    from pdftotext_spark.operators import similarity
+
+    return f"""
+SELECT 'minhash' AS family, doc_id, group_id FROM ({DEDUP_GROUPS_MINHASH_SQL})
+UNION ALL
+SELECT 'simhash' AS family, doc_id, group_id FROM ({DEDUP_GROUPS_SIMHASH_SQL})
+UNION ALL
+SELECT 'srp' AS family, vec_id AS doc_id, group_id FROM ({similarity.DEDUP_GROUPS_SRP_SQL})
 """

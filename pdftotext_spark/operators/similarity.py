@@ -16,6 +16,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pdftotext_spark.operators.materialize import (
+    materialize,
+    materialize_lazy,
+)
+
 TOP_K = 10
 # the synthetic embeddings are near-orthogonal, so 0.8 matched nothing
 # and the driver's hash check was trivially green on 0 rows; 0.3 yields
@@ -245,7 +250,7 @@ def srp_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "embedding")
         .withColumn("nrm", _norm(F.col("embedding")))
         .withColumn("srp", _srp_bucket_col())
-        .localCheckpoint()  # consumed by the band join AND the two
+        .transform(materialize)  # consumed by the band join AND the two
         # embedding joins — one srp/norm computation
     )
     banded = emb.select(
@@ -615,7 +620,7 @@ def knn_graph_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("srp", _srp_bucket_col())
         # norm computed ONCE per vector, not per candidate pair
         .withColumn("nrm", _norm(F.col("embedding")))
-        .localCheckpoint()  # consumed by the band join AND the two
+        .transform(materialize)  # consumed by the band join AND the two
         # embedding joins below — one srp/norm computation, not three
     )
     banded = emb.select(
@@ -666,7 +671,7 @@ def knn_graph_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
         # materialized: union branches do NOT share non-Exchange
         # subplans, so an un-checkpointed half would pay the join +
         # dot product once per direction
-        .localCheckpoint()
+        .transform(materialize)
     )
     scored = half.union(
         half.select(
@@ -750,11 +755,11 @@ def kmeans_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     K broadcast centroids, TakeOrdered per vector) and one
     constant-key-space centroid aggregation (K × dim groups,
     map-side partial); the probe touches only n_probe inverted lists.
-    Centroid frames are localCheckpointed per iteration (8 rows) so
+    Centroid frames are materialized per iteration (8 rows) so
     the unrolled plan never re-derives earlier iterations."""
     from pyspark.sql.window import Window
 
-    emb = _emb_double(spark, sf_dir).localCheckpoint()
+    emb = _emb_double(spark, sf_dir).transform(materialize)
     # deterministic seeds: the K vectors with the smallest md5(vec_id)
     # (vec_id tie-break). orderBy().limit(K) plans as
     # TakeOrderedAndProject — an UN-partitioned row_number window here
@@ -770,7 +775,7 @@ def kmeans_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("rn") - 1).cast("int").alias("cluster"),
             F.col("emb").alias("centroid"),
         )
-        .localCheckpoint()
+        .transform(materialize)
     )
     dist = F.expr(
         "aggregate(zip_with(emb, centroid, (x, y) -> (x - y) * (x - y)), "
@@ -810,10 +815,10 @@ def kmeans_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "s -> s.comp)"
                 ).alias("centroid")
             )
-            .localCheckpoint()
+            .transform(materialize)
         )
 
-    final = _assign(cent).localCheckpoint()
+    final = _assign(cent).transform(materialize)
     q = final.filter(F.col("vec_id") == QUERY_VEC_ID).select(
         F.col("emb").alias("q_emb")
     )

@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pdftotext_spark.operators.materialize import materialize
+
 CMS_DEPTH = 4
 CMS_WIDTH = 1024
 TOP_K_TOKENS = 20
@@ -299,7 +301,7 @@ def bloom_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     # distinct (par, sh) pairs in one scan, shared by both sides
     s = dedup._shingles(docs_par, distinct=True).withColumnRenamed(
         "doc_id", "par"
-    ).localCheckpoint()
+    ).transform(materialize)
     train = s.filter("par = 0").select("sh")
     probe = s.filter("par = 1").select("sh")
     bits = (

@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pdftotext_spark.operators.materialize import materialize
+
 # tiny per-language stopword marker sets (n-gram heuristic; the doc
 # corpus is synthetic so this demonstrates the operator shape)
 LANG_MARKERS = {
@@ -563,7 +565,7 @@ def unigram_logloss(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("tok")
     ).filter(F.col("tok") != "")
-    vocab = toks.groupBy("tok").agg(F.count("*").alias("cnt")).localCheckpoint()
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("cnt")).transform(materialize)
     # total derives from the (tiny) vocab — re-exploding the corpus
     # for a scalar would be a third full token scan
     total = vocab.agg(F.sum("cnt").alias("total"))

@@ -512,6 +512,58 @@ def test_dedup_groups_transitive_closure(spark):
     assert groups == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
 
 
+def test_dedup_groups_multi_equals_standalone_families(spark):
+    """The fused one-CC-run grouping must reproduce each standalone
+    family's fixed point row-for-row (the namespaced-union shift is a
+    monotonic bijection per family, so every min-label comparison is
+    preserved) — hand-checked equality, not just oracle parity."""
+    from pdftotext_spark.operators import dedup, similarity
+
+    sf = "/root/testdata/sf0.001"
+    multi = dedup.dedup_groups_multi(spark, sf).collect()
+    by_fam: dict[str, set] = {}
+    for r in multi:
+        by_fam.setdefault(r.family, set()).add((r.doc_id, r.group_id))
+    assert by_fam["minhash"] == {
+        (r.doc_id, r.group_id)
+        for r in dedup.dedup_groups_minhash(spark, sf).collect()
+    }
+    assert by_fam["simhash"] == {
+        (r.doc_id, r.group_id)
+        for r in dedup.dedup_groups_simhash(spark, sf).collect()
+    }
+    assert by_fam["srp"] == {
+        (r.vec_id, r.group_id)
+        for r in similarity.dedup_groups_srp(spark, sf).collect()
+    }
+    assert all(by_fam.values())
+
+
+def test_dedup_groups_multi_constructed_namespacing(spark):
+    """Constructed input: same doc ids in two families must NOT merge
+    across families, and per-family representatives stay the numeric
+    min (the shift preserves ordering)."""
+    from pdftotext_spark.operators.dedup import FUSED_NS, dedup_groups
+
+    # family 0: chain 1-2-3; family 1: pair 2-9 (shares id 2!)
+    pairs = spark.createDataFrame(
+        [
+            (1, 2),
+            (2, 3),
+            (FUSED_NS + 2, FUSED_NS + 9),
+        ],
+        "doc_a long, doc_b long",
+    )
+    groups = {r.doc_id: r.group_id for r in dedup_groups(pairs).collect()}
+    assert groups == {
+        1: 1,
+        2: 1,
+        3: 1,
+        FUSED_NS + 2: FUSED_NS + 2,
+        FUSED_NS + 9: FUSED_NS + 2,
+    }
+
+
 def test_dedup_groups_on_lsh_pairs(spark):
     """CC over real LSH candidate pairs from the documents table:
     every group id is the minimum doc in its group (fixpoint sanity)."""
