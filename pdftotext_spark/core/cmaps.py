@@ -34,17 +34,60 @@ _DIFFS_RE = re.compile(rb"/Differences\s*\[(.*?)\]", re.S)
 _DIFF_TOKEN_RE = re.compile(rb"(\d+)|/([^\s/\[\]<>()]+)")
 
 
+# The reference's FULL "undocumented Adobe" PUA table
+# (PdfToText.php:7592–7675): a REVERSED alphabet — 0xF0F0−k → '0'+k,
+# 0xF0DF−k → 'A'+k, 0xF0BF−k → 'a'+k — plus scattered punctuation and
+# two accented-letter entries (0xF037→é, 0xF038→è, which the uniform
+# −0xF000 shift would wrongly turn into '7'/'8').
+ADOBE_UNDOC_PUA: dict[int, int] = (
+    {0xF0F0 - k: 0x30 + k for k in range(10)}
+    | {0xF0DF - k: 0x41 + k for k in range(26)}
+    | {0xF0BF - k: 0x61 + k for k in range(26)}
+    | {
+        0xF0F1: 0x2F,
+        0xF0E6: 0x3A,
+        0xF0F3: 0x2D,
+        0xF0F8: 0x28,
+        0xF0F7: 0x29,
+        0xF0F2: 0x2E,
+        0xF020: 0x20,
+        0xF0F9: 0x27,
+        0xF037: 0xE9,
+        0xF038: 0xE8,
+    }
+)
+
+
+def _undoc_pua_subst(text: str) -> str:
+    """Substitute a single-char ToUnicode TARGET through the
+    undocumented table (applied at CMap parse time, mirroring
+    PdfToText.php:6852–6853 bfchar / 6889–6892 bfrange form-1 —
+    enumerated form-2 lists are deliberately NOT substituted there)."""
+    if len(text) == 1:
+        hit = ADOBE_UNDOC_PUA.get(ord(text))
+        if hit is not None:
+            return chr(hit)
+    return text
+
+
 def _pua_fixup(text: str) -> str:
-    """0xF0xx private-use quirk (F10, PdfToText.php:7592–7675 applied
-    at 6852–6853/6889–6892): symbol fonts emit ASCII shifted into the
-    U+F000 private-use block (e.g. U+F030 for '0'); map printable ones
-    back to their base characters."""
-    if not any("\uf020" <= c <= "\uf07e" for c in text):
+    """0xF0xx private-use quirk (F10, PdfToText.php:7592–7675): the
+    reference's table entries win (they are NOT a uniform shift —
+    reversed alphabets, é/è), then printable codes the table doesn't
+    know fall back to the −0xF000 shift."""
+    if not any("\uf000" <= c <= "\uf0ff" for c in text):
         return text
-    return "".join(
-        chr(ord(c) - 0xF000) if "\uf020" <= c <= "\uf07e" else c
-        for c in text
-    )
+
+    def fix(c: str) -> str:
+        cp = ord(c)
+        hit = ADOBE_UNDOC_PUA.get(cp)
+        if hit is not None:
+            return chr(hit)
+        if 0xF020 <= cp <= 0xF07E:
+            return chr(cp - 0xF000)
+        return c
+
+    return "".join(fix(c) for c in text)
 
 
 _WS_DELETE = b" \t\n\r\x0b\x0c"
@@ -107,7 +150,9 @@ class ToUnicodeCMap:
                 if not code_hex:
                     continue
                 code = int(code_hex, 16)
-                cmap.direct[code] = "".join(_hex_to_text(t) for t in toks[1:])
+                cmap.direct[code] = "".join(
+                    _undoc_pua_subst(_hex_to_text(t)) for t in toks[1:]
+                )
         for sec in _BFRANGE_RE.finditer(body):
             for rm in _BFRANGE_ITEM_RE.finditer(sec.group(1)):
                 lo = int(rm.group(1), 16)
@@ -119,7 +164,9 @@ class ToUnicodeCMap:
                     cmap.ranges.append((lo, hi, vals))
                 else:
                     base = tgt[1:-1]
-                    cmap.ranges.append((lo, hi, _hex_to_text(base)))
+                    cmap.ranges.append(
+                        (lo, hi, _undoc_pua_subst(_hex_to_text(base)))
+                    )
         cmap.ranges.sort(key=lambda r: r[0])
         cmap._range_los = [r[0] for r in cmap.ranges]
         return cmap
@@ -204,11 +251,23 @@ def parse_encoding_cached(body: bytes) -> "EncodingMap":
     return EncodingMap.parse(body)
 
 
+# WinAnsi Cyrillic variant (PdfToText.php:7349–7417, selected at
+# 6185–6186 when a WinAnsi font's /BaseFont is a subset name containing
+# "Cyr"): the variant table REPLACES the normal WinAnsi map — curly
+# quotes flatten to '"', 0xC0–0xFF become А..я (U+0410–U+044F, the
+# cp1251 block), every other byte is identity (the reference's
+# offsetGet falls back to the raw code, PdfToText.php:7291–7298).
+WINANSI_CYR: dict[int, int] = {0x93: 0x22, 0x94: 0x22} | {
+    0xC0 + k: 0x0410 + k for k in range(64)
+}
+
+
 def base_encoding_char(base: str, code: int) -> str:
     """Map a single byte through a named base encoding.
 
     WinAnsi ≈ cp1252 (incl. the 0x80–0x9F fixups the reference tables
-    at PdfToText.php:7315–7418); MacRoman via the mac_roman codec
+    at PdfToText.php:7315–7418); the Cyrillic variant uses its own
+    replacement table; MacRoman via the mac_roman codec
     (PdfToText.php:7438–7571); 'standard' falls back to latin-1.
     """
     b = bytes([code])
@@ -217,6 +276,8 @@ def base_encoding_char(base: str, code: int) -> str:
             return b.decode("cp1252")
         except UnicodeDecodeError:
             return chr(code)
+    if base == "winansi-cyr":
+        return chr(WINANSI_CYR.get(code, code))
     if base == "macroman":
         try:
             return b.decode("mac_roman")

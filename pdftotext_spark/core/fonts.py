@@ -43,6 +43,11 @@ _MISSING_WIDTH_RE = re.compile(rb"/MissingWidth\s+(\d+(?:\.\d+)?)")
 # `1000 * multiplier` formula intends)
 _FONTMATRIX_RE = re.compile(rb"/FontMatrix\s*\[\s*(-?\d*\.?\d+)")
 _CHARPROCS_RE = re.compile(rb"/CharProcs\s*<<(.*?)>>", re.S)
+# reference variant gate (PdfToText.php:6185): subset-prefixed
+# BaseFont whose name part contains "Cyr", case-insensitive
+_CYR_VARIANT_RE = re.compile(
+    rb"/BaseFont\s*/[a-z0-9_]+\+[a-z0-9_]+?Cyr", re.I
+)
 # <</F1 26 0 R /F2 27 0 R>> style alias maps (PdfToText.php:169–180)
 FONT_ALIAS_RE = re.compile(rb"/([A-Za-z0-9.#_+-]+)\s+(\d+)\s+\d+\s+R")
 
@@ -153,7 +158,7 @@ class Font:
                     # accent-prefix tables are stateful: bypass the memo
                     return self._cid_lookup_stateful(m, code)
                 out = m.lookup(code)
-            elif self.encoding in ("winansi", "macroman"):
+            elif self.encoding in ("winansi", "winansi-cyr", "macroman"):
                 out = base_encoding_char(self.encoding, code)
             elif 0 <= code < 0x110000:
                 out = chr(code)
@@ -287,7 +292,13 @@ def parse_font(obj_id: int, body: bytes) -> Font:
         if im:
             font.encoding_map = EncodingMap.parse(im.group(0))
     if b"/WinAnsiEncoding" in body and font.encoding_map is None:
-        font.encoding = "winansi"
+        # Cyrillic WinAnsi variant (PdfToText.php:6185–6186): a subset
+        # BaseFont whose name part contains "Cyr" selects the
+        # replacement table at PdfToText.php:7349–7417
+        if _CYR_VARIANT_RE.search(body):
+            font.encoding = "winansi-cyr"
+        else:
+            font.encoding = "winansi"
     elif b"/MacRomanEncoding" in body and font.encoding_map is None:
         font.encoding = "macroman"
     fm = _FIRSTCHAR_RE.search(body)

@@ -23,6 +23,8 @@ Scale notes:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -32,7 +34,14 @@ from pdftotext_spark.operators.materialize import (
 )
 
 SHINGLE_LEN = 8
-SHINGLE_SPAN = 249  # max shingle start offset (bounds per-doc work)
+# Max shingle start offset — bounds per-doc shingling cost to O(rows)
+# regardless of document length, at the price that near-dup detection
+# is BLIND to anything past this prefix (two docs differing only after
+# it look identical; two docs differing only before it look unrelated).
+# Deployment lever: set SPARK_GRAFT_SHINGLE_SPAN before import — every
+# Spark operator AND its DuckDB oracle string derive from this one
+# constant, so the correctness gate follows the override.
+SHINGLE_SPAN = int(os.environ.get("SPARK_GRAFT_SHINGLE_SPAN", "249"))
 N_MINHASH = 8
 BAND_SIZE = 2  # 8 hashes → 4 bands of 2
 JACCARD_THRESHOLD = 0.6

@@ -600,6 +600,44 @@ FROM reach GROUP BY src
 
 KNN_K = 3
 
+# knn-specific band set (VERDICT r3 §next #5): the shared 16-plane 4×4
+# layout measured recall@3 = 0.455 against exact brute-force — too weak
+# for a production ANN graph. Simulated over the md5 plane family on
+# the sf0.001 corpus: 8×4 → 0.703, 12×4 → 0.835, 16×4 → 0.901, while
+# 4×8 (the first idea) collapses to 0.09 — fewer, MORE selective bands
+# is the wrong direction for moderate-cosine neighbors. 16 bands × 4
+# bits (planes 0..63 of the same md5 family) is the shipped point:
+# recall 0.90 with 2.7× the candidate volume, still bucketed (2^4
+# buckets per band; bits/bands must be re-tuned per corpus geometry at
+# scale — more bits when the corpus is angularly tight).
+KNN_SRP_PLANES = 64
+KNN_SRP_BANDS = 16
+KNN_SRP_BAND_BITS = KNN_SRP_PLANES // KNN_SRP_BANDS
+_KNN_PLANES_LITERALS = [_srp_plane(k) for k in range(KNN_SRP_PLANES)]
+
+
+def _knn_band_structs() -> list[Column]:
+    """One (band_idx, band_bits) struct per band, band key computed
+    directly from its 4 planes (no 64-bit pack — bit 63 would overflow
+    a signed long)."""
+    out = []
+    for i in range(KNN_SRP_BANDS):
+        key = None
+        for j in range(KNN_SRP_BAND_BITS):
+            plane = _KNN_PLANES_LITERALS[i * KNN_SRP_BAND_BITS + j]
+            arr = F.array(*[F.lit(x) for x in plane])
+            bit = (
+                F.when(_dot(F.col("embedding"), arr) > 0, F.lit(1 << j))
+                .otherwise(F.lit(0))
+            )
+            key = bit if key is None else key + bit
+        out.append(
+            F.struct(
+                F.lit(i).alias("band_idx"), key.cast("long").alias("band_bits")
+            )
+        )
+    return out
+
 
 def knn_graph_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate k-nearest-neighbor GRAPH: for every vector, its
@@ -617,27 +655,13 @@ def knn_graph_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = (
         _read(spark, sf_dir, "embeddings")
         .select("vec_id", "embedding")
-        .withColumn("srp", _srp_bucket_col())
         # norm computed ONCE per vector, not per candidate pair
         .withColumn("nrm", _norm(F.col("embedding")))
         .transform(materialize)  # consumed by the band join AND the two
-        # embedding joins below — one srp/norm computation, not three
+        # embedding joins below — one norm computation, not three
     )
     banded = emb.select(
-        "vec_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band_idx"),
-                        F.shiftright("srp", i * _SRP_BAND_BITS)
-                        .bitwiseAND(F.lit((1 << _SRP_BAND_BITS) - 1))
-                        .alias("band_bits"),
-                    )
-                    for i in range(SRP_BANDS)
-                ]
-            )
-        ).alias("b"),
+        "vec_id", F.explode(F.array(*_knn_band_structs())).alias("b")
     ).select("vec_id", "b.band_idx", "b.band_bits")
     # NARROW candidate generation: ids only through the banded join
     # and the cross-band dedup (64-float payloads would make the
@@ -693,13 +717,23 @@ def knn_graph_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# 16 knn bands, each key summed from its own 4 planes (mirrors
+# _knn_band_structs exactly — same md5 plane family, same bit order)
+_KNN_BANDS_SQL = " UNION ALL ".join(
+    f"SELECT CAST(vec_id AS BIGINT) AS vec_id, embedding, {i} AS band_idx, "
+    + " + ".join(
+        f"(CASE WHEN list_sum(list_transform(list_zip(embedding, "
+        f"{_plane_sql(_KNN_PLANES_LITERALS[i * KNN_SRP_BAND_BITS + j])}), "
+        f"x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) > 0 "
+        f"THEN {1 << j} ELSE 0 END)"
+        for j in range(KNN_SRP_BAND_BITS)
+    )
+    + " AS band_bits FROM embeddings"
+    for i in range(KNN_SRP_BANDS)
+)
+
 KNN_GRAPH_SRP_SQL = f"""
-WITH sig AS (
-  SELECT CAST(vec_id AS BIGINT) AS vec_id, embedding,
-         CAST({_SRP_BUCKET_SQL} AS BIGINT) AS srp
-  FROM embeddings
-),
-bands AS ({_SRP_BANDS_SQL}),
+WITH bands AS ({_KNN_BANDS_SQL}),
 cand AS (
   SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst,
          a.embedding AS emb_a, b.embedding AS emb_b

@@ -221,3 +221,68 @@ def test_pua_f0xx_quirk():
     assert cmap.lookup(0x41) == "0"
     assert cmap.lookup(0x42) == "A"
     assert cmap.lookup(0x43) == ""  # outside the quirk window: kept
+
+
+def test_winansi_cyrillic_variant():
+    """Cyrillic WinAnsi variant (PdfToText.php:6185-6186 gate,
+    7349-7417 table): a subset BaseFont containing 'Cyr' swaps the
+    cp1252 map for the replacement table — 0xC0-0xFF become А..я,
+    curly quotes flatten, everything else is identity."""
+    from pdftotext_spark.core.fonts import parse_font
+
+    cyr = parse_font(
+        1,
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /ABCDEF+NimbusCyr "
+        b"/Encoding /WinAnsiEncoding >>",
+    )
+    assert cyr.encoding == "winansi-cyr"
+    assert cyr.map_char(0xC0) == "А"  # А
+    assert cyr.map_char(0xFF) == "я"  # я
+    assert cyr.map_char(0x93) == '"' and cyr.map_char(0x94) == '"'
+    assert cyr.map_char(0x41) == "A"       # identity outside the table
+    assert cyr.map_char(0x80) == "\x80"    # NO cp1252 euro in the variant
+
+    plain = parse_font(
+        2,
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /ABCDEF+Nimbus "
+        b"/Encoding /WinAnsiEncoding >>",
+    )
+    assert plain.encoding == "winansi"
+    assert plain.map_char(0xC0) == "À"  # À (cp1252)
+    assert plain.map_char(0x93) == "“"  # curly quote survives
+
+
+def test_undocumented_pua_table_full():
+    """Full 0xF0xx table (PdfToText.php:7592-7675): REVERSED alphabets
+    plus punctuation and é/è — construction goldens per entry family,
+    both at CMap-parse time and in the post-extraction fixup."""
+    from pdftotext_spark.core.cmaps import (
+        ADOBE_UNDOC_PUA,
+        ToUnicodeCMap,
+        _pua_fixup,
+    )
+
+    # reversed families: 0xF0F0-k -> '0'+k etc.
+    assert ADOBE_UNDOC_PUA[0xF0F0] == ord("0")
+    assert ADOBE_UNDOC_PUA[0xF0E7] == ord("9")
+    assert ADOBE_UNDOC_PUA[0xF0DF] == ord("A")
+    assert ADOBE_UNDOC_PUA[0xF0C6] == ord("Z")
+    assert ADOBE_UNDOC_PUA[0xF0BF] == ord("a")
+    assert ADOBE_UNDOC_PUA[0xF0A6] == ord("z")
+    assert ADOBE_UNDOC_PUA[0xF037] == 0xE9  # é — NOT '7'
+    assert ADOBE_UNDOC_PUA[0xF038] == 0xE8  # è
+
+    # parse-time substitution: bfchar target + bfrange form-1 base
+    cm = ToUnicodeCMap.parse(
+        b"1 begincodespacerange <00> <FF> endcodespacerange\n"
+        b"beginbfchar\n<41> <F0F0>\n<42> <F037>\nendbfchar\n"
+        b"beginbfrange\n<50> <52> <F0DF>\nendbfrange\n"
+    )
+    assert cm.lookup(0x41) == "0"
+    assert cm.lookup(0x42) == "é"
+    # base substituted to 'A', then spec increment per code
+    assert [cm.lookup(c) for c in (0x50, 0x51, 0x52)] == ["A", "B", "C"]
+
+    # fixup: table wins over the shift; shift still covers table-absent
+    # printable codes; outside-range PUA untouched
+    assert _pua_fixup("\uf037\uf030\uf0a6\uf1ff") == "é0z\uf1ff"
