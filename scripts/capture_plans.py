@@ -23,6 +23,8 @@ PICKS = {
     "kmeans_ivf_topk": "seeds via TakeOrderedAndProject; assignment joins broadcast centroids",
     "repetition_signals": "zero-shuffle: one WholeStageCodegen scan, array expressions only",
     "cube_activity": "CUBE: single Expand + partial aggregate, no per-grouping rescans",
+    "knn_graph_srp": "ANN graph (r4, 64-plane 16x4 bands): WindowGroupLimit partial top-k per union side; the ExistingRDD scans are the materialized banded-join candidates (join shape asserted pre-cut by test_plan_quality)",
+    "dedup_groups_multi": "fused CC (r4): the ExistingRDD is the converged label fixed point (one CC run for all three families); candidate generation shapes are the banded plans above",
 }
 
 

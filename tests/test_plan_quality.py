@@ -69,6 +69,17 @@ def test_simhash_neardup_is_banded_equi_join(spark):
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan
 
 
+def test_knn_graph_and_fused_cc_never_cartesian(spark):
+    # r4 additions keep the family invariant: candidates only ever
+    # come from banded equi-joins
+    from pdftotext_spark.operators import similarity
+
+    plan = _plan(similarity.knn_graph_srp(spark, SF))
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+    plan = _plan(dedup.dedup_groups_multi(spark, SF))
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+
 def test_cosine_neardup_chunked_equals_naive(spark, monkeypatch):
     # force multi-chunk buckets (CHUNK_SIZE 8 « bucket sizes) and check
     # the bounded chunk-pair join emits exactly the naive bucketed
