@@ -150,20 +150,27 @@ def extract_payload(
 
 def _maybe_plain_fallback_bytes(buf: bytes, res: ExtractResult) -> ExtractResult:
     """Bytes-payload twin of the empty-parse plain fallback: only fires
-    when the buffer doesn't genuinely begin with the PDF header AND its
-    head is mostly printable text (binary garbage must stay an empty
-    pdf result, not become mojibake 'text')."""
+    when the buffer doesn't genuinely begin with the PDF header AND it
+    decodes to mostly-textual characters (binary garbage must stay an
+    empty pdf result, not become mojibake 'text'). The textual check
+    runs on the DECODED string, not raw bytes \u2014 UTF-8 multibyte text
+    (Cyrillic/CJK chat quoting PDF markup) is \u226550% high bytes and a
+    byte-level printable gate would destroy exactly the turns the
+    fallback exists to save (review r4)."""
     if res.n_pages > 0 or res.text or buf.lstrip().startswith(b"%PDF-"):
         return res
-    head = buf[:4096]
-    if not head:
-        return res
-    printable = sum(1 for b in head if 32 <= b < 127 or b in (9, 10, 13))
-    if printable / len(head) < 0.9:
+    if not buf:
         return res
     from pdftotext_spark.html import decode_html_bytes
 
-    fallback = _plain_fallback(decode_html_bytes(buf).lstrip("\ufeff"), res)
+    text = decode_html_bytes(buf).lstrip("\ufeff")
+    if not text:
+        return res
+    probe = text[:4096]
+    textual = sum(1 for c in probe if c.isprintable() or c in "\t\n\r")
+    if textual / len(probe) < 0.9:
+        return res
+    fallback = _plain_fallback(text, res)
     fallback.kind = "plain"
     return fallback
 

@@ -239,11 +239,18 @@ class Font:
             else None
         )
         mult = self.width_matrix_mult
+        from pdftotext_spark.core.glyphs import UNKNOWN_GLYPH
+
         for i, w in enumerate(self.widths):
             code = self.first_char + i
             if diffs is not None:
                 decoded = diffs.get(code)
-                if decoded:
+                # re-key only when the glyph name actually resolved —
+                # otherwise every unresolvable charproc would collapse
+                # onto ord('?'), overwriting one another (review r4;
+                # the reference re-keys only resolved Encodings
+                # entries, PdfToText.php:6570–6572)
+                if decoded and decoded != UNKNOWN_GLYPH:
                     code = ord(decoded[0])
             cw[code] = w * mult if w else self.missing_width
         return cw

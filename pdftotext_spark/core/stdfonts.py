@@ -315,11 +315,6 @@ _SYMBOL_CODES: dict[int, int] = {
     122: 494, 123: 480, 124: 200, 125: 480, 126: 549,
 }
 
-# Name normalization: reference $AdobeStandardFontMetrics keys
-# (PdfToText.php:1142–1158) + metric-compatible aliases.
-_CANONICAL: dict[str, dict] = {}
-
-
 def _char_table(afm: dict[str, int]) -> dict[int, float]:
     """Glyph-name table → decoded-character (codepoint) table via the
     repo's AGL map, plus the AFM composite rule: a precomposed Latin

@@ -1194,10 +1194,29 @@ def dedup_groups_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def _ns(pairs: DataFrame, k: int) -> DataFrame:
         off = F.lit(k * FUSED_NS)
-        return pairs.select(
-            (F.col("doc_a").cast("long") + off).alias("doc_a"),
-            (F.col("doc_b").cast("long") + off).alias("doc_b"),
-        )
+
+        def shifted(col: str):
+            c = F.col(col).cast("long")
+            # contract guard (review r4): an id ≥ 2^40 (snowflake-style)
+            # would silently corrupt family decoding and could merge
+            # groups ACROSS families — fail the job loudly instead
+            return (
+                F.when((c >= 0) & (c < F.lit(FUSED_NS)), c + off)
+                .otherwise(
+                    F.raise_error(
+                        F.concat(
+                            F.lit(
+                                "dedup_groups_multi: id out of the 2^40 "
+                                "namespace stride: "
+                            ),
+                            c.cast("string"),
+                        )
+                    )
+                )
+                .alias(col)
+            )
+
+        return pairs.select(shifted("doc_a"), shifted("doc_b"))
 
     fused_pairs = (
         _ns(minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b"), 0)

@@ -37,9 +37,24 @@ def _has_reliable_checkpoint_dir(df: DataFrame) -> bool:
 
 def materialize(df: DataFrame, eager: bool = True) -> DataFrame:
     """Cut lineage: reliable ``checkpoint`` when a checkpoint dir is
-    configured, else ``localCheckpoint``."""
+    configured, else ``localCheckpoint``.
+
+    The reliable path persists first: ``ReliableRDDCheckpointData``
+    runs a SEPARATE job to write the checkpoint files, which would
+    recompute the whole un-cached upstream plan a second time — the
+    exact cost these cuts exist to avoid (review r4). The cache is
+    dropped again right after an eager checkpoint; a lazy cut keeps it
+    until the caller's action materializes both at once (the frames
+    cut here are small label/signature tables, so the held cache is
+    bounded)."""
     if _has_reliable_checkpoint_dir(df):
-        return df.checkpoint(eager=eager)
+        from pyspark import StorageLevel
+
+        df = df.persist(StorageLevel.MEMORY_AND_DISK)
+        out = df.checkpoint(eager=eager)
+        if eager:
+            df.unpersist()
+        return out
     return df.localCheckpoint(eager=eager)
 
 

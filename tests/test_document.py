@@ -468,6 +468,16 @@ def test_quoted_pdf_markup_falls_back_to_plain():
     assert res_b.kind == "plain"
     assert res_b.text == chat
 
+    # review r4: NON-ASCII chat (UTF-8 multibyte ≥50% high bytes) must
+    # survive too — the textual gate runs on the DECODED string
+    ru = (
+        "пользователь: файл начинается с %PDF-1.4, затем 1 0 obj ... "
+        "endobj, объясни таблицы xref? " + "контекст " * 150
+    )
+    res_ru = extract_payload(B64_SENTINEL + base64.b64encode(ru.encode()).decode())
+    assert res_ru.kind == "plain"
+    assert res_ru.text == ru
+
     # binary garbage carrying the markers stays an empty pdf-b64 result
     # (mojibake must NOT become 'text')
     garbage = B64_SENTINEL + base64.b64encode(
