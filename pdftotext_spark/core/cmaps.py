@@ -194,11 +194,15 @@ class EncodingMap:
     """/Encoding with /BaseEncoding + /Differences
     (PdfToText.php:7061–7231)."""
 
-    __slots__ = ("base", "diffs")
+    __slots__ = ("base", "diffs", "diff_names")
 
     def __init__(self, base: str = "standard") -> None:
         self.base = base  # 'winansi' | 'macroman' | 'standard'
         self.diffs: dict[int, str] = {}
+        # raw glyph names per code — lets consumers distinguish "name
+        # resolved to '?'" (/question) from "name unresolvable"
+        # (glyph_to_char's UNKNOWN_GLYPH sentinel is also '?')
+        self.diff_names: dict[int, str] = {}
 
     @classmethod
     def parse(cls, body: bytes) -> "EncodingMap":
@@ -219,6 +223,7 @@ class EncodingMap:
 
                     name = decode_name(tok.group(2))
                     enc.diffs[code] = glyph_to_char(name)
+                    enc.diff_names[code] = name
                     code += 1
         return enc
 

@@ -163,16 +163,22 @@ def _maybe_plain_fallback_bytes(buf: bytes, res: ExtractResult) -> ExtractResult
         return res
     from pdftotext_spark.html import decode_html_bytes
 
-    text = decode_html_bytes(buf).lstrip("\ufeff")
-    if not text:
+    # gate on a DECODED bounded prefix (multibyte-safe margin), not the
+    # whole buffer \u2014 a multi-MB binary that tripped the deep probe must
+    # not pay two O(n) decode passes just to be rejected (review r4);
+    # U+FFFD is direct evidence of decode failure and never counts as
+    # textual.
+    probe = decode_html_bytes(buf[:8192]).lstrip("\ufeff")[:4096]
+    if not probe:
         return res
-    probe = text[:4096]
-    textual = sum(1 for c in probe if c.isprintable() or c in "\t\n\r")
+    textual = sum(
+        1
+        for c in probe
+        if (c.isprintable() and c != "\ufffd") or c in "\t\n\r"
+    )
     if textual / len(probe) < 0.9:
         return res
-    fallback = _plain_fallback(text, res)
-    fallback.kind = "plain"
-    return fallback
+    return _plain_fallback(decode_html_bytes(buf).lstrip("\ufeff"), res)
 
 
 def _plain_fallback(text: str, parse_res: ExtractResult) -> ExtractResult:

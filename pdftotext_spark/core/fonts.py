@@ -241,16 +241,24 @@ class Font:
         mult = self.width_matrix_mult
         from pdftotext_spark.core.glyphs import UNKNOWN_GLYPH
 
+        names = (
+            self.encoding_map.diff_names if diffs is not None else {}
+        )
         for i, w in enumerate(self.widths):
             code = self.first_char + i
             if diffs is not None:
                 decoded = diffs.get(code)
-                # re-key only when the glyph name actually resolved —
+                # re-key only when the glyph name actually RESOLVED —
                 # otherwise every unresolvable charproc would collapse
                 # onto ord('?'), overwriting one another (review r4;
                 # the reference re-keys only resolved Encodings
-                # entries, PdfToText.php:6570–6572)
-                if decoded and decoded != UNKNOWN_GLYPH:
+                # entries, PdfToText.php:6570–6572). '?' is ambiguous
+                # (UNKNOWN_GLYPH sentinel vs a real /question glyph),
+                # so consult the raw name for that one case.
+                if decoded and (
+                    decoded != UNKNOWN_GLYPH
+                    or names.get(code) == "question"
+                ):
                     code = ord(decoded[0])
             cw[code] = w * mult if w else self.missing_width
         return cw

@@ -1174,6 +1174,35 @@ FROM documents d LEFT JOIN covered c ON d.doc_id = c.doc_id
 FUSED_NS = 1 << 40
 
 
+def _ns_shift_pairs(pairs: DataFrame, k: int) -> DataFrame:
+    """Shift a (doc_a, doc_b) pair frame into family namespace ``k``.
+
+    Contract guard (review r4): an id ≥ 2^40 (snowflake-style) would
+    silently corrupt family decoding and could merge groups ACROSS
+    families — fail the job loudly instead."""
+    off = F.lit(k * FUSED_NS)
+
+    def shifted(col: str):
+        c = F.col(col).cast("long")
+        return (
+            F.when((c >= 0) & (c < F.lit(FUSED_NS)), c + off)
+            .otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "dedup_groups_multi: id out of the 2^40 "
+                            "namespace stride: "
+                        ),
+                        c.cast("string"),
+                    )
+                )
+            )
+            .alias(col)
+        )
+
+    return pairs.select(shifted("doc_a"), shifted("doc_b"))
+
+
 def dedup_groups_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All three near-dup candidate families — MinHash shingle LSH,
     SimHash token bits, embedding SRP — grouped in ONE connected-
@@ -1192,31 +1221,7 @@ def dedup_groups_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pdftotext_spark.operators import similarity
 
-    def _ns(pairs: DataFrame, k: int) -> DataFrame:
-        off = F.lit(k * FUSED_NS)
-
-        def shifted(col: str):
-            c = F.col(col).cast("long")
-            # contract guard (review r4): an id ≥ 2^40 (snowflake-style)
-            # would silently corrupt family decoding and could merge
-            # groups ACROSS families — fail the job loudly instead
-            return (
-                F.when((c >= 0) & (c < F.lit(FUSED_NS)), c + off)
-                .otherwise(
-                    F.raise_error(
-                        F.concat(
-                            F.lit(
-                                "dedup_groups_multi: id out of the 2^40 "
-                                "namespace stride: "
-                            ),
-                            c.cast("string"),
-                        )
-                    )
-                )
-                .alias(col)
-            )
-
-        return pairs.select(shifted("doc_a"), shifted("doc_b"))
+    _ns = _ns_shift_pairs
 
     fused_pairs = (
         _ns(minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b"), 0)

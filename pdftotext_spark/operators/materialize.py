@@ -42,18 +42,19 @@ def materialize(df: DataFrame, eager: bool = True) -> DataFrame:
     The reliable path persists first: ``ReliableRDDCheckpointData``
     runs a SEPARATE job to write the checkpoint files, which would
     recompute the whole un-cached upstream plan a second time — the
-    exact cost these cuts exist to avoid (review r4). The cache is
-    dropped again right after an eager checkpoint; a lazy cut keeps it
-    until the caller's action materializes both at once (the frames
-    cut here are small label/signature tables, so the held cache is
-    bounded)."""
+    exact cost these cuts exist to avoid (review r4). Reliable mode is
+    ALWAYS eager, even for ``eager=False`` callers: an eager cut lets
+    the cache be dropped immediately (a lazy persist would leak one
+    pinned cache entry per CC round for the session lifetime — second
+    review pass r4), at the price of one extra job per round in
+    cluster mode — inherent to reliable checkpointing. local[n] keeps
+    the 1-job lazy fusion."""
     if _has_reliable_checkpoint_dir(df):
         from pyspark import StorageLevel
 
         df = df.persist(StorageLevel.MEMORY_AND_DISK)
-        out = df.checkpoint(eager=eager)
-        if eager:
-            df.unpersist()
+        out = df.checkpoint(eager=True)
+        df.unpersist()
         return out
     return df.localCheckpoint(eager=eager)
 

@@ -564,6 +564,23 @@ def test_dedup_groups_multi_constructed_namespacing(spark):
     }
 
 
+def test_ns_shift_guard_raises_on_out_of_stride_ids(spark):
+    """The fused-CC namespace guard (review r4): valid ids shift
+    cleanly (no eager raise-branch evaluation on good rows); an id
+    beyond the 2^40 stride fails the job loudly instead of silently
+    merging groups across families."""
+    import pytest as _pytest
+
+    from pdftotext_spark.operators.dedup import FUSED_NS, _ns_shift_pairs
+
+    good = spark.createDataFrame([(1, 2), (3, 4)], "doc_a long, doc_b long")
+    rows = sorted(tuple(r) for r in _ns_shift_pairs(good, 2).collect())
+    assert rows == [(2 * FUSED_NS + 1, 2 * FUSED_NS + 2), (2 * FUSED_NS + 3, 2 * FUSED_NS + 4)]
+    bad = spark.createDataFrame([(1, FUSED_NS + 7)], "doc_a long, doc_b long")
+    with _pytest.raises(Exception, match="namespace stride"):
+        _ns_shift_pairs(bad, 0).collect()
+
+
 def test_dedup_groups_on_lsh_pairs(spark):
     """CC over real LSH candidate pairs from the documents table:
     every group id is the minimum doc in its group (fixpoint sanity)."""

@@ -126,6 +126,31 @@ def test_fontmatrix_scales_type3_widths():
     assert font.char_width(49) == 600.0
 
 
+def test_charprocs_unresolvable_names_keep_raw_codes():
+    """Review r4: unresolvable charproc names (/a0, /a1 — '?' via
+    glyph_to_char) must NOT all collapse onto ord('?'); a genuine
+    /question glyph still re-keys (the raw-name disambiguation)."""
+    body = (
+        b"<< /Type /Font /Subtype /Type3 /FontMatrix [0.001 0 0 0.001 0 0] "
+        b"/CharProcs << /a0 8 0 R /a1 9 0 R /question 10 0 R >> "
+        b"/Encoding << /Differences [ 0 /a0 /a1 65 /question ] >> "
+        b"/FirstChar 0 /Widths [ 111 222 ] >>"
+    )
+    font = parse_font(1, body)
+    # unresolvable names stay at their raw codes, distinct widths kept
+    assert font.char_width(0) == 111.0
+    assert font.char_width(1) == 222.0
+    # /question resolves to '?' and re-keys its width there
+    body2 = (
+        b"<< /Type /Font /Subtype /Type3 /FontMatrix [0.001 0 0 0.001 0 0] "
+        b"/CharProcs << /question 10 0 R >> "
+        b"/Encoding << /Differences [ 65 /question ] >> "
+        b"/FirstChar 65 /Widths [ 444 ] >>"
+    )
+    font2 = parse_font(1, body2)
+    assert font2.char_width(ord("?")) == 444.0
+
+
 def test_charprocs_rekey_through_differences():
     # Type3 /CharProcs font: the /Widths entry for code 0 (named /a1,
     # decoded via /Differences) must be found when looking up by the
