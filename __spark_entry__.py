@@ -79,6 +79,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "winnowing_shared_pairs": dedup.winnowing_shared_pairs,  # MOSS overlap
     "decontamination_overlap": dedup.decontamination_overlap,  # train/test hygiene
     "duplicated_span_fraction": dedup.duplicated_span_fraction,  # ExactSubstr metric
+    "strip_duplicated_spans": dedup.strip_duplicated_spans,  # ExactSubstr APPLY
     "dedup_group_sizes": dedup.dedup_group_sizes,            # cluster histogram
     # detect→group→apply chains (iterative CC checked against a
     # recursive-CTE transitive closure in DuckDB)
@@ -195,6 +196,7 @@ _ORACLES: dict[str, str] = {
     "kmeans_ivf_topk": similarity.KMEANS_IVF_TOPK_SQL,
     "decontamination_overlap": dedup.DECONTAMINATION_OVERLAP_SQL,
     "duplicated_span_fraction": dedup.DUPLICATED_SPAN_FRACTION_SQL,
+    "strip_duplicated_spans": dedup.STRIP_DUPLICATED_SPANS_SQL,
     "dedup_group_sizes": dedup.DEDUP_GROUP_SIZES_SQL,
 }
 
@@ -221,6 +223,7 @@ _DRIVER_GATE_FIRST = [
     "kmeans_ivf_topk",
     # new this round
     "dedup_groups_multi",
+    "strip_duplicated_spans",
     # recorded only in r1/r2 (refresh while slots remain)
     "lang_id",
     "lang_id_confusion",

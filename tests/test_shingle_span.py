@@ -63,3 +63,54 @@ def test_default_span_blind_then_wide_span_catches(spark, tmp_path):
         del os.environ["SPARK_GRAFT_SHINGLE_SPAN"]
         restored = _reload_dedup()
         assert restored.SHINGLE_SPAN == 249
+
+
+def test_strip_duplicated_spans_constructed(spark, tmp_path):
+    """Hand-checked ExactSubstr apply (the parity gate is blind to
+    bugs implemented identically in both engines): two docs share
+    exactly one 14-char segment; the merged duplicated island must be
+    precisely that segment in each doc, and the rebuilt text must be
+    the original minus the segment."""
+    from pdftotext_spark.operators import dedup
+
+    shared = "SHAREDSEGMENT!"  # 14 chars -> 7 duplicated 8-grams
+    doc_a = "aaaaaa" + shared + "bbbbbb"
+    doc_b = "cccccc" + shared + "dddddd"
+    df = spark.createDataFrame(
+        [(1, doc_a, "s"), (2, doc_b, "s")],
+        "doc_id long, text string, source string",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    rows = {
+        r.doc_id: r for r in dedup.strip_duplicated_spans(
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert rows[1].clean_text == "aaaaaabbbbbb"
+    assert rows[2].clean_text == "ccccccdddddd"
+    assert rows[1].removed_chars == len(shared) == rows[2].removed_chars
+
+    # consistency invariant with the metric on the same fixture
+    met = {
+        r.doc_id: r.dup_chars
+        for r in dedup.duplicated_span_fraction(spark, str(tmp_path)).collect()
+    }
+    assert met == {1: 14, 2: 14}
+
+
+def test_strip_removed_equals_metric_dup_chars(spark):
+    """Cross-operator invariant on the real corpus: the apply side
+    removes exactly the chars the metric counts (same island algebra)."""
+    from pdftotext_spark.operators import dedup
+
+    sf = "/root/testdata/sf0.001"
+    removed = {
+        r.doc_id: r.removed_chars
+        for r in dedup.strip_duplicated_spans(spark, sf).collect()
+    }
+    dup = {
+        r.doc_id: r.dup_chars
+        for r in dedup.duplicated_span_fraction(spark, sf).collect()
+    }
+    assert removed == dup
+    assert sum(removed.values()) > 0
