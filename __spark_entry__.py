@@ -80,6 +80,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontamination_overlap": dedup.decontamination_overlap,  # train/test hygiene
     "duplicated_span_fraction": dedup.duplicated_span_fraction,  # ExactSubstr metric
     "strip_duplicated_spans": dedup.strip_duplicated_spans,  # ExactSubstr APPLY
+    "dedup_keep_best": dedup.dedup_keep_best,  # quality-argmax cluster survivor
     "dedup_group_sizes": dedup.dedup_group_sizes,            # cluster histogram
     # detect→group→apply chains (iterative CC checked against a
     # recursive-CTE transitive closure in DuckDB)
@@ -122,6 +123,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "unigram_logloss": textstats.unigram_logloss,        # LM cross-entropy score
     "bpe_token_profile": textstats.bpe_token_profile,    # BPE-vs-ws token budget
     "stratified_sample": textstats.stratified_sample,    # deterministic eval split
+    "pack_sequences": textstats.pack_sequences,          # token-budget packing
     "knn_graph_srp": similarity.knn_graph_srp,           # all-corpus ANN graph
     "kmeans_ivf_topk": similarity.kmeans_ivf_topk,       # value-checked IVF ANN
 }
@@ -197,6 +199,8 @@ _ORACLES: dict[str, str] = {
     "decontamination_overlap": dedup.DECONTAMINATION_OVERLAP_SQL,
     "duplicated_span_fraction": dedup.DUPLICATED_SPAN_FRACTION_SQL,
     "strip_duplicated_spans": dedup.STRIP_DUPLICATED_SPANS_SQL,
+    "dedup_keep_best": dedup.DEDUP_KEEP_BEST_SQL,
+    "pack_sequences": textstats.PACK_SEQUENCES_SQL,
     "dedup_group_sizes": dedup.DEDUP_GROUP_SIZES_SQL,
 }
 
@@ -224,6 +228,8 @@ _DRIVER_GATE_FIRST = [
     # new this round
     "dedup_groups_multi",
     "strip_duplicated_spans",
+    "dedup_keep_best",
+    "pack_sequences",
     # recorded only in r1/r2 (refresh while slots remain)
     "lang_id",
     "lang_id_confusion",

@@ -1324,6 +1324,61 @@ LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
 """
 
 
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-representative selection by QUALITY, not min-id: within
+    every MinHash-LSH near-dup group keep the longest document
+    (n_chars as the cheap quality proxy, doc_id ascending as the
+    deterministic tie-break) — the policy real curation pipelines use
+    instead of ``apply_dedup``'s keep-first. Singleton docs form their
+    own group and are always kept.
+
+    100 TB shape: the detect→group chain (banded LSH + pointer-jumping
+    CC) plus one window over groups — partitioned by group_id, so no
+    global sort; group sizes are near-dup cluster sizes (small by
+    construction after banding)."""
+    from pyspark.sql.window import Window
+
+    docs = _read(spark, sf_dir, "documents")
+    groups = dedup_groups(minhash_lsh_pairs(spark, sf_dir))
+    membered = (
+        docs.select("doc_id", F.length("text").alias("n_chars"))
+        .join(groups, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_chars",
+            F.coalesce(F.col("group_id"), F.col("doc_id")).alias("group_id"),
+        )
+    )
+    w = Window.partitionBy("group_id").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    wg = Window.partitionBy("group_id")
+    return membered.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("group_id").cast("long").alias("group_id"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.count("*").over(wg).cast("long").alias("group_size"),
+        (F.row_number().over(w) == 1).alias("kept"),
+    )
+
+
+DEDUP_KEEP_BEST_SQL = f"""
+{_MINHASH_CLOSURE_SQL},
+membered AS (
+  SELECT d.doc_id, length(d.text) AS n_chars,
+         coalesce(g.group_id, d.doc_id) AS group_id
+  FROM documents d LEFT JOIN groups g ON d.doc_id = g.doc_id
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(group_id AS BIGINT) AS group_id,
+       CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(COUNT(*) OVER (PARTITION BY group_id) AS BIGINT) AS group_size,
+       ROW_NUMBER() OVER (
+         PARTITION BY group_id ORDER BY n_chars DESC, doc_id ASC) = 1 AS kept
+FROM membered
+"""
+
+
 # ---------------------------------------------------------------------------
 # Fused multi-family grouping (VERDICT r3 §next #4)
 # ---------------------------------------------------------------------------

@@ -649,3 +649,74 @@ SELECT source,
              / SUM({_count_occ_sql('text', ' ')} + 1), 4) AS bpe_to_ws_ratio
 FROM documents GROUP BY source
 """
+
+
+# power of two (exactness of the double-divide-then-truncate vs
+# DuckDB's integer // depends on it); 256 sizes real multi-pack
+# splits on the synthetic corpus (~1.5k tokens/source) — a real
+# deployment raises it to its context length
+PACK_BUDGET_TOKENS = 256
+
+
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing: assign each document to a
+    training pack by its running token offset within its source
+    (pack = offset // PACK_BUDGET_TOKENS, documents in doc_id order) —
+    the deterministic streaming-pack policy for batching a corpus into
+    fixed-token training sequences. Documents straddling a boundary
+    belong to the pack where they START (greedy reset-accumulator
+    packing is order-recursive and not expressible as a plain window;
+    the offset policy is, identically in both engines, and wastes at
+    most one doc-tail per boundary).
+
+    100 TB shape: one window per source partition (no global sort) —
+    sources are the natural parallel unit of a corpus build."""
+    from pyspark.sql.window import Window
+
+    docs = _read(spark, sf_dir, "documents")
+    n_tokens = (_count_occ(F.col("text"), " ") + 1).cast("long")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    toks = docs.select("doc_id", "source", n_tokens.alias("n_tokens"))
+    return toks.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "source",
+        "n_tokens",
+        F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+        .cast("long")
+        .alias("start_offset"),
+        # double division then long cast truncates; exact vs DuckDB's
+        # integer // because the budget is a power of two (2^11), so
+        # every quotient is binary-exact (cast-truncation trap from the
+        # build notes doesn't bite)
+        (
+            F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+            / F.lit(PACK_BUDGET_TOKENS)
+        )
+        .cast("long")
+        .alias("pack_id"),
+    )
+
+
+PACK_SEQUENCES_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, source,
+         {_count_occ_sql('text', ' ')} + 1 AS n_tokens
+  FROM documents
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       source,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(coalesce(SUM(n_tokens) OVER (
+         PARTITION BY source ORDER BY doc_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         AS start_offset,
+       CAST(coalesce(SUM(n_tokens) OVER (
+         PARTITION BY source ORDER BY doc_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         // {PACK_BUDGET_TOKENS} AS BIGINT) AS pack_id
+FROM toks
+"""

@@ -114,3 +114,48 @@ def test_strip_removed_equals_metric_dup_chars(spark):
     }
     assert removed == dup
     assert sum(removed.values()) > 0
+
+
+def test_dedup_keep_best_semantics(spark):
+    """Hand-checked: exactly ONE kept doc per group, and it is the
+    longest (doc_id-ascending tie-break) — the quality-argmax policy,
+    not min-id."""
+    from pdftotext_spark.operators import dedup
+
+    rows = dedup.dedup_keep_best(spark, "/root/testdata/sf0.001").collect()
+    groups: dict[int, list] = {}
+    for r in rows:
+        groups.setdefault(r.group_id, []).append(r)
+    multi = 0
+    for members in groups.values():
+        kept = [r for r in members if r.kept]
+        assert len(kept) == 1
+        best = max(members, key=lambda r: (r.n_chars, -r.doc_id))
+        assert kept[0].doc_id == best.doc_id
+        assert all(r.group_size == len(members) for r in members)
+        if len(members) > 1:
+            multi += 1
+    assert multi > 0  # the corpus has real near-dup clusters
+
+
+def test_pack_sequences_offsets_exact(spark):
+    """Hand-checked: per-source running offsets are exact prefix sums
+    in doc_id order and pack_id is the power-of-two floor division."""
+    from pdftotext_spark.operators import textstats
+
+    # sf0.01: per-source token totals exceed the 2048 budget, so the
+    # assertion that packing actually SPLITS sources is non-trivial
+    # (at sf0.001 every source fits in pack 0)
+    rows = textstats.pack_sequences(spark, "/root/testdata/sf0.01").collect()
+    by_src: dict[str, list] = {}
+    for r in sorted(rows, key=lambda r: (r.source, r.doc_id)):
+        by_src.setdefault(r.source, []).append(r)
+    n_packs = set()
+    for src, members in by_src.items():
+        off = 0
+        for r in members:
+            assert r.start_offset == off
+            assert r.pack_id == off // textstats.PACK_BUDGET_TOKENS
+            n_packs.add((src, r.pack_id))
+            off += r.n_tokens
+    assert len(n_packs) > len(by_src)  # budget actually splits sources
