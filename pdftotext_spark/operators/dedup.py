@@ -1025,30 +1025,15 @@ FROM sizes GROUP BY group_size
 """
 
 
-def duplicated_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact-substring duplication metric (Lee et al. 2021,
-    "Deduplicating Training Data Makes Language Models Better",
-    ExactSubstr): per document, the fraction of its prefix covered by
-    length-SHINGLE_LEN substrings that occur more than once in the
-    corpus — the signal that drives span-level (not doc-level) dedup.
-
-    Positioned shingles → corpus-duplicated shingle set (count > 1,
-    intra-doc repeats included) → classic gaps-and-islands interval
-    merge per doc with window functions → covered chars / prefix len.
-
-    100 TB shape: one shingle scan, one grouped duplicate-set
-    aggregation (AQE-broadcastable join back), and a per-doc window —
-    partitioned by doc_id, so no global sort. Integer arithmetic
-    throughout (position/island algebra), double only at the final
-    division."""
+def _dup_span_islands(docs: DataFrame):
+    """Shared ExactSubstr island algebra (single source for the metric
+    AND the apply operator — a second literal copy could silently
+    diverge from a window/merge fix, the _MINHASH_CLOSURE_SQL rule):
+    positioned full-length shingles → corpus-duplicated shingle set →
+    gaps-and-islands interval merge. Returns (doc_id, island, s, e)
+    merged spans with 1-based [s, e) char bounds."""
     from pyspark.sql.window import Window
 
-    docs = _read(spark, sf_dir, "documents")
-    # FULL-length shingles only (unlike _shingles' one-truncated-
-    # shingle fallback, which MinHash needs): a truncated shingle
-    # would credit SHINGLE_LEN covered chars to a shorter doc and push
-    # dup_frac past 1.0. Docs shorter than SHINGLE_LEN have no 8-gram
-    # and correctly report 0 coverage via the left join.
     pos_sh = (
         docs.filter(F.length("text") >= SHINGLE_LEN)
         .select(
@@ -1071,7 +1056,7 @@ def duplicated_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     marked = pos_sh.join(dup_sh, "sh", "left_semi")
     w = Window.partitionBy("doc_id").orderBy("pos")
     wprev = w.rowsBetween(Window.unboundedPreceding, -1)
-    islands = (
+    return (
         marked.withColumn(
             "prev_end", F.max(F.col("pos") + SHINGLE_LEN).over(wprev)
         )
@@ -1084,40 +1069,17 @@ def duplicated_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(0),
         )
         .withColumn("island", F.sum("new_island").over(w))
-    )
-    covered = (
-        islands.groupBy("doc_id", "island")
+        .groupBy("doc_id", "island")
         .agg(
-            (
-                F.max(F.col("pos") + SHINGLE_LEN) - F.min("pos")
-            ).alias("span_len")
-        )
-        .groupBy("doc_id")
-        .agg(F.sum("span_len").alias("dup_chars"))
-    )
-    prefix = docs.select(
-        "doc_id",
-        F.expr(
-            f"least(length(text), {SHINGLE_SPAN + SHINGLE_LEN - 1})"
-        ).alias("prefix_len"),
-    )
-    return (
-        prefix.join(covered, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.col("prefix_len").cast("long").alias("prefix_len"),
-            F.coalesce(F.col("dup_chars"), F.lit(0))
-            .cast("long")
-            .alias("dup_chars"),
-            (
-                F.coalesce(F.col("dup_chars"), F.lit(0)).cast("double")
-                / F.greatest(F.col("prefix_len"), F.lit(1))
-            ).alias("dup_frac"),
+            F.min("pos").alias("s"),
+            F.max(F.col("pos") + SHINGLE_LEN).alias("e"),
         )
     )
 
 
-DUPLICATED_SPAN_FRACTION_SQL = f"""
+# Shared SQL CTE prefix for the same algebra (ends with the merged
+# `spans` table — append statement-specific CTEs/SELECT after it).
+_DUP_SPAN_ISLANDS_SQL = f"""
 WITH pos_sh AS (
   -- FULL-length shingles only: no truncated fallback (it would credit
   -- {SHINGLE_LEN} covered chars to a shorter doc, dup_frac > 1)
@@ -1143,12 +1105,60 @@ islanded AS (
            OVER (PARTITION BY doc_id ORDER BY pos) AS island
   FROM flagged
 ),
+spans AS (
+  SELECT doc_id, MIN(pos) AS s, MAX(pos + {SHINGLE_LEN}) AS e
+  FROM islanded GROUP BY doc_id, island
+)"""
+
+
+def duplicated_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication metric (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better",
+    ExactSubstr): per document, the fraction of its prefix covered by
+    length-SHINGLE_LEN substrings that occur more than once in the
+    corpus — the signal that drives span-level (not doc-level) dedup.
+
+    Islands come from the shared :func:`_dup_span_islands` algebra
+    (single source with :func:`strip_duplicated_spans`); covered chars
+    = Σ(e − s) over merged spans, over the bounded prefix length.
+
+    100 TB shape: one shingle scan, one grouped duplicate-set
+    aggregation (AQE-broadcastable join back), and a per-doc window —
+    partitioned by doc_id, so no global sort. Integer arithmetic
+    throughout (position/island algebra), double only at the final
+    division."""
+    docs = _read(spark, sf_dir, "documents")
+    covered = (
+        _dup_span_islands(docs)
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("e") - F.col("s")).alias("dup_chars"))
+    )
+    prefix = docs.select(
+        "doc_id",
+        F.expr(
+            f"least(length(text), {SHINGLE_SPAN + SHINGLE_LEN - 1})"
+        ).alias("prefix_len"),
+    )
+    return (
+        prefix.join(covered, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("prefix_len").cast("long").alias("prefix_len"),
+            F.coalesce(F.col("dup_chars"), F.lit(0))
+            .cast("long")
+            .alias("dup_chars"),
+            (
+                F.coalesce(F.col("dup_chars"), F.lit(0)).cast("double")
+                / F.greatest(F.col("prefix_len"), F.lit(1))
+            ).alias("dup_frac"),
+        )
+    )
+
+
+DUPLICATED_SPAN_FRACTION_SQL = f"""
+{_DUP_SPAN_ISLANDS_SQL},
 covered AS (
-  SELECT doc_id, SUM(span_len) AS dup_chars FROM (
-    SELECT doc_id, island,
-           MAX(pos + {SHINGLE_LEN}) - MIN(pos) AS span_len
-    FROM islanded GROUP BY doc_id, island
-  ) GROUP BY doc_id
+  SELECT doc_id, SUM(e - s) AS dup_chars FROM spans GROUP BY doc_id
 )
 SELECT d.doc_id,
        CAST(least(length(d.text), {SHINGLE_SPAN + SHINGLE_LEN - 1}) AS BIGINT)
@@ -1168,62 +1178,20 @@ def strip_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the duplicated islands cut out — the operator a training
     pipeline actually runs after the metric says dedup is worth it.
 
-    Same gaps-and-islands interval algebra as the metric (so
-    ``removed_chars`` equals its ``dup_chars`` by construction —
-    pinned by test), then per-doc text reconstruction from the kept
-    segments: LAG over island starts yields each kept piece, a sorted
-    concat rebuilds the prefix, and the untouched tail past the
-    SHINGLE_SPAN window is appended verbatim.
+    Spans come from the shared :func:`_dup_span_islands` algebra (so
+    ``removed_chars`` equals the metric's ``dup_chars`` by
+    construction — pinned by test), then per-doc text reconstruction:
+    LAG over island starts yields each kept piece, a sorted concat
+    rebuilds the prefix, and the untouched tail past the SHINGLE_SPAN
+    window is appended verbatim.
 
-    100 TB shape: identical to the metric (one shingle scan, one
-    duplicate-set semi-join, per-doc windows — no global sort) plus a
-    per-doc collect_list bounded by the island count, which the
-    SHINGLE_SPAN window caps at ~SPAN/SHINGLE_LEN entries."""
+    100 TB shape: identical to the metric plus a per-doc collect_list
+    bounded by the island count, which the SHINGLE_SPAN window caps at
+    ~SPAN/SHINGLE_LEN entries."""
     from pyspark.sql.window import Window
 
     docs = _read(spark, sf_dir, "documents")
-    pos_sh = (
-        docs.filter(F.length("text") >= SHINGLE_LEN)
-        .select(
-            "doc_id",
-            "text",
-            F.posexplode(
-                F.expr(
-                    f"transform(sequence(1, least(length(text) - {SHINGLE_LEN - 1}, "
-                    f"{SHINGLE_SPAN})), i -> substring(text, i, {SHINGLE_LEN}))"
-                )
-            ).alias("p0", "sh"),
-        )
-        .select("doc_id", (F.col("p0") + 1).alias("pos"), "sh")
-    )
-    dup_sh = (
-        pos_sh.groupBy("sh")
-        .agg(F.count("*").alias("n"))
-        .filter(F.col("n") > 1)
-        .select("sh")
-    )
-    marked = pos_sh.join(dup_sh, "sh", "left_semi")
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    wprev = w.rowsBetween(Window.unboundedPreceding, -1)
-    spans = (
-        marked.withColumn(
-            "prev_end", F.max(F.col("pos") + SHINGLE_LEN).over(wprev)
-        )
-        .withColumn(
-            "new_island",
-            F.when(
-                F.col("prev_end").isNull()
-                | (F.col("pos") > F.col("prev_end")),
-                1,
-            ).otherwise(0),
-        )
-        .withColumn("island", F.sum("new_island").over(w))
-        .groupBy("doc_id", "island")
-        .agg(
-            F.min("pos").alias("s"),
-            F.max(F.col("pos") + SHINGLE_LEN).alias("e"),
-        )
-    )
+    spans = _dup_span_islands(docs)
     wlag = Window.partitionBy("doc_id").orderBy("s")
     pieces = (
         spans.join(docs.select("doc_id", "text"), "doc_id")
@@ -1270,33 +1238,7 @@ def strip_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 STRIP_DUPLICATED_SPANS_SQL = f"""
-WITH pos_sh AS (
-  SELECT doc_id, CAST(i AS INT) AS pos,
-         substr(text, CAST(i AS INT), {SHINGLE_LEN}) AS sh
-  FROM documents, (SELECT unnest(range(1, {SHINGLE_SPAN + 1})) AS i) r
-  WHERE i <= length(text) - {SHINGLE_LEN - 1}
-),
-dup_sh AS (SELECT sh FROM pos_sh GROUP BY sh HAVING COUNT(*) > 1),
-marked AS (
-  SELECT doc_id, pos FROM pos_sh WHERE sh IN (SELECT sh FROM dup_sh)
-),
-flagged AS (
-  SELECT doc_id, pos,
-         MAX(pos + {SHINGLE_LEN}) OVER (
-           PARTITION BY doc_id ORDER BY pos
-           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
-  FROM marked
-),
-islanded AS (
-  SELECT doc_id, pos,
-         SUM(CASE WHEN prev_end IS NULL OR pos > prev_end THEN 1 ELSE 0 END)
-           OVER (PARTITION BY doc_id ORDER BY pos) AS island
-  FROM flagged
-),
-spans AS (
-  SELECT doc_id, MIN(pos) AS s, MAX(pos + {SHINGLE_LEN}) AS e
-  FROM islanded GROUP BY doc_id, island
-),
+{_DUP_SPAN_ISLANDS_SQL},
 pieces AS (
   SELECT sp.doc_id, sp.s,
          substr(d.text,

@@ -689,8 +689,8 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("start_offset"),
         # double division then long cast truncates; exact vs DuckDB's
-        # integer // because the budget is a power of two (2^11), so
-        # every quotient is binary-exact (cast-truncation trap from the
+        # integer // because the budget is a power of two, so every
+        # quotient is binary-exact (cast-truncation trap from the
         # build notes doesn't bite)
         (
             F.coalesce(F.sum("n_tokens").over(w), F.lit(0))

@@ -143,9 +143,9 @@ def test_pack_sequences_offsets_exact(spark):
     in doc_id order and pack_id is the power-of-two floor division."""
     from pdftotext_spark.operators import textstats
 
-    # sf0.01: per-source token totals exceed the 2048 budget, so the
-    # assertion that packing actually SPLITS sources is non-trivial
-    # (at sf0.001 every source fits in pack 0)
+    # sf0.01, where per-source token totals (~1.5k) exceed the
+    # 256-token budget several times over — the splits assertion below
+    # is non-trivial
     rows = textstats.pack_sequences(spark, "/root/testdata/sf0.01").collect()
     by_src: dict[str, list] = {}
     for r in sorted(rows, key=lambda r: (r.source, r.doc_id)):
@@ -159,3 +159,48 @@ def test_pack_sequences_offsets_exact(spark):
             n_packs.add((src, r.pack_id))
             off += r.n_tokens
     assert len(n_packs) > len(by_src)  # budget actually splits sources
+
+
+def test_dedup_keep_best_constructed(spark, tmp_path):
+    """Constructed inputs (independent of the operator's own
+    intermediates): A and B are near-dups (identical 249-char prefix),
+    B is longer → only B kept from that cluster; unrelated C is its
+    own singleton group and kept."""
+    from pdftotext_spark.operators import dedup
+
+    prefix = ("shared near duplicate prefix text " * 10)[:249]
+    doc_a = prefix + " short tail"
+    doc_b = prefix + " a much longer tail that makes B the best doc"
+    doc_c = "completely unrelated content with its own distinct words here"
+    df = spark.createDataFrame(
+        [(1, doc_a, "s"), (2, doc_b, "s"), (3, doc_c, "s")],
+        "doc_id long, text string, source string",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    rows = {r.doc_id: r for r in dedup.dedup_keep_best(spark, str(tmp_path)).collect()}
+    assert rows[1].group_id == rows[2].group_id == 1
+    assert rows[1].group_size == rows[2].group_size == 2
+    assert not rows[1].kept and rows[2].kept          # B is longer
+    assert rows[3].group_id == 3 and rows[3].group_size == 1 and rows[3].kept
+    assert rows[2].n_chars == len(doc_b)
+
+
+def test_pack_sequences_constructed(spark, tmp_path):
+    """Constructed inputs with hand-counted tokens: 100-token docs
+    against the 256 budget pack as 0,0,0,1,1,1,2 by start offset."""
+    from pdftotext_spark.operators import textstats
+
+    assert textstats.PACK_BUDGET_TOKENS == 256
+    doc = " ".join(["tok"] * 100)  # exactly 100 whitespace tokens
+    df = spark.createDataFrame(
+        [(i, doc, "s") for i in range(7)],
+        "doc_id long, text string, source string",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    rows = sorted(
+        textstats.pack_sequences(spark, str(tmp_path)).collect(),
+        key=lambda r: r.doc_id,
+    )
+    assert [r.n_tokens for r in rows] == [100] * 7
+    assert [r.start_offset for r in rows] == [0, 100, 200, 300, 400, 500, 600]
+    assert [r.pack_id for r in rows] == [0, 0, 0, 1, 1, 1, 2]
