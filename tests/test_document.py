@@ -498,6 +498,72 @@ def test_quoted_pdf_markup_falls_back_to_plain():
     assert res_p.text == ""
 
 
+def test_winansi_cyr_variant_end_to_end():
+    """Full-path integration for the Cyrillic WinAnsi variant (r4):
+    a subset BaseFont containing 'Cyr' drives the replacement table
+    through the complete parse→interpret→decode pipeline."""
+    from pdftotext_spark.sources.pdfbuilder import PdfBuilder
+
+    b = PdfBuilder()
+    catalog, pages_node, font, page, content = (b.alloc() for _ in range(5))
+    b.add(catalog, f"<< /Type /Catalog /Pages {pages_node} 0 R >>\n".encode())
+    b.add(pages_node, f"<< /Type /Pages /Kids [{page} 0 R] /Count 1 >>\n".encode())
+    b.add(
+        font,
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /ABCDEF+NimbusCyr "
+        b"/Encoding /WinAnsiEncoding >>\n",
+    )
+    b.add(
+        page,
+        (
+            f"<< /Type /Page /Parent {pages_node} 0 R /MediaBox [0 0 612 792] "
+            f"/Resources << /Font << /F1 {font} 0 R >> >> "
+            f"/Contents {content} 0 R >>\n"
+        ).encode(),
+    )
+    # bytes 0xCC 0xE8 0xF0 = Мир in the variant table; 'ok ' identity
+    stream = b"BT /F1 12 Tf 1 0 0 1 72 720 Tm (ok \xcc\xe8\xf0) Tj ET"
+    b.add_stream(content, b"", stream, "FlateDecode")
+    res = extract_document(b.build())
+    assert res.text == "ok Мир"
+    assert res.decode_failures == 0
+
+
+def test_type3_fontmatrix_widths_end_to_end():
+    """Full-path integration for Type3 /FontMatrix width scaling (r4):
+    glyph-space widths scale into layout fragments via the matrix."""
+    from pdftotext_spark.core.document import ExtractOptions
+    from pdftotext_spark.sources.pdfbuilder import PdfBuilder
+
+    b = PdfBuilder()
+    catalog, pages_node, font, page, content = (b.alloc() for _ in range(5))
+    b.add(catalog, f"<< /Type /Catalog /Pages {pages_node} 0 R >>\n".encode())
+    b.add(pages_node, f"<< /Type /Pages /Kids [{page} 0 R] /Count 1 >>\n".encode())
+    b.add(
+        font,
+        b"<< /Type /Font /Subtype /Type3 /BaseFont /T3 "
+        b"/FontMatrix [0.01 0 0 0.01 0 0] "
+        b"/FirstChar 65 /Widths [ 50 90 ] >>\n",
+    )
+    b.add(
+        page,
+        (
+            f"<< /Type /Page /Parent {pages_node} 0 R /MediaBox [0 0 612 792] "
+            f"/Resources << /Font << /F1 {font} 0 R >> >> "
+            f"/Contents {content} 0 R >>\n"
+        ).encode(),
+    )
+    stream = b"BT /F1 10 Tf 1 0 0 1 72 720 Tm (AA) Tj 1 0 0 1 72 700 Tm (BB) Tj ET"
+    b.add_stream(content, b"", stream, "FlateDecode")
+    res = extract_document(
+        b.build(), ExtractOptions(layout=True, want_fragments=True)
+    )
+    frags = {f.text: f for f in res.fragments}
+    # width_em = w * 0.01 * 1000: A=500, B=900 per glyph at size 10
+    assert frags["AA"].width == pytest.approx(2 * 500 * 10 / 1000.0)
+    assert frags["BB"].width == pytest.approx(2 * 900 * 10 / 1000.0)
+
+
 def test_mixed_fonts_one_page_integration():
     """Integration golden: one page mixing a Japan1 Identity-H CID
     font (no ToUnicode), a WinAnsi font, and a /Differences font —
