@@ -98,6 +98,17 @@ def read_transcripts(spark: SparkSession, path_or_table: str) -> DataFrame:
         ).option("escape", '"').csv(path_or_table)
     if low.endswith(".orc"):
         return spark.read.orc(path_or_table)
+    if low.endswith(".xml"):
+        # Spark 4 native XML datasource (rowTag per transcript turn);
+        # explicit schema like the other text formats (Avro is NOT
+        # wired: the external spark-avro module isn't in this image —
+        # probed, "Failed to find data source: avro")
+        return (
+            spark.read.schema(TRANSCRIPT_DDL)
+            .option("rowTag", "turn")
+            .format("xml")
+            .load(path_or_table)
+        )
     return spark.read.parquet(path_or_table)
 
 

@@ -181,6 +181,20 @@ def test_read_transcripts_jsonl_and_csv_sources(spark, transcripts_dir, tmp_path
         for r in extract_turns(simple).collect()
     }
 
+    # XML (Spark 4 native datasource, r4): same explicit-schema
+    # round-trip; plain/html rows (XML escaping of control-heavy PDF
+    # payloads isn't a realistic carrier)
+    xml = str(tmp_path / "t.xml")
+    simple.coalesce(1).write.option("rowTag", "turn").format("xml").save(xml)
+    via_xml = {
+        (r.conv_id, r.turn_idx, r.extracted_text)
+        for r in extract_turns(read_transcripts(spark, xml)).collect()
+    }
+    assert via_xml == {
+        (r.conv_id, r.turn_idx, r.extracted_text)
+        for r in extract_turns(simple).collect()
+    }
+
 
 def test_streaming_dedup_across_microbatches(spark, tmp_path):
     """dropDuplicatesWithinWatermark keeps one copy of a payload even
