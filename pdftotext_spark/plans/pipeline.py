@@ -323,3 +323,31 @@ def run_extraction(
                 metrics_path
             )
     return extracted
+
+
+def export_training_jsonl(
+    conversations: DataFrame,
+    path: str,
+    compression: str = "gzip",
+    source: str = "pdftotext_spark",
+) -> None:
+    """Final sink of a training-data build: one JSON object per
+    assembled conversation in the ``{"text": ..., "meta": {...}}``
+    convention most LLM data loaders consume, written as compressed
+    JSONL (gzip by default — splittable-enough at one file per
+    partition, and every writer/reader speaks it; pass ``zstd``/
+    ``none`` where the stack supports them).
+
+    Keeps the write embarrassingly parallel: no coalesce, one shard
+    per upstream partition — at 100 TB the shard count IS the
+    parallelism of the downstream loader."""
+    out = conversations.select(
+        F.col("conversation_text").alias("text"),
+        F.struct(
+            F.col("conv_id").alias("id"),
+            F.col("n_turns").cast("long").alias("n_turns"),
+            F.length("conversation_text").cast("long").alias("n_chars"),
+            F.lit(source).alias("source"),
+        ).alias("meta"),
+    )
+    out.write.mode("overwrite").option("compression", compression).json(path)

@@ -609,3 +609,34 @@ def test_dedup_groups_on_lsh_pairs(spark):
     gmap = {r.doc_id: r.group_id for r in g}
     for p in pairs.collect():
         assert gmap[p.doc_a] == gmap[p.doc_b]
+
+
+def test_export_training_jsonl_roundtrip(spark, transcripts_dir, tmp_path):
+    """The final training-data sink: assembled conversations export as
+    {"text", "meta"} JSONL (gzip) and read back row-identical."""
+    from pdftotext_spark.plans.pipeline import (
+        assemble_conversations,
+        export_training_jsonl,
+        extract_turns,
+        read_transcripts,
+    )
+
+    convs = assemble_conversations(
+        extract_turns(
+            read_transcripts(spark, f"{transcripts_dir}/transcripts.parquet")
+        )
+    )
+    out = str(tmp_path / "train_jsonl")
+    export_training_jsonl(convs, out, source="unit")
+    back = spark.read.json(out)
+    assert back.count() == convs.count() > 0
+    got = {(r.meta.id, r.meta.n_turns, r.text) for r in back.collect()}
+    want = {
+        (r.conv_id, r.n_turns, r.conversation_text) for r in convs.collect()
+    }
+    assert got == want
+    r = back.first()
+    assert r.meta.source == "unit" and r.meta.n_chars == len(r.text)
+    import glob
+
+    assert glob.glob(f"{out}/*.gz")  # compressed shards
