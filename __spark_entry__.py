@@ -209,37 +209,43 @@ _ORACLES: dict[str, str] = {
 # entries per round (observed cap: r3 registered 70, recorded exactly
 # the first 50).  Rotate so queries with no green driver row yet run
 # first, then queries whose only rows are from older rounds; the tail
-# that falls off the cap this round is exactly the 50-query set already
-# verified green in CORRECTNESS_r03.json.  COVERAGE.md records which
-# round checked what.
+# that falls off the cap this round is the set already verified green
+# in CORRECTNESS_r04.json.  COVERAGE.md records which round checked
+# what.
 _DRIVER_GATE_FIRST = [
-    # never recorded by any driver round (r1-r3)
-    "hll_distinct",
-    "value_quantile_sketch",
-    "bloom_novelty",
-    "tfidf_top_terms",
-    "repetition_signals",
-    "chunk_documents",
-    "unigram_logloss",
-    "bpe_token_profile",
-    "stratified_sample",
+    # r5 rotation: the 24 queries whose newest driver row is r3 — which
+    # are exactly the dedup + similarity families modified THIS round
+    # (whole-document md5-sampled shingling; cosine_neardup bucket
+    # bounding) — plus knn_graph_srp (r4-green but cost-retuned in r5).
+    "dedup_exact",
+    "ngram_jaccard_pairs",
+    "minhash_signatures",
+    "minhash_lsh_pairs",
+    "minhash_jaccard_estimate",
+    "simhash",
+    "simhash_neardup_pairs",
+    "winnowing_fingerprints",
+    "winnowing_shared_pairs",
+    "decontamination_overlap",
+    "duplicated_span_fraction",
+    "dedup_group_sizes",
+    "dedup_groups_minhash",
+    "dedup_groups_simhash",
+    "dedup_apply_minhash",
+    "cosine_topk",
+    "cosine_neardup_pairs",
+    "embedding_bucket_stats",
+    "srp_buckets",
+    "srp_neardup_pairs",
+    "dedup_groups_srp",
+    "embedding_health",
+    "ann_topk_srp",
+    "ivf_topk",
+    # modified / retuned this round (refresh their r4 rows)
     "knn_graph_srp",
-    "kmeans_ivf_topk",
-    # new this round
     "dedup_groups_multi",
     "strip_duplicated_spans",
     "dedup_keep_best",
-    "pack_sequences",
-    # recorded only in r1/r2 (refresh while slots remain)
-    "lang_id",
-    "lang_id_confusion",
-    "quality_score",
-    "quality_filter_by_source",
-    "token_count_by_source",
-    "doc_length_profile",
-    "token_cms",
-    "heavy_hitters_exact",
-    "doc_fingerprint",
 ]
 
 _QUERIES = {

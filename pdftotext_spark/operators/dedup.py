@@ -12,8 +12,17 @@ each LSH band mixes one slice from each digest. SimHash uses md5 hex
 nibbles as the per-token hash bits via arithmetic both dialects share.
 
 Scale notes:
-- shingling bounds work per row (first SHINGLE_SPAN chars) so cost is
-  O(rows), not O(total bytes);
+- shingling covers the WHOLE document (no prefix cap — a cap makes
+  every dedup signal blind to long-document tails); the shuffled
+  volume is bounded by deterministic md5-threshold *shingle sampling*
+  (Broder 1997's mod-p shingling with a hash threshold): a shingle is
+  kept iff a fixed nibble of md5('s:'||shingle) is below a threshold,
+  so the same shingle is kept or dropped identically in every
+  document and Jaccard over the sampled sets is an unbiased estimate
+  of true Jaccard. Per-doc scan cost is O(doc bytes) — inherent to
+  reading the doc — while everything downstream (distinct, signature
+  aggregation, LSH shuffle) sees only the sampled ~KEEP16/16
+  fraction;
 - the shingle self-join is the classic LSH trade: at 100 TB you run
   the *banded MinHash* variant (`minhash_lsh_pairs`) whose join key is
   a band hash — expected bucket sizes are tiny, and AQE skew-split
@@ -34,14 +43,20 @@ from pdftotext_spark.operators.materialize import (
 )
 
 SHINGLE_LEN = 8
-# Max shingle start offset — bounds per-doc shingling cost to O(rows)
-# regardless of document length, at the price that near-dup detection
-# is BLIND to anything past this prefix (two docs differing only after
-# it look identical; two docs differing only before it look unrelated).
-# Deployment lever: set SPARK_GRAFT_SHINGLE_SPAN before import — every
-# Spark operator AND its DuckDB oracle string derive from this one
-# constant, so the correctness gate follows the override.
-SHINGLE_SPAN = int(os.environ.get("SPARK_GRAFT_SHINGLE_SPAN", "249"))
+# Shingle sampling rate in sixteenths: a shingle survives iff the
+# first hex nibble of md5('s:'||shingle) < '0123456789abcdefg'[KEEP16]
+# (single-hex-char lexicographic compare ≡ nibble < KEEP16; 16 = keep
+# everything).  Content-only predicate → consistent across documents →
+# Jaccard-preserving in expectation; the position-1 shingle is always
+# kept so every non-empty document has ≥1 shingle and a signature (a
+# deterministic, engine-portable exception that perturbs Jaccard by at
+# most 2 elements per pair).  Deployment lever: set
+# SPARK_GRAFT_SHINGLE_KEEP16 before import — every Spark operator AND
+# its DuckDB oracle string derive from this one constant, so the
+# correctness gate follows the override (at 100 TB with multi-KB web
+# documents, drop to 1-2/16).
+SHINGLE_KEEP16 = int(os.environ.get("SPARK_GRAFT_SHINGLE_KEEP16", "4"))
+_KEEP_THR = "0123456789abcdefg"[SHINGLE_KEEP16]
 N_MINHASH = 8
 BAND_SIZE = 2  # 8 hashes → 4 bands of 2
 JACCARD_THRESHOLD = 0.6
@@ -51,33 +66,69 @@ def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 
+def _sampled_shingle_expr(text_col: str = "text") -> str:
+    """Spark SQL expression: whole-document char-8-gram shingle array,
+    md5-threshold sampled (see SHINGLE_KEEP16).  The filter lambda's
+    0-based index ``j = 0`` is the oracle's 1-based ``i = 1``
+    always-keep rule."""
+    base = (
+        f"transform(sequence(1, greatest(length({text_col}) - "
+        f"{SHINGLE_LEN - 1}, 1)), i -> substring({text_col}, i, {SHINGLE_LEN}))"
+    )
+    if SHINGLE_KEEP16 >= 16:
+        return base
+    return (
+        f"filter({base}, (sh, j) -> j = 0 OR "
+        f"substring(md5(concat('s:', sh)), 1, 1) < '{_KEEP_THR}')"
+    )
+
+
 def _shingles(docs: DataFrame, distinct: bool = True) -> DataFrame:
-    """Char-8-gram shingles per doc over a bounded prefix. Pure
-    built-ins: sequence → transform(substring) → explode.
+    """Sampled whole-document char-8-gram shingles per doc. Pure
+    built-ins: sequence → transform(substring) → filter(md5 keep) →
+    explode.
 
     ``distinct=False`` skips the dedup shuffle — correct whenever the
     consumer is duplicate-insensitive (MinHash ``min()`` aggregation);
     the exact-Jaccard verifiers need set semantics and keep the
     default."""
-    expr = (
-        f"transform(sequence(1, greatest(least(length(text) - {SHINGLE_LEN - 1}, "
-        f"{SHINGLE_SPAN}), 1)), i -> substring(text, i, {SHINGLE_LEN}))"
+    out = docs.select(
+        "doc_id", F.explode(F.expr(_sampled_shingle_expr())).alias("sh")
     )
-    out = docs.select("doc_id", F.explode(F.expr(expr)).alias("sh"))
     return out.distinct() if distinct else out
 
 
-_SHINGLES_SQL = f"""
-  SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), {SHINGLE_LEN}) AS sh
-  FROM documents, (SELECT unnest(range(1, {SHINGLE_SPAN + 1})) AS i) r
-  WHERE i <= greatest(length(text) - {SHINGLE_LEN - 1}, 1)
+def sampled_shingle_scan_sql(
+    cols: str, distinct: bool = True, where: str = ""
+) -> str:
+    """DuckDB twin of :func:`_shingles`: whole-document positioned
+    shingle scan over ``documents`` with the identical md5-threshold
+    keep rule.  ``cols`` may reference ``doc_id``, ``source``, ``sh``;
+    ``where`` is ANDed after the keep predicate."""
+    kw = "DISTINCT " if distinct else ""
+    pred = (
+        "TRUE"
+        if SHINGLE_KEEP16 >= 16
+        else f"(i = 1 OR substr(md5('s:' || sh), 1, 1) < '{_KEEP_THR}')"
+    )
+    extra = f" AND ({where})" if where else ""
+    return f"""
+  SELECT {kw}{cols} FROM (
+    SELECT doc_id, source, substr(text, CAST(i AS INT), {SHINGLE_LEN}) AS sh, i
+    FROM (SELECT doc_id, source, text,
+                 unnest(range(1, greatest(length(text) - {SHINGLE_LEN - 1}, 1) + 1)) AS i
+          FROM documents)
+  ) WHERE {pred}{extra}
 """
+
+
+_SHINGLES_SQL = sampled_shingle_scan_sql("doc_id, sh")
 
 
 # Each of the 8 MinHash components is the lexicographic min of one
 # fixed 8-hex-char (32-bit) slice of md5('a:'||sh) / md5('b:'||sh) —
 # statistically a proper MinHash (uniform 32-bit values; ties are
-# ~n²/2³³ ≈ negligible at shingle counts ≤ SHINGLE_SPAN) at 2 digest
+# ~n²/2³³ ≈ negligible at sampled per-doc shingle counts) at 2 digest
 # computations per shingle instead of 8 (this chain is the headline
 # cost of the whole dedup family). Portable: both engines slice the
 # same md5 hex the same way.
@@ -226,12 +277,10 @@ def signatures_for(
     two-digest slice scheme as :func:`minhash_signatures`, but keyed
     by ``key_cols`` instead of a numeric doc_id) — shared by the
     streaming near-dup filter, which keys on (conv_id, turn_idx)."""
-    expr = (
-        f"transform(sequence(1, greatest(least(length({text_col}) - "
-        f"{SHINGLE_LEN - 1}, {SHINGLE_SPAN}), 1)), "
-        f"i -> substring({text_col}, i, {SHINGLE_LEN}))"
+    s = df.select(
+        *key_cols,
+        F.explode(F.expr(_sampled_shingle_expr(text_col))).alias("sh"),
     )
-    s = df.select(*key_cols, F.explode(F.expr(expr)).alias("sh"))
     return _signatures_from_hashed(s, key_cols)
 
 
@@ -380,22 +429,23 @@ def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 WINNOW_WINDOW = 4
 
 
-def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowing document fingerprints (Schleimer et al., SIGMOD 2003):
-    hash every k-gram, slide a w-window over the hash sequence, keep
-    each window's minimum — guarantees shared substrings of length
-    ≥ k+w−1 share a fingerprint. All built-ins: positioned shingles →
-    windowed min → distinct. The digest plays the rolling hash's role
-    (selection only needs *a* deterministic hash per k-gram)."""
+def _winnow_selected(docs: DataFrame) -> DataFrame:
+    """Whole-document winnowing fingerprint selection (shared by the
+    fingerprint and shared-pairs operators): hash EVERY k-gram
+    position (winnowing's window-min IS the sampling step — density
+    2/(w+1) — so no md5-threshold pre-sampling, which would break the
+    guarantee that shared substrings of length ≥ k+w−1 share a
+    fingerprint), slide a w-window over the hash sequence, keep each
+    window's minimum.  Per-doc cost is O(doc bytes) scan + a
+    doc-partitioned window — no global sort."""
     from pyspark.sql import Window
 
-    docs = _read(spark, sf_dir, "documents")
     positioned = docs.select(
         "doc_id",
         F.posexplode(
             F.expr(
-                f"transform(sequence(1, greatest(least(length(text) - {SHINGLE_LEN - 1}, "
-                f"{SHINGLE_SPAN}), 1)), i -> substring(text, i, {SHINGLE_LEN}))"
+                f"transform(sequence(1, greatest(length(text) - "
+                f"{SHINGLE_LEN - 1}, 1)), i -> substring(text, i, {SHINGLE_LEN}))"
             )
         ).alias("pos", "sh"),
     ).withColumn("h", F.md5("sh"))
@@ -404,9 +454,33 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("pos")
         .rowsBetween(0, WINNOW_WINDOW - 1)
     )
-    selected = positioned.select(
+    return positioned.select(
         "doc_id", F.min("h").over(w).alias("fp")
     ).distinct()
+
+
+_WINNOW_SELECTED_SQL = f"""
+positioned AS (
+  SELECT doc_id, i AS pos, md5(substr(text, CAST(i AS INT), {SHINGLE_LEN})) AS h
+  FROM (SELECT doc_id, text,
+               unnest(range(1, greatest(length(text) - {SHINGLE_LEN - 1}, 1) + 1)) AS i
+        FROM documents)
+),
+selected AS (
+  SELECT DISTINCT doc_id,
+         MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND {WINNOW_WINDOW - 1} FOLLOWING) AS fp
+  FROM positioned
+)"""
+
+
+def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD 2003)
+    over the whole document — see :func:`_winnow_selected`.  The digest
+    plays the rolling hash's role (selection only needs *a*
+    deterministic hash per k-gram)."""
+    docs = _read(spark, sf_dir, "documents")
+    selected = _winnow_selected(docs)
     return selected.groupBy(F.col("doc_id").cast("long").alias("doc_id")).agg(
         F.count("*").cast("long").alias("n_fingerprints"),
         F.min("fp").alias("min_fp"),
@@ -414,17 +488,7 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 WINNOWING_FINGERPRINTS_SQL = f"""
-WITH positioned AS (
-  SELECT doc_id, i AS pos, md5(substr(text, CAST(i AS INT), {SHINGLE_LEN})) AS h
-  FROM documents, (SELECT unnest(range(1, {SHINGLE_SPAN + 1})) AS i) r
-  WHERE i <= greatest(length(text) - {SHINGLE_LEN - 1}, 1)
-),
-selected AS (
-  SELECT DISTINCT doc_id,
-         MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
-                      ROWS BETWEEN CURRENT ROW AND {WINNOW_WINDOW - 1} FOLLOWING) AS fp
-  FROM positioned
-)
+WITH {_WINNOW_SELECTED_SQL}
 SELECT CAST(doc_id AS BIGINT) AS doc_id,
        CAST(COUNT(*) AS BIGINT) AS n_fingerprints,
        MIN(fp) AS min_fp
@@ -860,26 +924,10 @@ def winnowing_shared_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprints (df > WINNOW_MAX_DF — boilerplate produces the hot
     buckets) BEFORE the fingerprint equi-join, so bucket sizes stay
     bounded and the pair aggregation is a plain grouped count."""
-    from pyspark.sql import Window
-
     docs = _read(spark, sf_dir, "documents")
-    positioned = docs.select(
-        F.col("doc_id").cast("long").alias("doc_id"),
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(1, greatest(least(length(text) - {SHINGLE_LEN - 1}, "
-                f"{SHINGLE_SPAN}), 1)), i -> substring(text, i, {SHINGLE_LEN}))"
-            )
-        ).alias("pos", "sh"),
-    ).withColumn("h", F.md5("sh"))
-    w = (
-        Window.partitionBy("doc_id")
-        .orderBy("pos")
-        .rowsBetween(0, WINNOW_WINDOW - 1)
+    selected = _winnow_selected(docs).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "fp"
     )
-    selected = positioned.select(
-        "doc_id", F.min("h").over(w).alias("fp")
-    ).distinct()
     dfc = selected.groupBy("fp").agg(F.count("*").alias("df"))
     rare = selected.join(dfc.filter(F.col("df") <= WINNOW_MAX_DF), "fp")
     a = rare.select(F.col("doc_id").alias("doc_a"), "fp")
@@ -893,17 +941,7 @@ def winnowing_shared_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 WINNOWING_SHARED_PAIRS_SQL = f"""
-WITH positioned AS (
-  SELECT doc_id, i AS pos, md5(substr(text, CAST(i AS INT), {SHINGLE_LEN})) AS h
-  FROM documents, (SELECT unnest(range(1, {SHINGLE_SPAN + 1})) AS i) r
-  WHERE i <= greatest(length(text) - {SHINGLE_LEN - 1}, 1)
-),
-selected AS (
-  SELECT DISTINCT doc_id,
-         MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
-                      ROWS BETWEEN CURRENT ROW AND {WINNOW_WINDOW - 1} FOLLOWING) AS fp
-  FROM positioned
-),
+WITH {_WINNOW_SELECTED_SQL},
 dfc AS (SELECT fp, COUNT(*) AS df FROM selected GROUP BY fp),
 rare AS (
   SELECT s.doc_id, s.fp FROM selected s JOIN dfc USING (fp)
@@ -957,12 +995,7 @@ def decontamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DECONTAMINATION_OVERLAP_SQL = f"""
-WITH s AS (
-  SELECT DISTINCT d.doc_id, d.source,
-         substr(d.text, CAST(i AS INT), {SHINGLE_LEN}) AS sh
-  FROM documents d, (SELECT unnest(range(1, {SHINGLE_SPAN + 1})) AS i) r
-  WHERE i <= greatest(length(d.text) - {SHINGLE_LEN - 1}, 1)
-),
+WITH s AS ({sampled_shingle_scan_sql("doc_id, source, sh")}),
 bench AS (SELECT DISTINCT sh FROM s WHERE source = 'src0'),
 train AS (SELECT doc_id, sh FROM s WHERE source <> 'src0'),
 hits AS (
@@ -1029,7 +1062,11 @@ def _dup_span_islands(docs: DataFrame):
     """Shared ExactSubstr island algebra (single source for the metric
     AND the apply operator — a second literal copy could silently
     diverge from a window/merge fix, the _MINHASH_CLOSURE_SQL rule):
-    positioned full-length shingles → corpus-duplicated shingle set →
+    positioned full-length shingles over the WHOLE document (every
+    position, unsampled: span coverage needs a contiguous marking, so
+    the md5 sampling of the MinHash family does not apply — this is
+    the same O(total bytes) cost class as the reference ExactSubstr
+    suffix array of Lee et al. 2021) → corpus-duplicated shingle set →
     gaps-and-islands interval merge. Returns (doc_id, island, s, e)
     merged spans with 1-based [s, e) char bounds."""
     from pyspark.sql.window import Window
@@ -1040,8 +1077,8 @@ def _dup_span_islands(docs: DataFrame):
             "doc_id",
             F.posexplode(
                 F.expr(
-                    f"transform(sequence(1, least(length(text) - {SHINGLE_LEN - 1}, "
-                    f"{SHINGLE_SPAN})), i -> substring(text, i, {SHINGLE_LEN}))"
+                    f"transform(sequence(1, length(text) - {SHINGLE_LEN - 1}), "
+                    f"i -> substring(text, i, {SHINGLE_LEN}))"
                 )
             ).alias("p0", "sh"),
         )
@@ -1085,8 +1122,9 @@ WITH pos_sh AS (
   -- {SHINGLE_LEN} covered chars to a shorter doc, dup_frac > 1)
   SELECT doc_id, CAST(i AS INT) AS pos,
          substr(text, CAST(i AS INT), {SHINGLE_LEN}) AS sh
-  FROM documents, (SELECT unnest(range(1, {SHINGLE_SPAN + 1})) AS i) r
-  WHERE i <= length(text) - {SHINGLE_LEN - 1}
+  FROM (SELECT doc_id, text,
+               unnest(range(1, greatest(length(text) - {SHINGLE_LEN - 1}, 0) + 1)) AS i
+        FROM documents)
 ),
 dup_sh AS (SELECT sh FROM pos_sh GROUP BY sh HAVING COUNT(*) > 1),
 marked AS (
@@ -1114,13 +1152,13 @@ spans AS (
 def duplicated_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring duplication metric (Lee et al. 2021,
     "Deduplicating Training Data Makes Language Models Better",
-    ExactSubstr): per document, the fraction of its prefix covered by
+    ExactSubstr): per document, the fraction of its text covered by
     length-SHINGLE_LEN substrings that occur more than once in the
     corpus — the signal that drives span-level (not doc-level) dedup.
 
     Islands come from the shared :func:`_dup_span_islands` algebra
     (single source with :func:`strip_duplicated_spans`); covered chars
-    = Σ(e − s) over merged spans, over the bounded prefix length.
+    = Σ(e − s) over merged spans, over the full document length.
 
     100 TB shape: one shingle scan, one grouped duplicate-set
     aggregation (AQE-broadcastable join back), and a per-doc window —
@@ -1133,23 +1171,20 @@ def duplicated_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.sum(F.col("e") - F.col("s")).alias("dup_chars"))
     )
-    prefix = docs.select(
-        "doc_id",
-        F.expr(
-            f"least(length(text), {SHINGLE_SPAN + SHINGLE_LEN - 1})"
-        ).alias("prefix_len"),
+    lens = docs.select(
+        "doc_id", F.length("text").alias("text_len")
     )
     return (
-        prefix.join(covered, "doc_id", "left")
+        lens.join(covered, "doc_id", "left")
         .select(
             "doc_id",
-            F.col("prefix_len").cast("long").alias("prefix_len"),
+            F.col("text_len").cast("long").alias("text_len"),
             F.coalesce(F.col("dup_chars"), F.lit(0))
             .cast("long")
             .alias("dup_chars"),
             (
                 F.coalesce(F.col("dup_chars"), F.lit(0)).cast("double")
-                / F.greatest(F.col("prefix_len"), F.lit(1))
+                / F.greatest(F.col("text_len"), F.lit(1))
             ).alias("dup_frac"),
         )
     )
@@ -1161,12 +1196,10 @@ covered AS (
   SELECT doc_id, SUM(e - s) AS dup_chars FROM spans GROUP BY doc_id
 )
 SELECT d.doc_id,
-       CAST(least(length(d.text), {SHINGLE_SPAN + SHINGLE_LEN - 1}) AS BIGINT)
-         AS prefix_len,
+       CAST(length(d.text) AS BIGINT) AS text_len,
        CAST(coalesce(c.dup_chars, 0) AS BIGINT) AS dup_chars,
        CAST(coalesce(c.dup_chars, 0) AS DOUBLE)
-         / greatest(least(length(d.text), {SHINGLE_SPAN + SHINGLE_LEN - 1}), 1)
-         AS dup_frac
+         / greatest(length(d.text), 1) AS dup_frac
 FROM documents d LEFT JOIN covered c ON d.doc_id = c.doc_id
 """
 
@@ -1182,12 +1215,12 @@ def strip_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``removed_chars`` equals the metric's ``dup_chars`` by
     construction — pinned by test), then per-doc text reconstruction:
     LAG over island starts yields each kept piece, a sorted concat
-    rebuilds the prefix, and the untouched tail past the SHINGLE_SPAN
-    window is appended verbatim.
+    rebuilds the document, and the untouched tail past the last island
+    is appended verbatim.
 
     100 TB shape: identical to the metric plus a per-doc collect_list
-    bounded by the island count, which the SHINGLE_SPAN window caps at
-    ~SPAN/SHINGLE_LEN entries."""
+    bounded by the island count (≤ doc_len/SHINGLE_LEN, interleaved
+    islands merge)."""
     from pyspark.sql.window import Window
 
     docs = _read(spark, sf_dir, "documents")

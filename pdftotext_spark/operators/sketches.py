@@ -234,11 +234,7 @@ def _hll_sql() -> str:
     idx = f"({_hex_val_sql('md5(sh)', 1, 2)} % {HLL_M})"
     w = _hex_val_sql("md5(sh)", 9, 8)
     return f"""
-WITH sh AS (
-  SELECT substr(text, CAST(i AS INT), {dedup.SHINGLE_LEN}) AS sh
-  FROM documents, (SELECT unnest(range(1, {dedup.SHINGLE_SPAN + 1})) AS i) r
-  WHERE i <= greatest(length(text) - {dedup.SHINGLE_LEN - 1}, 1)
-),
+WITH sh AS ({dedup.sampled_shingle_scan_sql("sh", distinct=False)}),
 assigned AS (SELECT {idx} AS idx, {w} AS w FROM sh),
 rho AS (
   SELECT idx,
@@ -387,13 +383,10 @@ def _bloom_sql() -> str:
         for i in range(BLOOM_K)
     )
     return f"""
-WITH s AS (
-  SELECT DISTINCT substr(text, CAST(i AS INT), {dedup.SHINGLE_LEN}) AS sh,
-         TRY_CAST(substr(source, 4) AS INT) % 2 AS par
-  FROM documents, (SELECT unnest(range(1, {dedup.SHINGLE_SPAN + 1})) AS i) r
-  WHERE i <= greatest(length(text) - {dedup.SHINGLE_LEN - 1}, 1)
-    AND TRY_CAST(substr(source, 4) AS INT) IS NOT NULL
-),
+WITH s AS ({dedup.sampled_shingle_scan_sql(
+        "sh, TRY_CAST(substr(source, 4) AS INT) % 2 AS par",
+        where="TRY_CAST(substr(source, 4) AS INT) IS NOT NULL",
+    )}),
 train AS (SELECT DISTINCT sh FROM s WHERE par = 0),
 probe AS (SELECT DISTINCT sh FROM s WHERE par = 1),
 bits AS (SELECT DISTINCT pos FROM ({pos_train})),

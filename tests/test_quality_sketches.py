@@ -274,7 +274,7 @@ def test_duplicated_span_fraction_hand_checked(spark, tmp_path):
         r.doc_id: r
         for r in dedup.duplicated_span_fraction(spark, d).collect()
     }
-    assert rows[1].prefix_len == 16 and rows[1].dup_chars == 8
+    assert rows[1].text_len == 16 and rows[1].dup_chars == 8
     assert rows[1].dup_frac == pytest.approx(0.5)
     assert rows[2].dup_chars == 8 and rows[2].dup_frac == pytest.approx(0.5)
     assert rows[3].dup_chars == 0 and rows[3].dup_frac == 0.0

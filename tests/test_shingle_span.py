@@ -1,9 +1,11 @@
-"""SHINGLE_SPAN configurability (VERDICT r3 §next #6).
+"""Whole-document md5-sampled shingling (VERDICT r4 §next #1).
 
-The default 249-char prefix bound makes near-dup detection blind to
-documents that differ only in their opening paragraph; the
-SPARK_GRAFT_SHINGLE_SPAN override must widen BOTH the Spark operator
-and its DuckDB oracle (they share the constant)."""
+The r1-r4 default shingled only a 249-char document prefix, making
+every dedup/decontamination signal blind to long-document tails. The
+r5 policy shingles the WHOLE document and bounds downstream volume by
+deterministic md5-threshold shingle sampling (Broder mod-p shingling)
+— the SPARK_GRAFT_SHINGLE_KEEP16 rate lever must steer BOTH the Spark
+operator and its DuckDB oracle (they share the constant)."""
 
 from __future__ import annotations
 
@@ -12,13 +14,14 @@ import os
 
 import duckdb
 import pytest
+from pyspark.sql import functions as F
 
 pytestmark = pytest.mark.spark
 
 
 def _write_docs(tmp_path, spark):
     # two docs: DISTINCT first 250 chars, IDENTICAL 1500-char tail —
-    # a true near-dup pair that the default prefix bound cannot see
+    # a true near-dup pair that the old prefix bound could not see
     tail = ("the shared body of the document continues here " * 40)[:1500]
     doc_a = ("alpha " * 50)[:250] + tail
     doc_b = ("omega " * 50)[:250] + tail
@@ -35,34 +38,107 @@ def _reload_dedup():
     return importlib.reload(dedup)
 
 
-def test_default_span_blind_then_wide_span_catches(spark, tmp_path):
+def test_default_catches_tail_duplicates(spark, tmp_path):
+    """The r4 VERDICT's long-document-blindness fixture: duplicated
+    content sits ENTIRELY past char 249; the default whole-document
+    sampled shingling must detect the pair (the old prefix cap
+    provably could not — it returned 0 pairs on this fixture)."""
     sf_dir = _write_docs(tmp_path, spark)
     from pdftotext_spark.operators import dedup
 
-    assert dedup.SHINGLE_SPAN == 249
-    # blind: disjoint prefixes dominate the bounded shingle window
-    assert dedup.minhash_lsh_pairs(spark, sf_dir).count() == 0
+    assert dedup.SHINGLE_KEEP16 == 4
+    pairs = dedup.minhash_lsh_pairs(spark, sf_dir).collect()
+    assert {(r.doc_a, r.doc_b) for r in pairs} == {(1, 2)}
+    # the oracle string follows the same policy: DuckDB must see the
+    # identical pair set on the same parquet
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet/*.parquet')"
+    )
+    orc = con.execute(dedup.MINHASH_LSH_PAIRS_SQL).fetchall()
+    assert {(a, b) for a, b, *_ in orc} == {(1, 2)}
 
-    os.environ["SPARK_GRAFT_SHINGLE_SPAN"] = "2000"
+
+def test_keep16_lever_steers_both_engines(spark, tmp_path):
+    """SPARK_GRAFT_SHINGLE_KEEP16=16 disables sampling in BOTH the
+    Spark expression and the oracle SQL; the per-doc shingle counts
+    then equal the exact whole-document k-gram counts, and at the
+    default rate the sampled counts sit well below them but above the
+    old 249 prefix cap (whole-doc coverage)."""
+    sf_dir = _write_docs(tmp_path, spark)
+    from pdftotext_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sampled = {
+        r.doc_id: r.n
+        for r in dedup._shingles(docs, distinct=False)
+        .groupBy("doc_id").agg(F.count("*").alias("n"))
+        .collect()
+    }
+    os.environ["SPARK_GRAFT_SHINGLE_KEEP16"] = "16"
     try:
-        wide = _reload_dedup()
-        assert wide.SHINGLE_SPAN == 2000
-        pairs = wide.minhash_lsh_pairs(spark, sf_dir).collect()
-        assert {(r.doc_a, r.doc_b) for r in pairs} == {(1, 2)}
-        # the oracle string follows the same constant: DuckDB must see
-        # the identical pair set on the same parquet
+        full = _reload_dedup()
+        assert full.SHINGLE_KEEP16 == 16
+        n_all = {
+            r.doc_id: r.n
+            for r in full._shingles(docs, distinct=False)
+            .groupBy("doc_id").agg(F.count("*").alias("n"))
+            .collect()
+        }
+        for did in (1, 2):
+            assert n_all[did] == 1750 - 8 + 1  # every position, whole doc
+            # default rate ≈ 1/4 of positions, far beyond the old cap's
+            # 249 but far below everything
+            assert 249 < 1750 and sampled[did] < n_all[did] * 0.35
+            assert sampled[did] > n_all[did] * 0.15
+        # the unsampled oracle matches the unsampled Spark side
         con = duckdb.connect()
         con.execute(
             "CREATE VIEW documents AS SELECT * FROM "
             f"read_parquet('{sf_dir}/documents.parquet/*.parquet')"
         )
-        orc = con.execute(wide.MINHASH_LSH_PAIRS_SQL).fetchall()
-        assert {(a, b) for a, b, *_ in orc} == {(1, 2)}
-        assert f"range(1, {2000 + 1})" in wide.MINHASH_LSH_PAIRS_SQL
+        orc = con.execute(full.MINHASH_SIGNATURES_SQL).fetchall()
+        spk = [tuple(r) for r in full.minhash_signatures(spark, sf_dir).collect()]
+        assert sorted(orc) == sorted(spk)
     finally:
-        del os.environ["SPARK_GRAFT_SHINGLE_SPAN"]
+        del os.environ["SPARK_GRAFT_SHINGLE_KEEP16"]
         restored = _reload_dedup()
-        assert restored.SHINGLE_SPAN == 249
+        assert restored.SHINGLE_KEEP16 == 4
+
+
+def test_sampling_is_content_consistent(spark, tmp_path):
+    """The md5 keep rule depends only on shingle content (plus the
+    always-keep first position), so two docs sharing a substring
+    sample it IDENTICALLY — the property that makes sampled Jaccard an
+    unbiased estimate of true Jaccard."""
+    from pdftotext_spark.operators import dedup
+
+    shared = "an identical long shared paragraph " * 12
+    df = spark.createDataFrame(
+        [(1, "XSTART" + shared, "s"), (2, "YBEGIN" + shared + "ZEND", "s")],
+        "doc_id long, text string, source string",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    docs = spark.read.parquet(str(tmp_path / "documents.parquet"))
+    rows = dedup._shingles(docs, distinct=True).collect()
+    by_doc = {1: set(), 2: set()}
+    for r in rows:
+        by_doc[r.doc_id].add(r.sh)
+    # every sampled shingle fully inside the shared region must appear
+    # in both docs' samples (positions differ by 6-0 chars, content
+    # decides) — excluding boundary shingles that straddle the distinct
+    # prefixes/suffix and each doc's always-kept first shingle
+    interior = {
+        sh
+        for sh in by_doc[1]
+        if sh in shared and shared.index(sh) >= 8
+    }
+    missing = {
+        sh for sh in interior
+        if sh not in by_doc[2] and sh in shared[:-8]
+    }
+    assert not missing
 
 
 def test_strip_duplicated_spans_constructed(spark, tmp_path):
@@ -163,14 +239,17 @@ def test_pack_sequences_offsets_exact(spark):
 
 def test_dedup_keep_best_constructed(spark, tmp_path):
     """Constructed inputs (independent of the operator's own
-    intermediates): A and B are near-dups (identical 249-char prefix),
-    B is longer → only B kept from that cluster; unrelated C is its
-    own singleton group and kept."""
+    intermediates): A and B are near-dups (shared body dominates both
+    whole documents — whole-doc sampled Jaccard ≈ 0.9), B is longer →
+    only B kept from that cluster; unrelated C is its own singleton
+    group and kept."""
     from pdftotext_spark.operators import dedup
 
-    prefix = ("shared near duplicate prefix text " * 10)[:249]
-    doc_a = prefix + " short tail"
-    doc_b = prefix + " a much longer tail that makes B the best doc"
+    # non-repetitive body: periodic text collapses to ~period distinct
+    # shingles and starves the set-similarity signal
+    body = " ".join(f"body{i:03d}" for i in range(75))
+    doc_a = body + " short tail"
+    doc_b = body + " a much longer tail that makes B the best doc"
     doc_c = "completely unrelated content with its own distinct words here"
     df = spark.createDataFrame(
         [(1, doc_a, "s"), (2, doc_b, "s"), (3, doc_c, "s")],
