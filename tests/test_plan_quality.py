@@ -80,6 +80,71 @@ def test_knn_graph_and_fused_cc_never_cartesian(spark):
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan
 
 
+def test_knn_numpy_band_keys_equal_expression_twin(spark):
+    """Differential twin for the r5 numpy band-key rewrite (the perf-
+    rewrite twin rule): the Arrow-batched sequential-accumulation keys
+    must equal the Catalyst ``_knn_band_structs`` expression keys
+    bit-for-bit — the oracle replays the expression semantics, so any
+    divergence here is an oracle break, not a tuning choice."""
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    via_np = emb.mapInPandas(
+        similarity._knn_band_keys_pd,
+        "vec_id long, band_idx int, band_bits long",
+    )
+    via_expr = emb.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.explode(F.array(*similarity._knn_band_structs())).alias("b"),
+    ).select("vec_id", F.col("b.band_idx").cast("int").alias("band_idx"), "b.band_bits")
+    assert via_np.exceptAll(via_expr).count() == 0
+    assert via_expr.exceptAll(via_np).count() == 0
+    assert via_np.count() == emb.count() * similarity.KNN_SRP_BANDS
+
+
+def test_knn_numpy_pair_cosine_equals_hof_dot(spark):
+    """Differential twin for the numpy candidate-pair cosine: the
+    sequential-accumulation value must match the JVM zip_with +
+    aggregate fold exactly (raw doubles compared — no rounding to
+    hide ulps behind)."""
+    from pyspark.sql import functions as F
+
+    emb = (
+        spark.read.parquet(f"{SF}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .withColumn("nrm", similarity._norm(F.col("embedding")))
+        .limit(60)
+    )
+    a = emb.select(
+        F.col("vec_id").alias("src"),
+        F.col("embedding").alias("emb_a"),
+        F.col("nrm").alias("nrm_a"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("dst"),
+        F.col("embedding").alias("emb_b"),
+        F.col("nrm").alias("nrm_b"),
+    )
+    pairs = a.join(b, F.col("src") < F.col("dst"))
+    via_np = {
+        (r.src, r.dst): r.cosine_raw
+        for r in pairs.mapInPandas(
+            similarity._pair_cosine_pd, "src long, dst long, cosine_raw double"
+        ).collect()
+    }
+    hof = similarity._dot(F.col("emb_a"), F.col("emb_b")) / (
+        F.col("nrm_a") * F.col("nrm_b")
+    )
+    via_expr = {
+        (r.src, r.dst): r.c
+        for r in pairs.select("src", "dst", hof.alias("c")).collect()
+    }
+    assert len(via_np) == len(via_expr) > 1000
+    assert all(via_np[k] == via_expr[k] for k in via_expr)
+
+
 def test_cosine_neardup_chunked_equals_naive(spark, monkeypatch):
     # force multi-chunk buckets (CHUNK_SIZE 8 « bucket sizes) and check
     # the bounded chunk-pair join emits exactly the naive bucketed
