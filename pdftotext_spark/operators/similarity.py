@@ -94,23 +94,69 @@ LIMIT {TOP_K}
 """
 
 
+# Labels larger than this leave the exact chunked all-pairs path and
+# route through SRP band candidates instead (VERDICT r4 §next #4): the
+# chunk scheme bounds per-TASK work at CHUNK_SIZE² but total work at
+# Σ bucket² — a label holding 1% of a 100 TB corpus still pays ~10¹⁸
+# dot products. Above the cap, candidates come from a banded equi-join
+# of 16 bands × 8 bits (md5 plane family, 256 buckets per band within
+# the label: random-pair collision ≈ 16/256, strong near-dups cos ≥
+# 0.86 collide with p ≈ 0.98), scored exactly and thresholded
+# identically — emitted values are a SUBSET of the exact path's rows;
+# band-missed borderline pairs are the documented LSH trade, and
+# NEARDUP_SRP_BAND_BITS is the per-corpus selectivity lever (more bits
+# for bigger buckets/tighter geometry). Test corpora sit far below the
+# cap, so the DuckDB oracle (naive bucketed join) stays value-exact.
+EXACT_BUCKET_CAP = 4096
+NEARDUP_SRP_BANDS = 16
+NEARDUP_SRP_BAND_BITS = 8
+
+
 def cosine_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-duplicate pairs within coarse buckets (label),
-    with *bounded* per-task work: each label bucket of n vectors is
-    hash-split into ⌈n / CHUNK_SIZE⌉ chunks and the self-join runs per
-    chunk *pair* on the key (label, ci, cj) — so no task ever compares
-    more than CHUNK_SIZE² vectors even if one label holds the whole
-    corpus (the unbounded-bucket failure mode of a plain label
-    self-join). Both chunk-pair replications are broadcast joins
-    against a per-label row count; output is identical to the naive
-    bucketed join. Pair count stays Σ bucket_size², never N²."""
+    with *bounded* per-task AND total work.
+
+    Labels of ≤ EXACT_BUCKET_CAP vectors run the exact path: each
+    label bucket of n vectors is hash-split into ⌈n / CHUNK_SIZE⌉
+    chunks and the self-join runs per chunk *pair* on the key
+    (label, ci, cj) — so no task ever compares more than CHUNK_SIZE²
+    vectors. Both chunk-pair replications are broadcast joins against
+    a per-label row count; output is identical to the naive bucketed
+    join.
+
+    Labels ABOVE the cap route through SRP band candidates
+    (:func:`_srp_label_candidates`) — same banded equi-join shape as
+    :func:`knn_graph_srp`, restricted within the label — then exact
+    rescoring, keeping total work subquadratic in the bucket size
+    (the 100 TB guard; see EXACT_BUCKET_CAP)."""
+    from pdftotext_spark.sources.shipping import ship_package
+
+    ship_package(spark)
     # norms computed once per vector (N), not per pair (N²/buckets)
     emb = (
         _read(spark, sf_dir, "embeddings")
         .select("vec_id", "label", "embedding")
         .withColumn("nrm", _norm(F.col("embedding")))
     )
-    counts = embedding_bucket_stats(spark, sf_dir)
+    # one row per label — materialized once, feeds chunk sizing AND the
+    # routing decision (the count() below is over this tiny frame, not
+    # the embeddings)
+    all_counts = embedding_bucket_stats(spark, sf_dir).transform(materialize)
+    counts = all_counts.filter(F.col("cnt") <= EXACT_BUCKET_CAP)
+    big_labels = all_counts.filter(F.col("cnt") > EXACT_BUCKET_CAP)
+    exact = _cosine_neardup_exact(emb, counts)
+    if big_labels.count() == 0:
+        # no oversized label: skip the approximate branch entirely
+        # (its mapInPandas/distinct jobs are not free even when empty)
+        return exact
+    srp = _cosine_neardup_srp(emb, big_labels)
+    return exact.unionByName(srp)
+
+
+def _cosine_neardup_exact(emb: DataFrame, counts: DataFrame) -> DataFrame:
+    """The exact chunk-pair path over the in-cap labels in ``counts``
+    (value-identical to the naive bucketed join — the oracle's
+    semantics)."""
     chunked = emb.join(
         F.broadcast(counts.select("label", "n_chunks")), "label"
     ).withColumn("chunk", F.pmod(F.hash("vec_id"), F.col("n_chunks")).cast("int"))
@@ -181,6 +227,81 @@ def cosine_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.greatest("id_a", "id_b").cast("long").alias("vec_b"),
             F.col("la").cast("int").alias("label"),
             F.round(cos, 4).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= NEARDUP_THRESHOLD)
+    )
+
+
+def _srp_label_candidates(big_emb: DataFrame) -> DataFrame:
+    """Banded SRP candidate pairs WITHIN each oversized label: 16
+    bands × 8 bits over the shared md5 plane family (planes 0..127),
+    Arrow-batched, keyed by (label, band_idx, band_bits) — Σ
+    band-bucket² work per label (256 buckets per band) instead of
+    bucket², the same equi-join scale shape as :func:`knn_graph_srp`
+    with more selective bands (near-dup candidates only need to catch
+    high-cosine pairs, not moderate-cosine top-k neighbors).  Returns
+    (label, src, dst) with src < dst."""
+    import functools
+
+    planes = [
+        _srp_plane(k)
+        for k in range(NEARDUP_SRP_BANDS * NEARDUP_SRP_BAND_BITS)
+    ]
+    keys = big_emb.select("label", "vec_id", "embedding").mapInPandas(
+        functools.partial(
+            _band_keys_pd,
+            planes=planes,
+            n_bands=NEARDUP_SRP_BANDS,
+            n_bits=NEARDUP_SRP_BAND_BITS,
+            extra_cols=("label",),
+        ),
+        "vec_id long, band_idx int, band_bits long, label int",
+    ).transform(materialize)
+    a = keys.select(
+        "label", "band_idx", "band_bits", F.col("vec_id").alias("src")
+    )
+    b = keys.select(
+        "label", "band_idx", "band_bits", F.col("vec_id").alias("dst")
+    )
+    return (
+        a.join(b, ["label", "band_idx", "band_bits"])
+        .filter(F.col("src") < F.col("dst"))
+        .select("label", "src", "dst")
+        .distinct()
+    )
+
+
+def _cosine_neardup_srp(emb: DataFrame, big_labels: DataFrame) -> DataFrame:
+    """Approximate branch for labels above EXACT_BUCKET_CAP: SRP band
+    candidates within the label, exact cosine rescoring, identical
+    threshold — emitted values are exact, only band-missed pairs are
+    absent."""
+    big = emb.join(F.broadcast(big_labels.select("label")), "label").withColumn(
+        "label", F.col("label").cast("int")
+    )
+    cand = _srp_label_candidates(big)
+    ea = big.select(
+        F.col("vec_id").alias("src"),
+        F.col("embedding").alias("emb_a"),
+        F.col("nrm").alias("nrm_a"),
+    )
+    eb = big.select(
+        F.col("vec_id").alias("dst"),
+        F.col("embedding").alias("emb_b"),
+        F.col("nrm").alias("nrm_b"),
+    )
+    return (
+        cand.join(ea, "src")
+        .join(eb, "dst")
+        .mapInPandas(
+            _pair_cosine_pd,
+            "src long, dst long, cosine_raw double, label int",
+        )
+        .select(
+            F.col("src").cast("long").alias("vec_a"),
+            F.col("dst").cast("long").alias("vec_b"),
+            F.col("label").cast("int").alias("label"),
+            F.round("cosine_raw", 4).alias("cosine"),
         )
         .filter(F.col("cosine") >= NEARDUP_THRESHOLD)
     )
@@ -631,18 +752,17 @@ def _seq_accum_dot(A, B):
     return acc
 
 
-def _knn_band_keys_pd(it):
-    """Arrow-batched band-key computation (worker side): the 64 plane
-    dots per vector cost ~3.4 s at sf0.1 as Catalyst higher-order
-    expressions (measured; an unrolled literal expression tree is 10×
-    worse — codegen blowup) vs ~0.3 s vectorized here.  Accumulation
-    order matches :func:`_seq_accum_dot`, so the produced keys equal
-    the :func:`_knn_band_structs` expression twin bit-for-bit (pinned
-    by test) and the DuckDB oracle replays them."""
+def _band_keys_pd(it, planes, n_bands, n_bits, extra_cols=()):
+    """Arrow-batched SRP band-key computation (worker side), shared by
+    the knn graph (16×4 bands) and the oversized-bucket near-dup path
+    (16×8 bands): plane dots with :func:`_seq_accum_dot` order (so the
+    keys equal the Catalyst expression twin bit-for-bit and the DuckDB
+    oracle replays them), then per-band bit packing.  ``extra_cols``
+    are copied through unchanged (bind with functools.partial)."""
     import numpy as np
     import pandas as pd
 
-    P = np.array(_KNN_PLANES_LITERALS, dtype=np.float64)  # planes × dim
+    P = np.array(planes, dtype=np.float64)  # planes × dim
     for pdf in it:
         if pdf.empty:
             continue
@@ -652,20 +772,29 @@ def _knn_band_keys_pd(it):
             acc = acc + np.outer(V[:, d], P[:, d])
         bits = acc > 0
         out = []
-        for i in range(KNN_SRP_BANDS):
+        for i in range(n_bands):
             key = np.zeros(len(pdf), dtype=np.int64)
-            for j in range(KNN_SRP_BAND_BITS):
-                key += bits[:, i * KNN_SRP_BAND_BITS + j].astype(np.int64) << j
-            out.append(
-                pd.DataFrame(
-                    {
-                        "vec_id": pdf["vec_id"].values,
-                        "band_idx": np.int32(i),
-                        "band_bits": key,
-                    }
-                )
-            )
+            for j in range(n_bits):
+                key += bits[:, i * n_bits + j].astype(np.int64) << j
+            cols = {
+                "vec_id": pdf["vec_id"].values,
+                "band_idx": np.int32(i),
+                "band_bits": key,
+            }
+            for c in extra_cols:
+                cols[c] = pdf[c].values
+            out.append(pd.DataFrame(cols))
         yield pd.concat(out)
+
+
+def _knn_band_keys_pd(it, extra_cols=()):
+    """The knn band set (64 planes, 16×4 bands) through
+    :func:`_band_keys_pd` — measured ~3.4 s at sf0.1 as Catalyst
+    higher-order expressions (an unrolled literal expression tree is
+    10× worse — codegen blowup) vs ~0.3 s vectorized."""
+    yield from _band_keys_pd(
+        it, _KNN_PLANES_LITERALS, KNN_SRP_BANDS, KNN_SRP_BAND_BITS, extra_cols
+    )
 
 
 def _pair_cosine_pd(it):
@@ -686,9 +815,10 @@ def _pair_cosine_pd(it):
             pdf["nrm_a"].values.astype(np.float64)
             * pdf["nrm_b"].values.astype(np.float64)
         )
-        yield pd.DataFrame(
-            {"src": pdf["src"], "dst": pdf["dst"], "cosine_raw": cos}
-        )
+        cols = {"src": pdf["src"], "dst": pdf["dst"], "cosine_raw": cos}
+        if "label" in pdf.columns:  # the bucketed near-dup caller
+            cols["label"] = pdf["label"]
+        yield pd.DataFrame(cols)
 
 
 def _knn_band_structs() -> list[Column]:

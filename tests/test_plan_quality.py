@@ -180,6 +180,91 @@ def test_cosine_neardup_chunked_equals_naive(spark, monkeypatch):
     assert chunked == naive and len(naive) > 0
 
 
+def _write_skewed_embeddings(tmp_path, spark, n_big=240, n_small=30):
+    """One oversized label (0) built as ~n_big/4 clusters of 4 noisy
+    copies (real near-dups for SRP to find) plus a small label (1)."""
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    rows = []
+    vid = 0
+    for c in range(n_big // 4):
+        center = rng.normal(size=64)
+        center /= np.linalg.norm(center)
+        for _ in range(4):
+            v = center + rng.normal(scale=0.02, size=64)
+            rows.append((vid, 0, [float(x) for x in v]))
+            vid += 1
+    for _ in range(n_small):
+        v = rng.normal(size=64)
+        rows.append((vid, 1, [float(x) for x in v]))
+        vid += 1
+    df = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<float>"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    return str(tmp_path)
+
+
+def test_cosine_neardup_oversized_bucket_routes_srp(spark, tmp_path, monkeypatch):
+    """VERDICT r4 §next #4: labels above EXACT_BUCKET_CAP leave the
+    chunked all-pairs path for SRP band candidates. On a constructed
+    oversized bucket of genuine near-dup clusters: (a) the candidate
+    set is subquadratic in the bucket size, (b) every emitted pair
+    carries the EXACT cosine (subset of the naive join's rows), and
+    (c) the strong near-dup pairs (cluster siblings, cosine ≫
+    threshold) are all found — band collision probability ≈ 1 there."""
+    from pyspark.sql import functions as F
+
+    sf_dir = _write_skewed_embeddings(tmp_path, spark)
+    monkeypatch.setattr(similarity, "EXACT_BUCKET_CAP", 100)
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    big = emb.filter("label = 0").withColumn(
+        "nrm", similarity._norm(F.col("embedding"))
+    )
+    n_big = big.count()
+    cand = similarity._srp_label_candidates(big)
+    n_cand = cand.count()
+    assert n_cand < (n_big * (n_big - 1) // 2) * 0.5  # subquadratic
+
+    got = similarity.cosine_neardup_pairs(spark, sf_dir).collect()
+    by_pair = {(r.vec_a, r.vec_b): (r.label, r.cosine) for r in got}
+    assert len(by_pair) == len(got)  # no duplicate emissions
+
+    # naive exact reference over BOTH labels
+    a, b = emb.alias("a"), emb.alias("b")
+    cos = similarity._dot(F.col("a.embedding"), F.col("b.embedding")) / (
+        similarity._norm(F.col("a.embedding"))
+        * similarity._norm(F.col("b.embedding"))
+    )
+    naive = {
+        (r.vec_a, r.vec_b): (r.label, r.cosine)
+        for r in a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").cast("long").alias("vec_a"),
+            F.col("b.vec_id").cast("long").alias("vec_b"),
+            F.col("a.label").cast("int").alias("label"),
+            F.round(cos, 4).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= similarity.NEARDUP_THRESHOLD)
+        .collect()
+    }
+    # (b) exact values, subset semantics
+    assert set(by_pair) <= set(naive)
+    assert all(by_pair[k] == naive[k] for k in by_pair)
+    # (c) the engineered cluster-sibling pairs are all recovered
+    strong = {k for k, (_, c) in naive.items() if c >= 0.9}
+    assert strong and strong <= set(by_pair)
+    # the small label ran the exact path: every naive label-1 pair out
+    small_naive = {k for k, (lbl, _) in naive.items() if lbl == 1}
+    assert {k for k, (lbl, _) in by_pair.items() if lbl == 1} == small_naive
+
+
 def test_asof_window_equals_pandas_merge_asof(spark):
     # two independent implementations of the as-of join must agree
     # row-for-row (JVM window carry-forward vs pd.merge_asof)
