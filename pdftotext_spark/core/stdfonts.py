@@ -21,9 +21,10 @@ reference lacks.
 
 Symbol and ZapfDingbats are *code*-keyed (their glyph names sit
 outside the Latin AGL range and the engine's raw-code fallback decode
-makes ``ord(decoded_char) == byte code``); only the well-attested
-Symbol set is shipped — unlisted codes fall back to the font's
-default width, same as any unknown character.
+makes ``ord(decoded_char) == byte code``); the ASCII Symbol set and
+the full AFM-encoded ZapfDingbats ornament set are shipped — unlisted
+codes fall back to the font's default width, same as any unknown
+character.
 """
 
 from __future__ import annotations
@@ -315,6 +316,46 @@ _SYMBOL_CODES: dict[int, int] = {
     122: 494, 123: 480, 124: 200, 125: 480, 126: 549,
 }
 
+# ZapfDingbats: code-keyed like Symbol (ornament glyph names a1..a191
+# sit outside the AGL; raw-code fallback decode keeps ord(char) ==
+# byte code).  Widths are the public Adobe Core-14 ZapfDingbats AFM
+# advances at the AFM's own encoding (codes 32–126 and 161–254; 240 is
+# unencoded) — the same numbers every open-source PDF library embeds.
+# The 14 unencoded ornaments (a85–a96, a201–a206, AFM C -1) and the
+# .notdef filler the reference pads codes 0–31/127–160/255 with
+# (746) are NOT shipped: unencoded codes fall back to the font default
+# width like any unknown character.
+_ZAPF_CODES: dict[int, int] = {
+    32: 278, 33: 974, 34: 961, 35: 974, 36: 980, 37: 719, 38: 789,
+    39: 790, 40: 791, 41: 690, 42: 960, 43: 939, 44: 549, 45: 855,
+    46: 911, 47: 933, 48: 911, 49: 945, 50: 974, 51: 755, 52: 846,
+    53: 762, 54: 761, 55: 571, 56: 677, 57: 763, 58: 760, 59: 759,
+    60: 754, 61: 494, 62: 552, 63: 537, 64: 577, 65: 692, 66: 786,
+    67: 788, 68: 788, 69: 790, 70: 793, 71: 794, 72: 816, 73: 823,
+    74: 789, 75: 841, 76: 823, 77: 833, 78: 816, 79: 831, 80: 923,
+    81: 744, 82: 723, 83: 749, 84: 790, 85: 792, 86: 695, 87: 776,
+    88: 768, 89: 792, 90: 759, 91: 707, 92: 708, 93: 682, 94: 701,
+    95: 826, 96: 815, 97: 789, 98: 789, 99: 707, 100: 687, 101: 696,
+    102: 689, 103: 786, 104: 787, 105: 713, 106: 791, 107: 785,
+    108: 791, 109: 873, 110: 761, 111: 762, 112: 762, 113: 759,
+    114: 759, 115: 892, 116: 892, 117: 788, 118: 784, 119: 438,
+    120: 138, 121: 277, 122: 415, 123: 392, 124: 392, 125: 668,
+    126: 668,
+    161: 732, 162: 544, 163: 544, 164: 910, 165: 667, 166: 760,
+    167: 760, 168: 776, 169: 595, 170: 694, 171: 626,
+    # a100–a139: the circled/negative digits and sans serif numbers,
+    # uniformly 788 in the AFM
+    **{c: 788 for c in range(172, 212)},
+    212: 894, 213: 838, 214: 1016, 215: 458, 216: 748, 217: 924,
+    218: 748, 219: 918, 220: 927, 221: 928, 222: 928, 223: 834,
+    224: 873, 225: 828, 226: 924, 227: 924, 228: 917, 229: 930,
+    230: 931, 231: 463, 232: 883, 233: 836, 234: 836, 235: 867,
+    236: 867, 237: 696, 238: 696, 239: 874, 241: 874, 242: 760,
+    243: 946, 244: 771, 245: 865, 246: 771, 247: 888, 248: 967,
+    249: 888, 250: 831, 251: 873, 252: 927, 253: 970, 254: 918,
+}
+
+
 def _char_table(afm: dict[str, int]) -> dict[int, float]:
     """Glyph-name table → decoded-character (codepoint) table via the
     repo's AGL map, plus the AFM composite rule: a precomposed Latin
@@ -365,9 +406,7 @@ def _tables() -> dict[str, dict[int, float]]:
         "times-italic": _char_table(_TIMES_ITALIC),
         "times-bolditalic": _char_table(_TIMES_BOLDITALIC),
         "symbol": {c: float(w) for c, w in _SYMBOL_CODES.items()},
-        # ZapfDingbats: no reliable public-memory table shipped; space
-        # is universal, the rest falls back to the font default width
-        "zapfdingbats": {32: 278.0},
+        "zapfdingbats": {c: float(w) for c, w in _ZAPF_CODES.items()},
     }
 
 

@@ -92,6 +92,43 @@ def test_ascii_parity_with_reference_fm_tables():
             assert int(mine[code]) == fm[code], (name, code, mine[code], fm[code])
 
 
+def test_zapfdingbats_parity_with_reference_fm_table():
+    """Every shipped ZapfDingbats code (the AFM-encoded ornament set,
+    r5) vs the reference's independently-derived zapfdingbats.fm —
+    same Adobe Core-14 source, so every overlapping code must agree.
+    Codes the repo deliberately does NOT ship (AFM-unencoded ornaments
+    and the reference's 746 .notdef filler at 0–31/127–160/240/255)
+    fall back to the font default width instead."""
+    with open(os.path.join(REF_FM_DIR, "zapfdingbats.fm")) as fh:
+        fm = {
+            int(c): int(w)
+            for c, w in re.findall(r"(\d+)\s*=>\s*(\d+)", fh.read())
+        }
+    mine = std_font_widths("ZapfDingbats")
+    assert len(mine) == 95 + 93  # 32..126 plus 161..254 minus 240
+    for code, w in mine.items():
+        assert int(w) == fm[code], (code, w, fm[code])
+    assert 240 not in mine and 160 not in mine and 255 not in mine
+
+
+def test_zapfdingbats_run_measures_afm_widths():
+    """Dingbat runs measure with real per-ornament advances, not the
+    font default (the r4 gap: only space was shipped)."""
+    font = parse_font(
+        1, b"<< /Type /Font /Subtype /Type1 /BaseFont /ZapfDingbats >>"
+    )
+    # scissors (a1, code 33) vs pencil (a12, code 44): distinct widths
+    assert font.char_width(33) == 974.0
+    assert font.char_width(44) == 549.0
+    assert font.char_width(120) == 138.0  # a98, the narrowest ornament
+    run = "".join(chr(c) for c in (33, 32, 44))
+    assert font.string_width(run, 10.0) == pytest.approx(
+        (974 + 278 + 549) * 10 / 1000.0
+    )
+    # unencoded ornament code → font default, same as unknown chars
+    assert font.char_width(240) == font.missing_width
+
+
 def test_no_widths_standard_font_gets_metric_widths():
     # a Helvetica font object with no /Widths (the extremely common
     # simple-generator shape) must measure via the AFM table, not the
