@@ -135,7 +135,10 @@ def extract_payload(
         ):
             # an empty parse on a payload that doesn't genuinely BEGIN
             # with the header means the turn merely quotes PDF markup —
-            # restore its text instead of destroying it (ADVICE r3)
+            # restore its text instead of destroying it (ADVICE r3) —
+            # unless the payload reads as dense PDF source (ADVICE r4)
+            if _is_pdf_source(payload):
+                return _reject_fallback(res)
             return _plain_fallback(payload, res)
         return res
     if kind == "html":
@@ -145,6 +148,34 @@ def extract_payload(
         return res
     res = ExtractResult(text=payload, pages=[payload], n_pages=1, kind="plain")
     res.page_offsets = [(0, max(len(payload) - 1, 0))]
+    return res
+
+
+# ADVICE r4 (plain-fallback corpus hygiene): a junk-prefixed but
+# mostly-ASCII REAL pdf (e.g. AsciiHex/Ascii85 streams the parser
+# failed on → n_pages == 0, no text) must not be emitted as plain
+# "text" — that injects raw PDF markup into the training corpus. The
+# separator between "IS pdf source" and "prose QUOTING pdf markup"
+# (which the fallback exists to save, ADVICE r3) is structural-token
+# DENSITY in the probe: a real document's head is wall-to-wall object
+# machinery (≥ 8 tokens in 4 KiB), a conversational quote carries a
+# few mentions around prose.
+_PDF_STRUCT_TOKEN_RE = re.compile(
+    r"\d+\s+\d+\s+obj\b|\bendobj\b|\bendstream\b|\bstream\b"
+    r"|\bxref\b|\btrailer\b|\bstartxref\b"
+)
+_PDF_SOURCE_MIN_TOKENS = 5
+
+
+def _is_pdf_source(probe: str) -> bool:
+    return len(_PDF_STRUCT_TOKEN_RE.findall(probe[:4096])) >= _PDF_SOURCE_MIN_TOKENS
+
+
+def _reject_fallback(res: ExtractResult) -> ExtractResult:
+    res.failure_reasons.append(
+        "plain fallback rejected: payload is PDF source (dense "
+        "structural tokens)"
+    )
     return res
 
 
@@ -178,6 +209,8 @@ def _maybe_plain_fallback_bytes(buf: bytes, res: ExtractResult) -> ExtractResult
     )
     if textual / len(probe) < 0.9:
         return res
+    if _is_pdf_source(probe):
+        return _reject_fallback(res)
     return _plain_fallback(decode_html_bytes(buf).lstrip("\ufeff"), res)
 
 

@@ -260,6 +260,27 @@ class Font:
                     or names.get(code) == "question"
                 ):
                     code = ord(decoded[0])
+            elif not self.cid:
+                # ADVICE r4: embedded /Widths are CODE-keyed in the
+                # PDF, but char_width() is called with DECODED chars
+                # (string_width iterates decoded text) — re-key every
+                # entry through the font's own decode cascade so
+                # WinAnsi 0x80–0x9F, the Cyrillic variant's 0xC0–0xFF
+                # and non-Type3 /Differences land on the codepoints
+                # lookups actually use, and raw-code keys stop
+                # shadowing std-AFM codepoint entries. (The reference
+                # itself misses these — GetStringWidth looks up the
+                # decoded char against its code-keyed table,
+                # PdfToText.php:6641–6680 — so this is a deliberate
+                # correctness improvement, not a parity break; it
+                # affects layout spacing only, never text.) '?' is the
+                # UNKNOWN sentinel: accept it only for the real
+                # question-mark code, or unknowns would collapse onto
+                # one key and overwrite each other (the r4 Type3
+                # lesson above).
+                decoded = self.map_char(code)
+                if decoded and (decoded[0] != "?" or code == 0x3F):
+                    code = ord(decoded[0])
             cw[code] = w * mult if w else self.missing_width
         return cw
 

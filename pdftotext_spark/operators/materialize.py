@@ -48,7 +48,17 @@ def materialize(df: DataFrame, eager: bool = True) -> DataFrame:
     pinned cache entry per CC round for the session lifetime — second
     review pass r4), at the price of one extra job per round in
     cluster mode — inherent to reliable checkpointing. local[n] keeps
-    the 1-job lazy fusion."""
+    the 1-job lazy fusion.
+
+    Checkpoint-file lifetime (ADVICE r4): each reliable cut writes a
+    permanent ``rdd-*`` directory that Spark does NOT remove by
+    default — an iterative CC loop leaks one per round for the
+    application lifetime. Cluster deployments must set
+    ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` (in
+    :func:`pdftotext_spark.plans.pipeline.session_confs`) so the
+    ContextCleaner deletes superseded checkpoints when their RDDs are
+    garbage-collected; it is a context-start conf, so it cannot be
+    applied from here."""
     if _has_reliable_checkpoint_dir(df):
         from pyspark import StorageLevel
 

@@ -66,6 +66,14 @@ def session_confs() -> dict[str, str]:
         # ~seconds-of-CPU per split for the same reason.
         "spark.sql.files.maxPartitionBytes": "1m",
         "spark.sql.shuffle.partitions": "32",
+        # reliable-checkpoint hygiene (ADVICE r4): every materialize()
+        # under a configured checkpoint dir writes a permanent rdd-*
+        # directory; with this on, the ContextCleaner deletes a
+        # checkpoint's files once its RDD is garbage-collected, so
+        # iterative CC loops don't accumulate one orphan dir per round
+        # for the application lifetime (must be set before the context
+        # starts — a session conf, not settable from materialize()).
+        "spark.cleaner.referenceTracking.cleanCheckpoints": "true",
     }
 
 
@@ -330,6 +338,7 @@ def export_training_jsonl(
     path: str,
     compression: str = "gzip",
     source: str = "pdftotext_spark",
+    mode: str = "error",
 ) -> None:
     """Final sink of a training-data build: one JSON object per
     assembled conversation in the ``{"text": ..., "meta": {...}}``
@@ -340,7 +349,11 @@ def export_training_jsonl(
 
     Keeps the write embarrassingly parallel: no coalesce, one shard
     per upstream partition — at 100 TB the shard count IS the
-    parallelism of the downstream loader."""
+    parallelism of the downstream loader.
+
+    ``mode`` defaults to ``error`` (fail if the target exists): the
+    final training sink must never silently clobber a dataset — pass
+    ``overwrite`` explicitly to rebuild in place (ADVICE r4)."""
     out = conversations.select(
         F.col("conversation_text").alias("text"),
         F.struct(
@@ -350,4 +363,4 @@ def export_training_jsonl(
             F.lit(source).alias("source"),
         ).alias("meta"),
     )
-    out.write.mode("overwrite").option("compression", compression).json(path)
+    out.write.mode(mode).option("compression", compression).json(path)

@@ -498,6 +498,39 @@ def test_quoted_pdf_markup_falls_back_to_plain():
     assert res_p.text == ""
 
 
+def test_junk_prefixed_ascii_pdf_source_not_emitted_as_plain():
+    """ADVICE r4: a junk-prefixed but mostly-ASCII REAL pdf whose parse
+    comes up empty (no page tree) must NOT fall back to plain text —
+    that would inject raw PDF markup into the corpus. Density of
+    structural tokens separates it from the prose-quoting case above."""
+    junk = "NOISE " * 5
+    fake = (
+        junk
+        + "%PDF-1.4\n"
+        + "".join(
+            f"{i} 0 obj\n<< /Length 0 >>\nstream\nendstream\nendobj\n"
+            for i in range(1, 8)
+        )
+        + "xref\n0 8\ntrailer\n<< /Size 8 >>\nstartxref\n0\n%%EOF\n"
+    )
+    res = extract_payload(fake)
+    assert res.kind == "pdf"
+    assert res.text == "" and res.n_pages == 0
+    assert any("fallback rejected" in r for r in res.failure_reasons)
+
+    # bytes-path twin through the deep probe (>1 KiB of junk ahead of
+    # the header routes via _maybe_plain_fallback_bytes)
+    import base64
+
+    from pdftotext_spark.core.dispatch import B64_SENTINEL
+
+    deep = ("x" * 2048 + fake).encode()
+    res_b = extract_payload(B64_SENTINEL + base64.b64encode(deep).decode())
+    assert res_b.kind == "pdf-b64"
+    assert res_b.text == ""
+    assert any("fallback rejected" in r for r in res_b.failure_reasons)
+
+
 def test_winansi_cyr_variant_end_to_end():
     """Full-path integration for the Cyrillic WinAnsi variant (r4):
     a subset BaseFont containing 'Cyr' drives the replacement table

@@ -129,6 +129,34 @@ def test_zapfdingbats_run_measures_afm_widths():
     assert font.char_width(240) == font.missing_width
 
 
+def test_embedded_widths_rekeyed_through_encoding():
+    """ADVICE r4: embedded /Widths are code-keyed in the PDF but
+    char_width is called with DECODED chars — a Cyrillic-variant
+    WinAnsi font's width for code 0xC0 must be found at ord('А'),
+    and the raw code key must not shadow a Latin codepoint."""
+    font = parse_font(
+        1,
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /ABCDEF+NimbusCyr "
+        b"/Encoding /WinAnsiEncoding /FirstChar 192 /Widths [ 640 ] >>",
+    )
+    assert font.encoding == "winansi-cyr"
+    assert font.map_char(0xC0) == "А"
+    # the decoded char finds the embedded width...
+    assert font.char_width(ord("А")) == 640.0
+    # ...and the raw byte code (U+00C0 À — never produced by this
+    # font's decode) is NOT silently claimed by it
+    assert font.char_width(0xC0) == font.missing_width
+
+    # plain WinAnsi high range: code 0x85 decodes to U+2026 ellipsis
+    f2 = parse_font(
+        2,
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /ABCDEF+Nimbus "
+        b"/Encoding /WinAnsiEncoding /FirstChar 133 /Widths [ 1000 ] >>",
+    )
+    assert f2.map_char(0x85) == "…"
+    assert f2.char_width(0x2026) == 1000.0
+
+
 def test_no_widths_standard_font_gets_metric_widths():
     # a Helvetica font object with no /Widths (the extremely common
     # simple-generator shape) must measure via the AFM table, not the
