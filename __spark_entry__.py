@@ -241,11 +241,15 @@ _DRIVER_GATE_FIRST = [
     "embedding_health",
     "ann_topk_srp",
     "ivf_topk",
-    # modified / retuned this round (refresh their r4 rows)
+    # modified / retuned this round (refresh their r4 rows) — incl.
+    # the sketch-family consumers of the sampled-shingle rewrite
+    # (review r5: their r4 rows were recorded under prefix semantics)
     "knn_graph_srp",
     "dedup_groups_multi",
     "strip_duplicated_spans",
     "dedup_keep_best",
+    "hll_distinct",
+    "bloom_novelty",
 ]
 
 _QUERIES = {

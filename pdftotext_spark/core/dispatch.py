@@ -157,18 +157,23 @@ def extract_payload(
 # "text" — that injects raw PDF markup into the training corpus. The
 # separator between "IS pdf source" and "prose QUOTING pdf markup"
 # (which the fallback exists to save, ADVICE r3) is structural-token
-# DENSITY in the probe: a real document's head is wall-to-wall object
-# machinery (≥ 8 tokens in 4 KiB), a conversational quote carries a
-# few mentions around prose.
+# density in a 4 KiB window ANCHORED AT THE HEADER (a long prose
+# prefix must not hide the document body — review r5): a real
+# document's head is wall-to-wall object machinery, a conversational
+# quote carries a few mentions around prose. Bare 'stream' is NOT
+# counted — it is common English ("a stream of events") and every real
+# body pairs it with endstream/endobj anyway (review r5).
 _PDF_STRUCT_TOKEN_RE = re.compile(
-    r"\d+\s+\d+\s+obj\b|\bendobj\b|\bendstream\b|\bstream\b"
+    r"\d+\s+\d+\s+obj\b|\bendobj\b|\bendstream\b"
     r"|\bxref\b|\btrailer\b|\bstartxref\b"
 )
 _PDF_SOURCE_MIN_TOKENS = 5
 
 
-def _is_pdf_source(probe: str) -> bool:
-    return len(_PDF_STRUCT_TOKEN_RE.findall(probe[:4096])) >= _PDF_SOURCE_MIN_TOKENS
+def _is_pdf_source(text: str) -> bool:
+    i = text.find("%PDF-")
+    probe = text[i : i + 4096] if i >= 0 else text[:4096]
+    return len(_PDF_STRUCT_TOKEN_RE.findall(probe)) >= _PDF_SOURCE_MIN_TOKENS
 
 
 def _reject_fallback(res: ExtractResult) -> ExtractResult:
@@ -209,7 +214,14 @@ def _maybe_plain_fallback_bytes(buf: bytes, res: ExtractResult) -> ExtractResult
     )
     if textual / len(probe) < 0.9:
         return res
-    if _is_pdf_source(probe):
+    # the source-density window anchors at the header, which the deep
+    # probe may have found far past the textual-gate prefix (review
+    # r5): one bytes find + one bounded decode, no O(n) second pass
+    hdr = buf.find(b"%PDF-")
+    src_probe = (
+        decode_html_bytes(buf[hdr : hdr + 8192]) if hdr >= 0 else probe
+    )
+    if _is_pdf_source(src_probe):
         return _reject_fallback(res)
     return _plain_fallback(decode_html_bytes(buf).lstrip("\ufeff"), res)
 

@@ -277,10 +277,17 @@ class Font:
                 # UNKNOWN sentinel: accept it only for the real
                 # question-mark code, or unknowns would collapse onto
                 # one key and overwrite each other (the r4 Type3
-                # lesson above).
+                # lesson above). Multi-char decodes (ToUnicode
+                # ligature expansions 'fi'/'fl') keep the raw code
+                # key: writing the ligature advance onto ord('f')
+                # would clobber the real letter width (review r5).
                 decoded = self.map_char(code)
-                if decoded and (decoded[0] != "?" or code == 0x3F):
-                    code = ord(decoded[0])
+                if (
+                    decoded
+                    and len(decoded) == 1
+                    and (decoded != "?" or code == 0x3F)
+                ):
+                    code = ord(decoded)
             cw[code] = w * mult if w else self.missing_width
         return cw
 

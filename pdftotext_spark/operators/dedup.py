@@ -54,8 +54,12 @@ SHINGLE_LEN = 8
 # SPARK_GRAFT_SHINGLE_KEEP16 before import — every Spark operator AND
 # its DuckDB oracle string derive from this one constant, so the
 # correctness gate follows the override (at 100 TB with multi-KB web
-# documents, drop to 1-2/16).
-SHINGLE_KEEP16 = int(os.environ.get("SPARK_GRAFT_SHINGLE_KEEP16", "4"))
+# documents, drop to 1-2/16). Clamped to [1, 16]: values above 16 mean
+# keep-everything, 0/negative would keep only position-1 shingles
+# (review r5: an out-of-range lever must not throw at import).
+SHINGLE_KEEP16 = max(
+    1, min(int(os.environ.get("SPARK_GRAFT_SHINGLE_KEEP16", "4")), 16)
+)
 _KEEP_THR = "0123456789abcdefg"[SHINGLE_KEEP16]
 N_MINHASH = 8
 BAND_SIZE = 2  # 8 hashes → 4 bands of 2

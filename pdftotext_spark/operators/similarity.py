@@ -144,13 +144,16 @@ def cosine_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     all_counts = embedding_bucket_stats(spark, sf_dir).transform(materialize)
     counts = all_counts.filter(F.col("cnt") <= EXACT_BUCKET_CAP)
     big_labels = all_counts.filter(F.col("cnt") > EXACT_BUCKET_CAP)
-    exact = _cosine_neardup_exact(emb, counts)
     if big_labels.count() == 0:
         # no oversized label: skip the approximate branch entirely
         # (its mapInPandas/distinct jobs are not free even when empty)
-        return exact
+        return _cosine_neardup_exact(emb, counts)
+    # routing fans emb into up to five consumers (exact a/b sides, SRP
+    # band keys, score ea/eb) — materialize so the parquet scan + norm
+    # fold run once, the knn_graph_srp pattern (review r5)
+    emb = emb.transform(materialize)
     srp = _cosine_neardup_srp(emb, big_labels)
-    return exact.unionByName(srp)
+    return _cosine_neardup_exact(emb, counts).unionByName(srp)
 
 
 def _cosine_neardup_exact(emb: DataFrame, counts: DataFrame) -> DataFrame:

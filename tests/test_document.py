@@ -530,6 +530,28 @@ def test_junk_prefixed_ascii_pdf_source_not_emitted_as_plain():
     assert res_b.text == ""
     assert any("fallback rejected" in r for r in res_b.failure_reasons)
 
+    # review r5: a LONG prose prefix must not hide the document body
+    # from the density window (it anchors at the header, not the head)
+    long_prefix = ("some preceding discussion text " * 200) + fake
+    res_l = extract_payload(long_prefix)
+    assert res_l.text == ""
+    assert any("fallback rejected" in r for r in res_l.failure_reasons)
+
+
+def test_prose_discussing_streams_with_quote_stays_plain():
+    """Review r5: bare 'stream' is common English — prose using it
+    several times around a short PDF quote must keep its text (the
+    ADVICE r3 guarantee), not trip the source-density gate."""
+    chat = (
+        "user: my parser reads a stream of events; each stream chunk "
+        "maps to a stream window. My file header says %PDF-1.7 and "
+        "then 1 0 obj ... endobj — why does the xref parse fail? "
+        + "more context " * 150
+    )
+    res = extract_payload(chat)
+    assert res.kind == "plain"
+    assert res.text == chat
+
 
 def test_winansi_cyr_variant_end_to_end():
     """Full-path integration for the Cyrillic WinAnsi variant (r4):
