@@ -78,6 +78,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "winnowing_fingerprints": dedup.winnowing_fingerprints,
     "winnowing_shared_pairs": dedup.winnowing_shared_pairs,  # MOSS overlap
     "decontamination_overlap": dedup.decontamination_overlap,  # train/test hygiene
+    "decontaminate_apply": dedup.decontaminate_apply,  # quarantine filter
+    "decontamination_report": dedup.decontamination_report,  # per-source rollup
     "duplicated_span_fraction": dedup.duplicated_span_fraction,  # ExactSubstr metric
     "strip_duplicated_spans": dedup.strip_duplicated_spans,  # ExactSubstr APPLY
     "dedup_keep_best": dedup.dedup_keep_best,  # quality-argmax cluster survivor
@@ -197,6 +199,8 @@ _ORACLES: dict[str, str] = {
     "knn_graph_srp": similarity.KNN_GRAPH_SRP_SQL,
     "kmeans_ivf_topk": similarity.KMEANS_IVF_TOPK_SQL,
     "decontamination_overlap": dedup.DECONTAMINATION_OVERLAP_SQL,
+    "decontaminate_apply": dedup.DECONTAMINATE_APPLY_SQL,
+    "decontamination_report": dedup.DECONTAMINATION_REPORT_SQL,
     "duplicated_span_fraction": dedup.DUPLICATED_SPAN_FRACTION_SQL,
     "strip_duplicated_spans": dedup.STRIP_DUPLICATED_SPANS_SQL,
     "dedup_keep_best": dedup.DEDUP_KEEP_BEST_SQL,
@@ -250,6 +254,9 @@ _DRIVER_GATE_FIRST = [
     "dedup_keep_best",
     "hll_distinct",
     "bloom_novelty",
+    # new in r5
+    "decontaminate_apply",
+    "decontamination_report",
 ]
 
 _QUERIES = {

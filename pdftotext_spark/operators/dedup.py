@@ -1016,6 +1016,82 @@ FROM totals t LEFT JOIN hits h USING (doc_id)
 """
 
 
+# Quarantine cut for decontaminate_apply. Real pipelines draw this at
+# ~0.05–0.1 of 8-gram overlap (GPT-3 appendix C); the synthetic corpus
+# shares template vocabulary with the benchmark source, inflating
+# overlap (median ≈ 0.73 at sf0.01), so the shipped default splits
+# THIS corpus meaningfully — it is a policy lever, not a constant.
+CONTAMINATION_THRESHOLD = 0.75
+
+
+def decontaminate_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply side of :func:`decontamination_overlap` — the operator a
+    training pipeline actually runs after the metric: drop every
+    training document whose benchmark shingle overlap exceeds
+    CONTAMINATION_THRESHOLD, returning the SURVIVORS with their
+    overlap stats (the benchmark source itself is excluded from
+    training by definition and never appears).
+
+    100 TB shape: identical to the metric plus one cheap filter —
+    no extra shuffle."""
+    scored = decontamination_overlap(spark, sf_dir)
+    return scored.filter(
+        F.col("contamination_frac") <= CONTAMINATION_THRESHOLD
+    )
+
+
+DECONTAMINATE_APPLY_SQL = f"""
+SELECT * FROM ({DECONTAMINATION_OVERLAP_SQL})
+WHERE contamination_frac <= {CONTAMINATION_THRESHOLD}
+"""
+
+
+def decontamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source decontamination dashboard: how many docs each
+    training source loses to the quarantine cut and how contaminated
+    the source is overall — the rollup a curation run reports before
+    committing the apply.
+
+    100 TB shape: the metric chain plus one broadcast dimension join
+    (doc_id → source is already in the shingle scan's input) and a
+    grouped aggregation over the handful of sources."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "source")
+    scored = decontamination_overlap(spark, sf_dir)
+    return (
+        scored.join(docs, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(
+                F.when(
+                    F.col("contamination_frac") > CONTAMINATION_THRESHOLD, 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_quarantined"),
+            F.round(F.avg("contamination_frac"), 4)
+            .cast("double")
+            .alias("avg_frac"),
+            F.round(F.max("contamination_frac"), 4)
+            .cast("double")
+            .alias("max_frac"),
+        )
+    )
+
+
+DECONTAMINATION_REPORT_SQL = f"""
+WITH scored AS ({DECONTAMINATION_OVERLAP_SQL})
+SELECT d.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN s.contamination_frac > {CONTAMINATION_THRESHOLD}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_quarantined,
+       CAST(ROUND(AVG(s.contamination_frac), 4) AS DOUBLE) AS avg_frac,
+       CAST(ROUND(MAX(s.contamination_frac), 4) AS DOUBLE) AS max_frac
+FROM scored s JOIN documents d ON d.doc_id = s.doc_id
+GROUP BY d.source
+"""
+
+
 def dedup_group_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup cluster-size histogram over the MinHash-LSH groups —
     the curation dashboard that tells you whether dedup is removing

@@ -283,3 +283,39 @@ def test_pack_sequences_constructed(spark, tmp_path):
     assert [r.n_tokens for r in rows] == [100] * 7
     assert [r.start_offset for r in rows] == [0, 100, 200, 300, 400, 500, 600]
     assert [r.pack_id for r in rows] == [0, 0, 0, 1, 1, 1, 2]
+
+
+def test_decontaminate_apply_and_report_constructed(spark, tmp_path):
+    """Hand-checked decontamination apply/report (the parity gate is
+    blind to identical-in-both-engines bugs): a training doc that
+    copies benchmark text verbatim is quarantined; a fresh-vocabulary
+    doc survives with ~zero overlap; the per-source report counts
+    exactly the quarantined doc."""
+    from pdftotext_spark.operators import dedup
+
+    bench = "the held out benchmark question about astronomy " * 8
+    copycat = bench + " with a tiny suffix"
+    fresh = " ".join(f"novel{i:03d}" for i in range(60))
+    df = spark.createDataFrame(
+        [
+            (1, bench, "src0"),
+            (2, copycat, "src1"),
+            (3, fresh, "src1"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    sf = str(tmp_path)
+
+    scored = {r.doc_id: r for r in dedup.decontamination_overlap(spark, sf).collect()}
+    assert set(scored) == {2, 3}          # src0 is the benchmark side
+    assert scored[2].contamination_frac > dedup.CONTAMINATION_THRESHOLD
+    assert scored[3].contamination_frac < 0.1
+
+    kept = {r.doc_id for r in dedup.decontaminate_apply(spark, sf).collect()}
+    assert kept == {3}
+
+    rep = {r.source: r for r in dedup.decontamination_report(spark, sf).collect()}
+    assert set(rep) == {"src1"}
+    assert rep["src1"].n_docs == 2 and rep["src1"].n_quarantined == 1
+    assert rep["src1"].max_frac == round(scored[2].contamination_frac, 4)
