@@ -80,6 +80,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontamination_overlap": dedup.decontamination_overlap,  # train/test hygiene
     "decontaminate_apply": dedup.decontaminate_apply,  # quarantine filter
     "decontamination_report": dedup.decontamination_report,  # per-source rollup
+    "source_overlap_matrix": dedup.source_overlap_matrix,  # mix audit matrix
     "duplicated_span_fraction": dedup.duplicated_span_fraction,  # ExactSubstr metric
     "strip_duplicated_spans": dedup.strip_duplicated_spans,  # ExactSubstr APPLY
     "dedup_keep_best": dedup.dedup_keep_best,  # quality-argmax cluster survivor
@@ -201,6 +202,7 @@ _ORACLES: dict[str, str] = {
     "decontamination_overlap": dedup.DECONTAMINATION_OVERLAP_SQL,
     "decontaminate_apply": dedup.DECONTAMINATE_APPLY_SQL,
     "decontamination_report": dedup.DECONTAMINATION_REPORT_SQL,
+    "source_overlap_matrix": dedup.SOURCE_OVERLAP_MATRIX_SQL,
     "duplicated_span_fraction": dedup.DUPLICATED_SPAN_FRACTION_SQL,
     "strip_duplicated_spans": dedup.STRIP_DUPLICATED_SPANS_SQL,
     "dedup_keep_best": dedup.DEDUP_KEEP_BEST_SQL,
@@ -257,6 +259,7 @@ _DRIVER_GATE_FIRST = [
     # new in r5
     "decontaminate_apply",
     "decontamination_report",
+    "source_overlap_matrix",
 ]
 
 _QUERIES = {

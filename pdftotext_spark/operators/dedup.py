@@ -1016,6 +1016,100 @@ FROM totals t LEFT JOIN hits h USING (doc_id)
 """
 
 
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source near-duplication audit: for every unordered source
+    pair (including a source against itself), how many MinHash-LSH
+    candidate pairs connect them, absolute and as a rate against the
+    possible cross pairs — the corpus-mixing dashboard that answers
+    "how much of source A is already in source B" before weighting
+    sources in a training mix (the full-matrix complement of
+    :func:`decontamination_overlap`'s one-vs-rest view).
+
+    100 TB shape: the banded candidate generator (never all-pairs)
+    plus two broadcast dimension joins (doc_id → source) and a
+    grouped count over ≤ |sources|² keys."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "source")
+    pairs = minhash_lsh_pairs(spark, sf_dir)
+    sa = docs.select(
+        F.col("doc_id").alias("doc_a"), F.col("source").alias("sa")
+    )
+    sb = docs.select(
+        F.col("doc_id").alias("doc_b"), F.col("source").alias("sb")
+    )
+    tagged = (
+        pairs.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+    )
+    counts = docs.groupBy("source").agg(F.count("*").alias("n"))
+    ca = counts.select(F.col("source").alias("source_a"), F.col("n").alias("n_a"))
+    cb = counts.select(F.col("source").alias("source_b"), F.col("n").alias("n_b"))
+    # possible cross pairs: n_a*n_b for distinct sources, n*(n-1)/2
+    # within one source (integer arithmetic, portable)
+    possible = F.when(
+        F.col("source_a") == F.col("source_b"),
+        (F.col("n_a") * (F.col("n_a") - 1) / 2).cast("long"),
+    ).otherwise((F.col("n_a") * F.col("n_b")).cast("long"))
+    return (
+        tagged.groupBy("source_a", "source_b")
+        .agg(F.count("*").cast("long").alias("n_pairs"))
+        .join(F.broadcast(ca), "source_a")
+        .join(F.broadcast(cb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_pairs",
+            possible.alias("n_possible"),
+            F.round(F.col("n_pairs") / possible, 6)
+            .cast("double")
+            .alias("pair_rate"),
+        )
+    )
+
+
+SOURCE_OVERLAP_MATRIX_SQL = f"""
+WITH s AS ({_SHINGLES_SQL}),
+sig AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         {_SIG_EXPRS_SQL}
+  FROM s GROUP BY doc_id
+),
+bands AS ({_BANDS_SQL}),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id
+),
+tagged AS (
+  SELECT least(da.source, db.source) AS source_a,
+         greatest(da.source, db.source) AS source_b
+  FROM pairs
+  JOIN documents da ON da.doc_id = pairs.doc_a
+  JOIN documents db ON db.doc_id = pairs.doc_b
+),
+counts AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+grouped AS (
+  SELECT source_a, source_b, COUNT(*) AS n_pairs
+  FROM tagged GROUP BY source_a, source_b
+)
+SELECT g.source_a, g.source_b,
+       CAST(g.n_pairs AS BIGINT) AS n_pairs,
+       CAST(CASE WHEN g.source_a = g.source_b
+                 THEN ca.n * (ca.n - 1) / 2
+                 ELSE ca.n * cb.n END AS BIGINT) AS n_possible,
+       CAST(ROUND(g.n_pairs / (CASE WHEN g.source_a = g.source_b
+                 THEN ca.n * (ca.n - 1) / 2
+                 ELSE ca.n * cb.n END), 6) AS DOUBLE) AS pair_rate
+FROM grouped g
+JOIN counts ca ON ca.source = g.source_a
+JOIN counts cb ON cb.source = g.source_b
+"""
+
+
 # Quarantine cut for decontaminate_apply. Real pipelines draw this at
 # ~0.05–0.1 of 8-gram overlap (GPT-3 appendix C); the synthetic corpus
 # shares template vocabulary with the benchmark source, inflating

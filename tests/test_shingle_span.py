@@ -319,3 +319,31 @@ def test_decontaminate_apply_and_report_constructed(spark, tmp_path):
     assert set(rep) == {"src1"}
     assert rep["src1"].n_docs == 2 and rep["src1"].n_quarantined == 1
     assert rep["src1"].max_frac == round(scored[2].contamination_frac, 4)
+
+
+def test_source_overlap_matrix_constructed(spark, tmp_path):
+    """Hand-checked cross-source overlap matrix: two sources where ONE
+    doc pair is a verbatim cross-source duplicate and everything else
+    is disjoint vocabulary — exactly one (srcA, srcB) cell with
+    n_pairs == 1, n_possible == |A|*|B|, and no within-source cells."""
+    from pdftotext_spark.operators import dedup
+
+    dup = " ".join(f"dupword{i:03d}" for i in range(50))
+    rows = [
+        (1, dup, "srcA"),
+        (2, " ".join(f"alpha{i:03d}" for i in range(50)), "srcA"),
+        (3, dup + " tail", "srcB"),
+        (4, " ".join(f"beta{i:03d}" for i in range(50)), "srcB"),
+        (5, " ".join(f"gamma{i:03d}" for i in range(50)), "srcB"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    cells = {
+        (r.source_a, r.source_b): r
+        for r in dedup.source_overlap_matrix(spark, str(tmp_path)).collect()
+    }
+    assert set(cells) == {("srcA", "srcB")}
+    cell = cells[("srcA", "srcB")]
+    assert cell.n_pairs == 1
+    assert cell.n_possible == 2 * 3
+    assert cell.pair_rate == pytest.approx(1 / 6, abs=1e-6)
