@@ -171,9 +171,20 @@ _PDF_SOURCE_MIN_TOKENS = 5
 
 
 def _is_pdf_source(text: str) -> bool:
+    # check a window at EVERY header occurrence (bounded): anchoring
+    # only at the first would let a prose mention of '%PDF-' ahead of
+    # the real document hide its body (review r5 pass 2). The head
+    # window covers header-free object dumps.
+    anchors = [0]
     i = text.find("%PDF-")
-    probe = text[i : i + 4096] if i >= 0 else text[:4096]
-    return len(_PDF_STRUCT_TOKEN_RE.findall(probe)) >= _PDF_SOURCE_MIN_TOKENS
+    while i >= 0 and len(anchors) < 9:
+        anchors.append(i)
+        i = text.find("%PDF-", i + 5)
+    return any(
+        len(_PDF_STRUCT_TOKEN_RE.findall(text[a : a + 4096]))
+        >= _PDF_SOURCE_MIN_TOKENS
+        for a in anchors
+    )
 
 
 def _reject_fallback(res: ExtractResult) -> ExtractResult:
@@ -214,14 +225,20 @@ def _maybe_plain_fallback_bytes(buf: bytes, res: ExtractResult) -> ExtractResult
     )
     if textual / len(probe) < 0.9:
         return res
-    # the source-density window anchors at the header, which the deep
-    # probe may have found far past the textual-gate prefix (review
-    # r5): one bytes find + one bounded decode, no O(n) second pass
-    hdr = buf.find(b"%PDF-")
-    src_probe = (
-        decode_html_bytes(buf[hdr : hdr + 8192]) if hdr >= 0 else probe
-    )
-    if _is_pdf_source(src_probe):
+    # the source-density windows anchor at every header occurrence
+    # (bounded), which the deep probe may have found far past the
+    # textual-gate prefix \u2014 and a prose '%PDF-' mention must not
+    # shadow the real one (review r5, both passes): byte-level finds
+    # plus at most 9 bounded decodes, no O(n) second pass
+    anchors = [0]
+    i = buf.find(b"%PDF-")
+    while i >= 0 and len(anchors) < 9:
+        anchors.append(i)
+        i = buf.find(b"%PDF-", i + 5)
+    if any(
+        _is_pdf_source(decode_html_bytes(buf[a : a + 8192]))
+        for a in anchors
+    ):
         return _reject_fallback(res)
     return _plain_fallback(decode_html_bytes(buf).lstrip("\ufeff"), res)
 

@@ -278,15 +278,16 @@ class Font:
                 # question-mark code, or unknowns would collapse onto
                 # one key and overwrite each other (the r4 Type3
                 # lesson above). Multi-char decodes (ToUnicode
-                # ligature expansions 'fi'/'fl') keep the raw code
-                # key: writing the ligature advance onto ord('f')
-                # would clobber the real letter width (review r5).
+                # ligature expansions 'fi'/'fl') are SKIPPED entirely:
+                # keyed at ord('f') the ligature advance clobbers the
+                # letter width, and keyed at the raw code it shadows
+                # whatever codepoint shares that number — and no
+                # decoded-char lookup can ever reach it anyway
+                # (review r5, both passes).
                 decoded = self.map_char(code)
-                if (
-                    decoded
-                    and len(decoded) == 1
-                    and (decoded != "?" or code == 0x3F)
-                ):
+                if decoded and len(decoded) > 1:
+                    continue
+                if decoded and (decoded != "?" or code == 0x3F):
                     code = ord(decoded)
             cw[code] = w * mult if w else self.missing_width
         return cw

@@ -1147,12 +1147,17 @@ def decontamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     committing the apply.
 
     100 TB shape: the metric chain plus one broadcast dimension join
-    (doc_id → source is already in the shingle scan's input) and a
-    grouped aggregation over the handful of sources."""
+    (doc_id → source) and a grouped aggregation over the handful of
+    sources.  ``micro_frac`` is the MICRO-average (Σ contaminated
+    shingles / Σ shingles) on purpose: both sums are exact integers,
+    so the single division is order-independent in both engines —
+    AVG over per-doc double fractions is an order-dependent float
+    reduction the oracle could flake on (review r5 pass 2; the r5
+    sequential-accumulation invariant class)."""
     docs = _read(spark, sf_dir, "documents").select("doc_id", "source")
     scored = decontamination_overlap(spark, sf_dir)
     return (
-        scored.join(docs, "doc_id")
+        scored.join(F.broadcast(docs), "doc_id")
         .groupBy("source")
         .agg(
             F.count("*").cast("long").alias("n_docs"),
@@ -1163,9 +1168,10 @@ def decontamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .cast("long")
             .alias("n_quarantined"),
-            F.round(F.avg("contamination_frac"), 4)
-            .cast("double")
-            .alias("avg_frac"),
+            (
+                F.sum("n_contaminated").cast("double")
+                / F.sum("n_shingles")
+            ).alias("micro_frac"),
             F.round(F.max("contamination_frac"), 4)
             .cast("double")
             .alias("max_frac"),
@@ -1179,7 +1185,8 @@ SELECT d.source,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(CASE WHEN s.contamination_frac > {CONTAMINATION_THRESHOLD}
                      THEN 1 ELSE 0 END) AS BIGINT) AS n_quarantined,
-       CAST(ROUND(AVG(s.contamination_frac), 4) AS DOUBLE) AS avg_frac,
+       CAST(SUM(s.n_contaminated) AS DOUBLE) / SUM(s.n_shingles)
+         AS micro_frac,
        CAST(ROUND(MAX(s.contamination_frac), 4) AS DOUBLE) AS max_frac
 FROM scored s JOIN documents d ON d.doc_id = s.doc_id
 GROUP BY d.source

@@ -683,3 +683,25 @@ def test_mixed_fonts_one_page_integration():
     res = extract_document(b.build())
     assert res.text == jp + " then caféé€"
     assert res.decode_failures == 0
+
+
+def test_prose_pdf_mention_cannot_shadow_real_document():
+    """Review r5 pass 2: a prose '%PDF-' mention ahead of the real
+    junk-prefixed document must not anchor the density window away
+    from the body — every header occurrence is probed."""
+    prose = (
+        "user: my file header says %PDF-1.7 and I wonder about it. "
+        + "filler discussion text " * 200  # > 4096 chars of padding
+    )
+    body = (
+        "JUNKJUNK%PDF-1.4\n"
+        + "".join(
+            f"{i} 0 obj\n<< /Length 0 >>\nstream\nendstream\nendobj\n"
+            for i in range(1, 8)
+        )
+        + "xref\n0 8\ntrailer\n<< /Size 8 >>\nstartxref\n0\n%%EOF\n"
+    )
+    assert len(prose) > 4096
+    res = extract_payload(prose + body)
+    assert res.text == ""
+    assert any("fallback rejected" in r for r in res.failure_reasons)

@@ -239,3 +239,24 @@ def test_layout_fragments_use_metric_widths():
     narrow = frags["iiii"].width
     wide = frags["WWWW"].width
     assert wide / narrow == pytest.approx(944 / 222, rel=1e-6)
+
+
+def test_ligature_widths_never_shadow_codepoints():
+    """Review r5 pass 2: a /Widths entry whose code decodes to a
+    multi-char ToUnicode expansion is dropped from the width table —
+    keyed at ord('f') it would clobber the letter width, keyed at the
+    raw code it would shadow that codepoint's AFM entry."""
+    from pdftotext_spark.core.cmaps import ToUnicodeCMap
+
+    font = parse_font(
+        1,
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+        b"/FirstChar 251 /Widths [ 900 ] >>",
+    )
+    # code 0xFB -> 'fi' (the classic subset-font ligature mapping)
+    cmap = ToUnicodeCMap()
+    cmap.direct = {0xFB: "fi"}
+    font.cmap = cmap
+    assert font.map_char(0xFB) == "fi"
+    assert font.char_width(ord("f")) == 278.0   # AFM, not 900
+    assert font.char_width(0xFB) == 556.0       # AFM u-circumflex (u-composite) survives
