@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from pdftotext_spark.operators import (  # noqa: E402
+    curation,
     dedup,
     extraction_queries,
     relational,
@@ -81,6 +82,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontaminate_apply": dedup.decontaminate_apply,  # quarantine filter
     "decontamination_report": dedup.decontamination_report,  # per-source rollup
     "source_overlap_matrix": dedup.source_overlap_matrix,  # mix audit matrix
+    "curation_pipeline": curation.curation_pipeline,  # composed detect->apply chain
     "duplicated_span_fraction": dedup.duplicated_span_fraction,  # ExactSubstr metric
     "strip_duplicated_spans": dedup.strip_duplicated_spans,  # ExactSubstr APPLY
     "dedup_keep_best": dedup.dedup_keep_best,  # quality-argmax cluster survivor
@@ -203,6 +205,7 @@ _ORACLES: dict[str, str] = {
     "decontaminate_apply": dedup.DECONTAMINATE_APPLY_SQL,
     "decontamination_report": dedup.DECONTAMINATION_REPORT_SQL,
     "source_overlap_matrix": dedup.SOURCE_OVERLAP_MATRIX_SQL,
+    "curation_pipeline": curation.CURATION_PIPELINE_SQL,
     "duplicated_span_fraction": dedup.DUPLICATED_SPAN_FRACTION_SQL,
     "strip_duplicated_spans": dedup.STRIP_DUPLICATED_SPANS_SQL,
     "dedup_keep_best": dedup.DEDUP_KEEP_BEST_SQL,
@@ -260,6 +263,7 @@ _DRIVER_GATE_FIRST = [
     "decontaminate_apply",
     "decontamination_report",
     "source_overlap_matrix",
+    "curation_pipeline",
 ]
 
 _QUERIES = {

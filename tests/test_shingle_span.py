@@ -347,3 +347,48 @@ def test_source_overlap_matrix_constructed(spark, tmp_path):
     assert cell.n_pairs == 1
     assert cell.n_possible == 2 * 3
     assert cell.pair_rate == pytest.approx(1 / 6, abs=1e-6)
+
+
+def test_curation_pipeline_is_intersection_of_standalone_applies(spark):
+    """The composed pipeline's survivors must be EXACTLY the
+    intersection of the standalone stage survivor sets (each stage
+    reports the same policy it applies standalone), minus the
+    benchmark source."""
+    from pyspark.sql import functions as F
+
+    from pdftotext_spark.operators import curation, dedup, textstats
+
+    sf = "/root/testdata/sf0.001"
+    got = {r.doc_id for r in curation.curation_pipeline(spark, sf).collect()}
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    text = F.col("text")
+    n_words = (textstats._count_occ(text, " ") + 1).cast("long")
+    awl = F.length(F.replace(text, F.lit(" "), F.lit(""))) / n_words
+    quality = {
+        r.doc_id
+        for r in docs.filter(
+            (n_words >= textstats.QF_MIN_WORDS)
+            & (n_words <= textstats.QF_MAX_WORDS)
+            & (awl >= textstats.QF_MIN_AVG_WORD_LEN)
+            & (awl <= textstats.QF_MAX_AVG_WORD_LEN)
+        ).select("doc_id").collect()
+    }
+    non_bench = {
+        r.doc_id for r in docs.filter("source <> 'src0'").select("doc_id").collect()
+    }
+    exact_keep = {
+        r.canonical_doc_id for r in dedup.dedup_exact(spark, sf).collect()
+    }
+    lsh_losers = {
+        r.doc_b for r in dedup.minhash_lsh_pairs(spark, sf).collect()
+    }
+    decon_keep = {
+        r.doc_id for r in dedup.decontaminate_apply(spark, sf).collect()
+    }
+    expected = (
+        non_bench & quality & exact_keep & decon_keep
+    ) - lsh_losers
+    assert got == expected
+    # the pipeline must both keep a real training set and drop rows
+    assert got and len(got) < len(non_bench)
