@@ -126,6 +126,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "repetition_signals": textstats.repetition_signals,  # Gopher repetition filters
     "chunk_documents": textstats.chunk_documents,        # token-window chunking
     "unigram_logloss": textstats.unigram_logloss,        # LM cross-entropy score
+    "bigram_logloss": textstats.bigram_logloss,          # CCNet-style bigram LM filter
     "bpe_token_profile": textstats.bpe_token_profile,    # BPE-vs-ws token budget
     "stratified_sample": textstats.stratified_sample,    # deterministic eval split
     "pack_sequences": textstats.pack_sequences,          # token-budget packing
@@ -195,6 +196,7 @@ _ORACLES: dict[str, str] = {
     "repetition_signals": textstats.REPETITION_SIGNALS_SQL,
     "chunk_documents": textstats.CHUNK_DOCUMENTS_SQL,
     "unigram_logloss": textstats.UNIGRAM_LOGLOSS_SQL,
+    "bigram_logloss": textstats.BIGRAM_LOGLOSS_SQL,
     "bpe_token_profile": textstats.BPE_TOKEN_PROFILE_SQL,
     "stratified_sample": textstats.STRATIFIED_SAMPLE_SQL,
     "cube_activity": relational.CUBE_ACTIVITY_SQL,
@@ -264,6 +266,7 @@ _DRIVER_GATE_FIRST = [
     "decontamination_report",
     "source_overlap_matrix",
     "curation_pipeline",
+    "bigram_logloss",
 ]
 
 _QUERIES = {

@@ -610,6 +610,119 @@ FROM scored GROUP BY doc_id
 """
 
 
+def bigram_logloss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document cross-entropy under the corpus BIGRAM LM — the
+    CCNet-style perplexity quality filter one order up from
+    :func:`unigram_logloss`: score = -mean(log2 p), where the first
+    token pays its unigram probability and every later token pays the
+    MLE conditional p(w_i | w_{i-1}) = bigram_count / count(w_{i-1})
+    (every scored n-gram occurs in the corpus that includes the doc,
+    so p > 0 without smoothing — the unigram op's argument).
+
+    100 TB shape: bigrams come from a per-doc ARRAY slice-zip (no
+    LAG window, so the token stream never shuffles by doc_id before
+    the count aggregations); the vocab and bigram-count tables are
+    checkpointed and join back AQE-broadcast-style. Portability: the
+    same integer micro-bit rounding before the per-doc mean as the
+    unigram op (order-proof sums)."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.select(
+        "doc_id",
+        F.expr("filter(split(lower(text), ' '), x -> x <> '')").alias("a"),
+    )
+    uni = base.select("doc_id", F.explode("a").alias("tok"))
+    vocab = (
+        uni.groupBy("tok").agg(F.count("*").alias("cnt")).transform(materialize)
+    )
+    total = vocab.agg(F.sum("cnt").alias("total"))
+    firsts = base.filter(F.expr("size(a) > 0")).select(
+        "doc_id", F.expr("a[0]").alias("tok")
+    )
+    bi = base.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(a) >= 2 THEN "
+                "transform(sequence(1, size(a) - 1), "
+                "i -> struct(a[i-1] AS prev, a[i] AS tok)) "
+                "ELSE array() END"
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.prev", "b.tok")
+    bcounts = (
+        bi.groupBy("prev", "tok")
+        .agg(F.count("*").alias("bcnt"))
+        .transform(materialize)
+    )
+    micro = lambda c: F.round(-F.log2(c) * 1_000_000, 0).cast("long")  # noqa: E731
+    first_scored = (
+        firsts.join(vocab, "tok")
+        .crossJoin(F.broadcast(total))
+        .select("doc_id", micro(F.col("cnt") / F.col("total")).alias("loss_i"))
+    )
+    prev_vocab = vocab.select(
+        F.col("tok").alias("prev"), F.col("cnt").alias("prev_cnt")
+    )
+    bi_scored = (
+        bi.join(bcounts, ["prev", "tok"])
+        .join(prev_vocab, "prev")
+        .select(
+            "doc_id", micro(F.col("bcnt") / F.col("prev_cnt")).alias("loss_i")
+        )
+    )
+    return (
+        first_scored.unionByName(bi_scored)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            ((F.sum("loss_i") / F.count("*")) / 1_000_000.0).alias(
+                "logloss_bits"
+            ),
+        )
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "n_tokens",
+            "logloss_bits",
+        )
+    )
+
+
+BIGRAM_LOGLOSS_SQL = """
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS a
+  FROM documents
+),
+uni AS (SELECT doc_id, unnest(a) AS tok FROM base),
+vocab AS (SELECT tok, COUNT(*) AS cnt FROM uni GROUP BY tok),
+total AS (SELECT SUM(cnt) AS total FROM vocab),
+firsts AS (SELECT doc_id, a[1] AS tok FROM base WHERE len(a) > 0),
+bi AS (
+  -- parallel unnests zip: (a[i], a[i+1]) adjacent pairs
+  SELECT doc_id, unnest(a[1:len(a)-1]) AS prev, unnest(a[2:len(a)]) AS tok
+  FROM base WHERE len(a) >= 2
+),
+bcounts AS (SELECT prev, tok, COUNT(*) AS bcnt FROM bi GROUP BY prev, tok),
+scored AS (
+  SELECT doc_id,
+         CAST(ROUND(-log2(CAST(v.cnt AS DOUBLE) / t.total) * 1000000, 0)
+              AS BIGINT) AS loss_i
+  FROM firsts JOIN vocab v USING (tok) CROSS JOIN total t
+  UNION ALL
+  SELECT bi.doc_id,
+         CAST(ROUND(-log2(CAST(bc.bcnt AS DOUBLE) / pv.cnt) * 1000000, 0)
+              AS BIGINT) AS loss_i
+  FROM bi
+  JOIN bcounts bc ON bc.prev = bi.prev AND bc.tok = bi.tok
+  JOIN vocab pv ON pv.tok = bi.prev
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       (SUM(loss_i) * 1.0 / COUNT(*)) / 1000000.0 AS logloss_bits
+FROM scored GROUP BY doc_id
+"""
+
+
 # BPE-ish pre-tokenizer: GPT-2-style contiguous runs (letters /
 # digits / other, optional leading space) — the same pattern string
 # compiles identically under Java regex (Spark) and RE2 (DuckDB)

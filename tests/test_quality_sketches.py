@@ -316,3 +316,39 @@ def test_quantile_sketch_bounds_true_quantiles(spark):
         assert est / 2 <= true_q * 1.05 and true_q <= est * 1.05, (
             q, est, true_q,
         )
+
+
+def test_bigram_logloss_hand_checked(spark, tmp_path):
+    """Constructed corpus with hand-computable probabilities: tokens
+    a,b,a,b,a,c -> cnt(a)=3,b=2,c=1,total=6; bigrams (a,b)x2,(a,c)x1.
+    'a b' scores (-log2(3/6) - log2(2/3))/2; 'a c' pays the rarer
+    continuation -log2(1/3) and must score strictly higher."""
+    import math
+
+    import pandas as pd
+
+    from pdftotext_spark.operators import textstats
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": ["a b", "a b", "a c"],
+            "lang": ["en"] * 3,
+            "source": ["s"] * 3,
+            "n_chars": [3, 3, 3],
+        }
+    )
+    spark.createDataFrame(docs).write.mode("overwrite").parquet(
+        f"{tmp_path}/documents.parquet"
+    )
+    rows = {
+        r.doc_id: r
+        for r in textstats.bigram_logloss(spark, str(tmp_path)).collect()
+    }
+    assert {r.n_tokens for r in rows.values()} == {2}
+    ab = (-math.log2(3 / 6) - math.log2(2 / 3)) / 2
+    ac = (-math.log2(3 / 6) - math.log2(1 / 3)) / 2
+    assert rows[1].logloss_bits == pytest.approx(ab, abs=1e-5)
+    assert rows[2].logloss_bits == pytest.approx(ab, abs=1e-5)
+    assert rows[3].logloss_bits == pytest.approx(ac, abs=1e-5)
+    assert rows[3].logloss_bits > rows[1].logloss_bits
