@@ -1,0 +1,122 @@
+"""Streaming ingest curation gate: the quality + decontamination
+front-door for a live transcript feed, complementing the streaming
+dedup filters (:mod:`pdftotext_spark.streaming.dedup`).
+
+Both checks are per-turn and STATELESS against a static benchmark
+artifact, so unlike the near-dup filter there is no evolving store:
+- shallow quality gates — the same Gopher/C4 word-count and mean-
+  word-length windows as the batch operators
+  (:mod:`pdftotext_spark.operators.textstats`);
+- decontamination — the fraction of the turn's sampled whole-document
+  shingles (:func:`pdftotext_spark.operators.dedup._sampled_shingle_expr`,
+  the identical md5-threshold keep rule as every batch consumer)
+  found in a pre-materialized benchmark shingle set; turns above
+  :data:`pdftotext_spark.operators.dedup.CONTAMINATION_THRESHOLD`
+  are quarantined at ingest.
+
+At 100 TB the benchmark set is bounded by the BENCHMARK corpus (not
+the stream), lives in a parquet/Iceberg table refreshed out-of-band,
+and the per-batch probe is one left join AQE broadcasts while the
+set is small. The stream gate is the cheap high-recall front door;
+the batch ``decontaminate_apply`` pass downstream remains the exact
+authority (same split as streaming vs batch near-dup).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def write_benchmark_shingles(bench_docs: DataFrame, out_dir: str) -> None:
+    """Materialize the static benchmark shingle set the stream gate
+    probes: distinct sampled whole-document shingles of the held-out
+    benchmark corpus (one column ``sh``). Refresh out-of-band when
+    the benchmark changes."""
+    from pdftotext_spark.operators.dedup import _sampled_shingle_expr
+
+    (
+        bench_docs.select(
+            F.explode(F.expr(_sampled_shingle_expr("text"))).alias("sh")
+        )
+        .distinct()
+        .write.mode("overwrite")
+        .parquet(out_dir)
+    )
+
+
+def curation_filter_batch(output_dir: str, bench_dir: str):
+    """``foreachBatch`` body for the streaming curation gate.
+
+    Per micro-batch: apply the quality windows, score each surviving
+    turn's contamination fraction against the static benchmark
+    shingle set, drop turns above the threshold, and write survivors
+    into a per-``batch_id`` partition (overwrite ⇒ an at-least-once
+    replay replaces, never double-appends — the streaming-store
+    idempotence rule)."""
+    from pdftotext_spark.operators import textstats
+    from pdftotext_spark.operators.dedup import (
+        CONTAMINATION_THRESHOLD,
+        _sampled_shingle_expr,
+    )
+
+    def _fn(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        if batch.isEmpty():
+            return
+        keys = ["conv_id", "turn_idx"]
+        text = F.col("text")
+        n_words = (textstats._count_occ(text, " ") + 1).cast("long")
+        awl = F.length(F.replace(text, F.lit(" "), F.lit(""))) / n_words
+        q = batch.filter(
+            (n_words >= textstats.QF_MIN_WORDS)
+            & (n_words <= textstats.QF_MAX_WORDS)
+            & (awl >= textstats.QF_MIN_AVG_WORD_LEN)
+            & (awl <= textstats.QF_MAX_AVG_WORD_LEN)
+        ).localCheckpoint()  # consumed by the shingle probe AND the anti-join
+        bench = spark.read.parquet(bench_dir).withColumn("m", F.lit(1))
+        sh = q.select(
+            *keys,
+            F.explode(F.expr(_sampled_shingle_expr("text"))).alias("sh"),
+        ).distinct()
+        frac = (
+            sh.join(F.broadcast(bench), "sh", "left")
+            .groupBy(*keys)
+            .agg(
+                (
+                    F.sum(F.coalesce(F.col("m"), F.lit(0))).cast("double")
+                    / F.count("*")
+                ).alias("contamination_frac")
+            )
+        )
+        losers = frac.filter(
+            F.col("contamination_frac") > CONTAMINATION_THRESHOLD
+        ).select(*keys)
+        survivors = q.join(losers, keys, "left_anti")
+        survivors.write.mode("overwrite").parquet(
+            f"{output_dir}/batch_id={batch_id}"
+        )
+
+    return _fn
+
+
+def run_curation_stream(
+    spark,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    bench_dir: str,
+) -> None:
+    """Drain available input through the curation gate
+    (Trigger.AvailableNow). Same batch_id-keyed idempotence and
+    checkpoint caveats as ``run_neardup_dedup_stream``."""
+    from pdftotext_spark.streaming.pipeline import read_transcript_stream
+
+    q = (
+        read_transcript_stream(spark, input_dir)
+        .writeStream.foreachBatch(curation_filter_batch(output_dir, bench_dir))
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -521,3 +521,59 @@ def test_streaming_neardup_replay_is_idempotent(spark, tmp_path):
         (r.conv_id, r.turn_idx) for r in spark.read.parquet(out).collect()
     )
     assert final == [("c1", 0)]
+
+
+def test_streaming_curation_gate(spark, tmp_path):
+    """Streaming quality + decontamination gate: low-quality turns and
+    turns contaminated against the static benchmark shingle set are
+    dropped at ingest; clean turns pass; a second drained batch keeps
+    the earlier output (batch_id partitions)."""
+    import pandas as pd
+
+    from pdftotext_spark.streaming.curation import (
+        run_curation_stream,
+        write_benchmark_shingles,
+    )
+
+    bench_text = "held out benchmark passage about astronomy " * 8
+    bench_docs = spark.createDataFrame(
+        [(1, bench_text, "src0")], "doc_id long, text string, source string"
+    )
+    bench_dir = str(tmp_path / "bench_sh")
+    write_benchmark_shingles(bench_docs, bench_dir)
+    assert spark.read.parquet(bench_dir).count() > 5  # sampled, nonempty
+    # (periodic fixture: ~period distinct shingles, ~1/4 sampled)
+
+    def rows(conv, idx, text):
+        return pd.DataFrame(
+            {
+                "conv_id": [conv],
+                "turn_idx": pd.array([idx], dtype="int32"),
+                "role": ["user"],
+                "text": [text],
+                "tool": ["plain"],
+                "ts": pd.to_datetime(["2026-01-01"], utc=True).as_unit("us"),
+            }
+        )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    clean = " ".join(f"novel{i:03d}" for i in range(60))
+    b1 = pd.concat(
+        [
+            rows("c1", 0, clean),                      # passes
+            rows("c1", 1, bench_text + " tiny tail"),  # contaminated
+            rows("c2", 0, "x y"),                      # fails min-words
+        ]
+    )
+    b1.to_parquet(src / "batch1.parquet")
+    run_curation_stream(spark, str(src), out, ckpt, bench_dir)
+    got1 = {(r.conv_id, r.turn_idx) for r in spark.read.parquet(out).collect()}
+    assert got1 == {("c1", 0)}
+
+    b2 = rows("c3", 0, " ".join(f"fresh{i:03d}" for i in range(40)))
+    b2.to_parquet(src / "batch2.parquet")
+    run_curation_stream(spark, str(src), out, ckpt, bench_dir)
+    got2 = {(r.conv_id, r.turn_idx) for r in spark.read.parquet(out).collect()}
+    assert got2 == {("c1", 0), ("c3", 0)}
