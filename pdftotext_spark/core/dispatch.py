@@ -230,12 +230,15 @@ def _maybe_plain_fallback_bytes(buf: bytes, res: ExtractResult) -> ExtractResult
     # textual-gate prefix \u2014 and a prose '%PDF-' mention must not
     # shadow the real one (review r5, both passes): byte-level finds
     # plus at most 9 bounded decodes, no O(n) second pass
-    anchors = [0]
+    anchors = []
     i = buf.find(b"%PDF-")
-    while i >= 0 and len(anchors) < 9:
+    while i >= 0 and len(anchors) < 8:
         anchors.append(i)
         i = buf.find(b"%PDF-", i + 5)
-    if any(
+    # anchor 0 reuses the already-decoded textual-gate probe (the BOM
+    # lstrip is irrelevant to the token regex) — no redundant decode
+    # on the hot empty-parse path (review r5 pass 3)
+    if _is_pdf_source(probe) or any(
         _is_pdf_source(decode_html_bytes(buf[a : a + 8192]))
         for a in anchors
     ):

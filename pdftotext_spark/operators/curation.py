@@ -6,7 +6,7 @@ training-data build actually runs, as ONE DataFrame plan.
 
 1. benchmark exclusion — the held-out source (``src0``) never trains;
 2. shallow quality gates — the Gopher/C4 word-count and mean-word-
-   length windows (:mod:`pdftotext_spark.operators.textstats`);
+   length windows (:func:`textstats.qf_keep_predicate`);
 3. exact dedup — only the canonical (min doc_id) copy of each byte-
    identical text survives (:func:`dedup.dedup_exact` semantics);
 4. near-dup dedup — banded MinHash-LSH pairs, min-id survivor policy
@@ -22,7 +22,9 @@ same policy every stage reports standalone, so the pipeline output is
 exactly the intersection of the standalone survivor sets (pinned by
 test).
 
-100 TB shape: one shuffle per detector (all banded/grouped — no
+100 TB shape: ONE materialized sampled-shingle scan feeds BOTH the
+LSH and decontamination detectors (the scan is the headline cost of
+the dedup family — review r5), each detector is banded/grouped (no
 all-pairs anywhere), then three semi/anti joins on narrow doc_id
 keys; AQE broadcasts the small survivor/loser sides.
 """
@@ -33,6 +35,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pdftotext_spark.operators import dedup, textstats
+from pdftotext_spark.operators.materialize import materialize
 
 
 def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -40,25 +43,29 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     benchmark exclusion, quality gates, exact + near-dup dedup and
     decontamination (see module docstring)."""
     docs = dedup._read(spark, sf_dir, "documents")
-    text = F.col("text")
-    n_words = (textstats._count_occ(text, " ") + 1).cast("long")
-    awl = F.length(F.replace(text, F.lit(" "), F.lit(""))) / n_words
-    quality = (
-        (n_words >= textstats.QF_MIN_WORDS)
-        & (n_words <= textstats.QF_MAX_WORDS)
-        & (awl >= textstats.QF_MIN_AVG_WORD_LEN)
-        & (awl <= textstats.QF_MAX_AVG_WORD_LEN)
+    n_words = (textstats._count_occ(F.col("text"), " ") + 1).cast("long")
+    # ONE sampled shingle scan for both shingle-based detectors
+    s = (
+        dedup._shingles(docs.select("doc_id", "text"), distinct=True)
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .transform(materialize)
     )
     exact_keep = dedup.dedup_exact(spark, sf_dir).select(
         F.col("canonical_doc_id").alias("doc_id")
     )
-    lsh_losers = dedup.minhash_lsh_pairs(spark, sf_dir).select(
-        F.col("doc_b").alias("doc_id")
+    lsh_losers = dedup._lsh_pairs_from_shingles(
+        s.select("doc_id", "sh")
+    ).select(F.col("doc_b").alias("doc_id")).distinct()
+    decon_keep = (
+        dedup._contamination_scores(s)
+        .filter(
+            F.col("contamination_frac") <= dedup.CONTAMINATION_THRESHOLD
+        )
+        .select("doc_id")
     )
-    decon_keep = dedup.decontaminate_apply(spark, sf_dir).select("doc_id")
     return (
         docs.filter(F.col("source") != "src0")
-        .filter(quality)
+        .filter(textstats.qf_keep_predicate())
         .select("doc_id", "source", n_words.alias("n_tokens"))
         .join(exact_keep, "doc_id", "left_semi")
         .join(lsh_losers, "doc_id", "left_anti")
@@ -71,22 +78,15 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# the stage subqueries nest the standalone operators' own SQL twins
+# (the DECONTAMINATE_APPLY pattern) so a policy change cannot drift
+# between the pipeline oracle and the stage oracles (review r5)
 CURATION_PIPELINE_SQL = f"""
-WITH s AS ({dedup._SHINGLES_SQL}),
-sig AS (
-  SELECT CAST(doc_id AS BIGINT) AS doc_id,
-         {dedup._SIG_EXPRS_SQL}
-  FROM s GROUP BY doc_id
-),
-bands AS ({dedup._BANDS_SQL}),
-lsh_losers AS (
-  SELECT DISTINCT b.doc_id AS doc_id
-  FROM bands a JOIN bands b
-    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
-   AND a.doc_id < b.doc_id
+WITH lsh_losers AS (
+  SELECT DISTINCT doc_b AS doc_id FROM ({dedup.MINHASH_LSH_PAIRS_SQL})
 ),
 exact_keep AS (
-  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+  SELECT canonical_doc_id AS doc_id FROM ({dedup.DEDUP_EXACT_SQL})
 ),
 decon_keep AS (
   SELECT doc_id FROM ({dedup.DECONTAMINATE_APPLY_SQL})

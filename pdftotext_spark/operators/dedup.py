@@ -978,6 +978,15 @@ def decontamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = _shingles(docs.select("doc_id", "text"), distinct=True).join(
         docs.select("doc_id", "source"), "doc_id"
     ).transform(materialize)
+    return _contamination_scores(s)
+
+
+def _contamination_scores(s: DataFrame) -> DataFrame:
+    """Per-doc contamination stats from a sampled shingle frame
+    ``(doc_id, source, sh)`` (distinct per doc, materialized by the
+    caller) — shared by :func:`decontamination_overlap` and the
+    composed curation pipeline, which feeds ONE shingle scan to both
+    the LSH and decontamination detectors (review r5)."""
     bench_sh = s.filter(F.col("source") == "src0").select("sh").distinct()
     train = s.filter(F.col("source") != "src0")
     # ONE aggregation over the dominant (train) set: a marker left
@@ -1146,9 +1155,10 @@ def decontamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     the source is overall — the rollup a curation run reports before
     committing the apply.
 
-    100 TB shape: the metric chain plus one broadcast dimension join
-    (doc_id → source) and a grouped aggregation over the handful of
-    sources.  ``micro_frac`` is the MICRO-average (Σ contaminated
+    100 TB shape: the metric chain plus one doc_id join against the
+    (corpus-sized — NOT broadcastable, AQE plans it; review r5 pass 3)
+    documents projection and a grouped aggregation over the handful
+    of sources.  ``micro_frac`` is the MICRO-average (Σ contaminated
     shingles / Σ shingles) on purpose: both sums are exact integers,
     so the single division is order-independent in both engines —
     AVG over per-doc double fractions is an order-dependent float
@@ -1157,7 +1167,7 @@ def decontamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents").select("doc_id", "source")
     scored = decontamination_overlap(spark, sf_dir)
     return (
-        scored.join(F.broadcast(docs), "doc_id")
+        scored.join(docs, "doc_id")
         .groupBy("source")
         .agg(
             F.count("*").cast("long").alias("n_docs"),

@@ -167,20 +167,30 @@ QF_MIN_AVG_WORD_LEN = 2.0
 QF_MAX_AVG_WORD_LEN = 12.0
 
 
-def quality_filter_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-source keep/drop accounting under the shallow quality
-    gates (word-count and mean-word-length windows) — the filter-rate
-    dashboard a corpus-cleaning pipeline watches per ingest source."""
-    docs = _read(spark, sf_dir, "documents")
-    text = F.col("text")
+def qf_keep_predicate(text: Column = None) -> Column:
+    """The shallow quality keep predicate as a Column — single source
+    for every consumer (the per-source dashboard here, the batch
+    curation pipeline, the streaming ingest gate; review r5: three
+    textual copies of this expression had crept in), mirroring the
+    ``_QF_KEEP_SQL`` string the oracles share."""
+    if text is None:
+        text = F.col("text")
     n_words = (_count_occ(text, " ") + 1).cast("long")
     awl = F.length(F.replace(text, F.lit(" "), F.lit(""))) / n_words
-    keep = (
+    return (
         (n_words >= QF_MIN_WORDS)
         & (n_words <= QF_MAX_WORDS)
         & (awl >= QF_MIN_AVG_WORD_LEN)
         & (awl <= QF_MAX_AVG_WORD_LEN)
     )
+
+
+def quality_filter_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source keep/drop accounting under the shallow quality
+    gates (word-count and mean-word-length windows) — the filter-rate
+    dashboard a corpus-cleaning pipeline watches per ingest source."""
+    docs = _read(spark, sf_dir, "documents")
+    keep = qf_keep_predicate()
     return docs.groupBy("source").agg(
         F.count("*").cast("long").alias("n_docs"),
         F.sum(keep.cast("long")).cast("long").alias("n_kept"),

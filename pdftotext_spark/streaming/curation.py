@@ -65,22 +65,19 @@ def curation_filter_batch(output_dir: str, bench_dir: str):
         if batch.isEmpty():
             return
         keys = ["conv_id", "turn_idx"]
-        text = F.col("text")
-        n_words = (textstats._count_occ(text, " ") + 1).cast("long")
-        awl = F.length(F.replace(text, F.lit(" "), F.lit(""))) / n_words
         q = batch.filter(
-            (n_words >= textstats.QF_MIN_WORDS)
-            & (n_words <= textstats.QF_MAX_WORDS)
-            & (awl >= textstats.QF_MIN_AVG_WORD_LEN)
-            & (awl <= textstats.QF_MAX_AVG_WORD_LEN)
+            textstats.qf_keep_predicate()
         ).localCheckpoint()  # consumed by the shingle probe AND the anti-join
         bench = spark.read.parquet(bench_dir).withColumn("m", F.lit(1))
         sh = q.select(
             *keys,
             F.explode(F.expr(_sampled_shingle_expr("text"))).alias("sh"),
         ).distinct()
+        # no broadcast hint: the benchmark set refreshes out-of-band
+        # and can outgrow broadcastable size — AQE broadcasts it while
+        # small and degrades to a shuffle join when not (review r5)
         frac = (
-            sh.join(F.broadcast(bench), "sh", "left")
+            sh.join(bench, "sh", "left")
             .groupBy(*keys)
             .agg(
                 (

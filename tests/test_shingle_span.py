@@ -319,6 +319,13 @@ def test_decontaminate_apply_and_report_constructed(spark, tmp_path):
     assert set(rep) == {"src1"}
     assert rep["src1"].n_docs == 2 and rep["src1"].n_quarantined == 1
     assert rep["src1"].max_frac == round(scored[2].contamination_frac, 4)
+    # hand-checked micro-average (review r5: the oracle twin alone is
+    # blind to an identical-in-both-engines ratio inversion): exact
+    # integer sums over the scored docs, one division
+    exp_micro = sum(scored[d].n_contaminated for d in (2, 3)) / sum(
+        scored[d].n_shingles for d in (2, 3)
+    )
+    assert rep["src1"].micro_frac == pytest.approx(exp_micro, abs=1e-12)
 
 
 def test_source_overlap_matrix_constructed(spark, tmp_path):
