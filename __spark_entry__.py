@@ -103,6 +103,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "srp_buckets": similarity.srp_buckets,
     "srp_neardup_pairs": similarity.srp_neardup_pairs,
     "dedup_groups_srp": similarity.dedup_groups_srp,
+    "dedup_apply_srp": similarity.dedup_apply_srp,  # semantic-dedup apply
     "embedding_health": similarity.embedding_health,
     "ann_topk_srp": similarity.ann_topk_srp,
     # IVF ANN: iterative (KMeans) → no SQL oracle; driver records the
@@ -178,6 +179,7 @@ _ORACLES: dict[str, str] = {
     "srp_buckets": similarity.SRP_BUCKETS_SQL,
     "srp_neardup_pairs": similarity.SRP_NEARDUP_PAIRS_SQL,
     "dedup_groups_srp": similarity.DEDUP_GROUPS_SRP_SQL,
+    "dedup_apply_srp": similarity.DEDUP_APPLY_SRP_SQL,
     "embedding_health": similarity.EMBEDDING_HEALTH_SQL,
     "ann_topk_srp": similarity.ANN_TOPK_SRP_SQL,
     "lang_id": textstats.LANG_ID_SQL,
@@ -267,6 +269,7 @@ _DRIVER_GATE_FIRST = [
     "source_overlap_matrix",
     "curation_pipeline",
     "bigram_logloss",
+    "dedup_apply_srp",
 ]
 
 _QUERIES = {

@@ -472,6 +472,35 @@ SELECT * FROM (
 """
 
 
+def dedup_apply_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic (embedding) near-dup APPLY: drop every vector that
+    appears as the larger id in an SRP near-dup pair — the min-id
+    one-pass survivor policy of :func:`dedup.apply_dedup`, completing
+    the detect→apply symmetry for the similarity family (MinHash has
+    ``dedup_apply_minhash``; the full-closure alternative is
+    ``dedup_groups_srp`` + a keep policy).
+
+    100 TB shape: the banded candidate chain plus one anti-join on a
+    narrow vec_id key (AQE broadcasts the loser side while small)."""
+    from pdftotext_spark.operators.dedup import apply_dedup
+
+    emb = _read(spark, sf_dir, "embeddings").select("vec_id")
+    pairs = srp_neardup_pairs(spark, sf_dir).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    return apply_dedup(emb, pairs, id_col="vec_id").select(
+        F.col("vec_id").cast("long").alias("vec_id")
+    )
+
+
+DEDUP_APPLY_SRP_SQL = f"""
+SELECT CAST(vec_id AS BIGINT) AS vec_id FROM embeddings
+WHERE vec_id NOT IN (
+  SELECT vec_b FROM ({SRP_NEARDUP_PAIRS_SQL})
+)
+"""
+
+
 def ann_topk_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate nearest neighbours with a *deterministic* coarse
     quantizer: the inverted lists are the SRP band buckets
