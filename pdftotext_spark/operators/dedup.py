@@ -981,21 +981,22 @@ def decontamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _contamination_scores(s)
 
 
-def _contamination_scores(s: DataFrame) -> DataFrame:
-    """Per-doc contamination stats from a sampled shingle frame
-    ``(doc_id, source, sh)`` (distinct per doc, materialized by the
-    caller) — shared by :func:`decontamination_overlap` and the
-    composed curation pipeline, which feeds ONE shingle scan to both
-    the LSH and decontamination detectors (review r5)."""
-    bench_sh = s.filter(F.col("source") == "src0").select("sh").distinct()
-    train = s.filter(F.col("source") != "src0")
-    # ONE aggregation over the dominant (train) set: a marker left
-    # join tags benchmark shingles, then total and hit counts come
-    # from the same groupBy — not separate semi-join + count shuffles
-    marked = train.join(
-        bench_sh.withColumn("m", F.lit(1)), "sh", "left"
-    )
-    return marked.groupBy("doc_id").agg(
+def contamination_scores_for(
+    sh: DataFrame, bench_sh: DataFrame, key_cols: list[str]
+) -> DataFrame:
+    """Contamination scoring core, keyed by ``key_cols``: fraction of
+    each key's (distinct) sampled shingles present in ``bench_sh``
+    (one ``sh`` column). SINGLE SOURCE for the batch operators
+    (doc_id-keyed) and the streaming ingest gate ((conv_id, turn_idx)-
+    keyed) — the sketch-family rule that batch and streaming share
+    helpers, so a denominator or marker change cannot desynchronize
+    them (review r5 pass 4).
+
+    ONE aggregation over the dominant (scored) set: a marker left
+    join tags benchmark shingles, then total and hit counts come from
+    the same groupBy — not separate semi-join + count shuffles."""
+    marked = sh.join(bench_sh.withColumn("m", F.lit(1)), "sh", "left")
+    return marked.groupBy(*key_cols).agg(
         F.count("*").cast("long").alias("n_shingles"),
         F.sum(F.coalesce(F.col("m"), F.lit(0)))
         .cast("long")
@@ -1005,6 +1006,17 @@ def _contamination_scores(s: DataFrame) -> DataFrame:
             / F.count("*")
         ).alias("contamination_frac"),
     )
+
+
+def _contamination_scores(s: DataFrame) -> DataFrame:
+    """Per-doc contamination stats from a sampled shingle frame
+    ``(doc_id, source, sh)`` (distinct per doc, materialized by the
+    caller) — shared by :func:`decontamination_overlap` and the
+    composed curation pipeline, which feeds ONE shingle scan to both
+    the LSH and decontamination detectors (review r5)."""
+    bench_sh = s.filter(F.col("source") == "src0").select("sh").distinct()
+    train = s.filter(F.col("source") != "src0").select("doc_id", "sh")
+    return contamination_scores_for(train, bench_sh, ["doc_id"])
 
 
 DECONTAMINATION_OVERLAP_SQL = f"""

@@ -68,24 +68,20 @@ def curation_filter_batch(output_dir: str, bench_dir: str):
         q = batch.filter(
             textstats.qf_keep_predicate()
         ).localCheckpoint()  # consumed by the shingle probe AND the anti-join
-        bench = spark.read.parquet(bench_dir).withColumn("m", F.lit(1))
+        # no broadcast hint: the benchmark set refreshes out-of-band
+        # and can outgrow broadcastable size — AQE broadcasts it while
+        # small and degrades to a shuffle join when not (review r5).
+        # Scoring goes through the SAME single-source helper as the
+        # batch authority (review r5 pass 4: a reimplemented marker
+        # aggregation here could silently drift from it).
+        from pdftotext_spark.operators.dedup import contamination_scores_for
+
+        bench = spark.read.parquet(bench_dir).select("sh")
         sh = q.select(
             *keys,
             F.explode(F.expr(_sampled_shingle_expr("text"))).alias("sh"),
         ).distinct()
-        # no broadcast hint: the benchmark set refreshes out-of-band
-        # and can outgrow broadcastable size — AQE broadcasts it while
-        # small and degrades to a shuffle join when not (review r5)
-        frac = (
-            sh.join(bench, "sh", "left")
-            .groupBy(*keys)
-            .agg(
-                (
-                    F.sum(F.coalesce(F.col("m"), F.lit(0))).cast("double")
-                    / F.count("*")
-                ).alias("contamination_frac")
-            )
-        )
+        frac = contamination_scores_for(sh, bench, keys)
         losers = frac.filter(
             F.col("contamination_frac") > CONTAMINATION_THRESHOLD
         ).select(*keys)

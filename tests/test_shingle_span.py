@@ -405,9 +405,13 @@ def test_long_documents_sampled_volume_and_detection(spark, tmp_path):
     """Scale evidence for the whole-document sampling policy on
     LONG documents (the corpus tables average ~300 chars; real web
     docs are KBs): at the default rate the downstream shingle volume
-    is ~KEEP16/16 of positions (the cost bound), detection still
-    finds a pair whose duplicated content is ONLY in the final
-    kilobytes, and the rate lever cuts volume proportionally."""
+    is ~KEEP16/16 of positions (the cost bound), a tail-only
+    duplicate's shared content IS visible in the sampled shingle
+    sets (identically in both docs — the signal any containment-
+    aware consumer reads; banded MinHash itself targets whole-doc
+    near-identity, and jaccard ~0.06 containment is below its
+    operating point by design), and the rate lever cuts volume
+    proportionally."""
     import importlib
     import random
 
@@ -478,3 +482,39 @@ def test_long_documents_sampled_volume_and_detection(spark, tmp_path):
         del _os.environ["SPARK_GRAFT_SHINGLE_KEEP16"]
         restored = importlib.reload(dedup)
         assert restored.SHINGLE_KEEP16 == 4
+
+
+def test_dedup_apply_srp_constructed(spark, tmp_path):
+    """Hand-checked semantic test for the SRP apply (the parity gate
+    is blind to a survivor-policy inversion implemented identically in
+    both engines): two near-identical embeddings -> the LARGER vec_id
+    is dropped; an orthogonal-ish vector survives."""
+    import numpy as np
+
+    from pdftotext_spark.operators import similarity
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=64)
+    base /= np.linalg.norm(base)
+    near = base + rng.normal(scale=0.01, size=64)
+    other = rng.normal(size=64)
+    rows = [
+        (10, 0, [float(x) for x in base]),
+        (20, 0, [float(x) for x in near]),
+        (30, 0, [float(x) for x in other]),
+    ]
+    spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<float>"
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+
+    pairs = {
+        (r.vec_a, r.vec_b)
+        for r in similarity.srp_neardup_pairs(spark, str(tmp_path)).collect()
+    }
+    assert (10, 20) in pairs  # cosine ~1.0: every SRP band collides
+    kept = {
+        r.vec_id
+        for r in similarity.dedup_apply_srp(spark, str(tmp_path)).collect()
+    }
+    assert 10 in kept and 20 not in kept  # min-id survivor policy
+    assert 30 in kept                     # unrelated vector untouched
