@@ -87,6 +87,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "strip_duplicated_spans": dedup.strip_duplicated_spans,  # ExactSubstr APPLY
     "dedup_keep_best": dedup.dedup_keep_best,  # quality-argmax cluster survivor
     "dedup_group_sizes": dedup.dedup_group_sizes,            # cluster histogram
+    "containment_pairs": dedup.containment_pairs,  # asymmetric short-in-long dup
     # detect→group→apply chains (iterative CC checked against a
     # recursive-CTE transitive closure in DuckDB)
     "dedup_groups_minhash": dedup.dedup_groups_minhash,
@@ -131,6 +132,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_token_profile": textstats.bpe_token_profile,    # BPE-vs-ws token budget
     "stratified_sample": textstats.stratified_sample,    # deterministic eval split
     "pack_sequences": textstats.pack_sequences,          # token-budget packing
+    "pii_redact": textstats.pii_redact,                  # typed-mask PII scrub
+    "vocab_coverage": textstats.vocab_coverage,          # tokenizer sizing curve
     "knn_graph_srp": similarity.knn_graph_srp,           # all-corpus ANN graph
     "kmeans_ivf_topk": similarity.kmeans_ivf_topk,       # value-checked IVF ANN
 }
@@ -215,6 +218,9 @@ _ORACLES: dict[str, str] = {
     "dedup_keep_best": dedup.DEDUP_KEEP_BEST_SQL,
     "pack_sequences": textstats.PACK_SEQUENCES_SQL,
     "dedup_group_sizes": dedup.DEDUP_GROUP_SIZES_SQL,
+    "containment_pairs": dedup.CONTAINMENT_PAIRS_SQL,
+    "pii_redact": textstats.PII_REDACT_SQL,
+    "vocab_coverage": textstats.VOCAB_COVERAGE_SQL,
 }
 
 
@@ -264,6 +270,9 @@ _DRIVER_GATE_FIRST = [
     "hll_distinct",
     "bloom_novelty",
     # new in r5
+    "containment_pairs",
+    "pii_redact",
+    "vocab_coverage",
     "decontaminate_apply",
     "decontamination_report",
     "source_overlap_matrix",

@@ -242,6 +242,141 @@ WHERE common * 1.0 / (ca.n_sh + cb.n_sh - common) >= {JACCARD_THRESHOLD}
 """
 
 
+# ---------------------------------------------------- containment pairs
+
+CONTAINMENT_THRESHOLD = 0.8
+# Inverted-index candidate pruning: shingles present in more than this
+# many documents generate no candidate pairs (they are corpus
+# boilerplate — overlap through them alone is not evidence of
+# containment).  Bounds candidate volume to <= DF_CAP * |index| pairs
+# (each index row meets at most DF_CAP - 1 partners per shingle), the
+# standard frequency-pruning move of set-similarity joins (Bayardo et
+# al. 2007 "Scaling Up All Pairs Similarity Search"; Vernica et al.
+# 2010 for the MapReduce shape).  At 100 TB keep this absolute cap
+# small relative to corpus size; a pair sharing ONLY above-cap
+# shingles is missed by design (documented recall trade).
+CONTAINMENT_DF_CAP = int(
+    os.environ.get("SPARK_GRAFT_CONTAINMENT_DF_CAP", "128")
+)
+# Candidacy additionally requires this many shared WITHIN-CAP
+# shingles — the minimal-evidence rule of prefix-filtering set joins:
+# one shared rare shingle is noise on shared-vocabulary corpora
+# (measured at sf0.1: 693k pairs share >= 1 rare shingle but only 5k
+# share >= 3, and verification drops 10.5 s -> 1.1 s; the pairs lost
+# relative to a >=1 rule reach the threshold only through above-cap
+# boilerplate shingles, which the DF cap already declares
+# non-evidence of containment).
+CONTAINMENT_MIN_RARE = int(
+    os.environ.get("SPARK_GRAFT_CONTAINMENT_MIN_RARE", "3")
+)
+
+
+def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle-containment pairs: |A∩B| / |A| (and / |B|)
+    over the sampled whole-document shingle sets, keeping pairs where
+    either direction is >= CONTAINMENT_THRESHOLD.
+
+    Why it exists: banded MinHash targets symmetric whole-document
+    near-identity — a short document embedded inside a much longer one
+    has Jaccard ~ |short|/|long| (arbitrarily low) and never collides,
+    yet it is exactly the partial-duplication a training-data pipeline
+    must see (quote farms, boilerplate wrappers, chunk re-posts).
+    Containment is the directional signal that catches it.
+
+    100 TB shape: candidates come from a document-frequency-pruned
+    inverted index (shingle -> docs, df <= CONTAINMENT_DF_CAP), so the
+    self-join fan-out per shingle key is bounded by the cap — never an
+    all-pairs product; a pair is a candidate only when it shares
+    >= CONTAINMENT_MIN_RARE within-cap shingles (prefix-filtering's
+    minimal-evidence rule); exact verification then counts the FULL
+    sampled intersection for candidate pairs only (same
+    verify-on-candidates shape as :func:`ngram_jaccard_pairs`).  No
+    forced broadcast: the candidate frame grows with the corpus, so
+    AQE picks the join strategy."""
+    docs = _read(spark, sf_dir, "documents")
+    # one materialization feeds the df counts, the candidate index and
+    # both sides of the verification join
+    s = _shingles(docs).transform(materialize)
+    counts = s.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    dfreq = (
+        s.groupBy("sh")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= CONTAINMENT_DF_CAP)
+        .select("sh")
+    )
+    idx = s.join(dfreq, "sh")
+    # the rare-shingle co-occurrence count replaces a bare DISTINCT
+    # (same shuffle, map-side partial agg) and feeds the candidacy cut
+    cand = (
+        idx.select(F.col("doc_id").alias("doc_a"), "sh")
+        .join(idx.select(F.col("doc_id").alias("doc_b"), "sh"), "sh")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("common_rare"))
+        .filter(F.col("common_rare") >= CONTAINMENT_MIN_RARE)
+        .select("doc_a", "doc_b")
+    )
+    sa = s.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = s.select(F.col("doc_id").alias("sb_doc"), F.col("sh").alias("sh_b"))
+    common = (
+        cand.join(sa, "doc_a")
+        .join(
+            sb,
+            (F.col("doc_b") == F.col("sb_doc"))
+            & (F.col("sh_a") == F.col("sh_b")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("common"))
+    )
+    ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    cont_a = F.col("common") / F.col("n_a")
+    cont_b = F.col("common") / F.col("n_b")
+    return (
+        common.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .filter(F.greatest(cont_a, cont_b) >= CONTAINMENT_THRESHOLD)
+        .select(
+            F.col("doc_a").cast("long"),
+            F.col("doc_b").cast("long"),
+            F.col("common").cast("long"),
+            F.round(cont_a, 4).alias("containment_a"),
+            F.round(cont_b, 4).alias("containment_b"),
+        )
+    )
+
+
+CONTAINMENT_PAIRS_SQL = f"""
+WITH s AS ({_SHINGLES_SQL}),
+c AS (SELECT doc_id, COUNT(*) AS n_sh FROM s GROUP BY doc_id),
+keep_sh AS (
+  SELECT sh FROM s GROUP BY sh
+  HAVING COUNT(*) <= {CONTAINMENT_DF_CAP}
+),
+idx AS (SELECT s.doc_id, s.sh FROM s JOIN keep_sh USING (sh)),
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM idx a JOIN idx b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+  HAVING COUNT(*) >= {CONTAINMENT_MIN_RARE}
+),
+p AS (
+  SELECT cand.doc_a, cand.doc_b, COUNT(*) AS common
+  FROM cand
+  JOIN s sa ON sa.doc_id = cand.doc_a
+  JOIN s sb ON sb.doc_id = cand.doc_b AND sb.sh = sa.sh
+  GROUP BY cand.doc_a, cand.doc_b
+)
+SELECT CAST(p.doc_a AS BIGINT) AS doc_a, CAST(p.doc_b AS BIGINT) AS doc_b,
+       CAST(common AS BIGINT) AS common,
+       ROUND(common * 1.0 / ca.n_sh, 4) AS containment_a,
+       ROUND(common * 1.0 / cb.n_sh, 4) AS containment_b
+FROM p JOIN c ca ON ca.doc_id = p.doc_a JOIN c cb ON cb.doc_id = p.doc_b
+WHERE greatest(common * 1.0 / ca.n_sh, common * 1.0 / cb.n_sh)
+      >= {CONTAINMENT_THRESHOLD}
+"""
+
+
 # ------------------------------------------------------- MinHash + LSH
 
 

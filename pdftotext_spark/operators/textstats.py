@@ -843,3 +843,136 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
          // {PACK_BUDGET_TOKENS} AS BIGINT) AS pack_id
 FROM toks
 """
+
+
+# ------------------------------------------------------------ PII scrub
+
+# Redaction patterns, written in the common subset of Java regex
+# (Spark) and RE2 (DuckDB): no lookaround, no backrefs — both engines
+# compile these identically.  CCNet/Dolma-style corpus hygiene: mask,
+# don't drop, so the document survives with its structure intact.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE_RE = r"\b\d{3}[- .]\d{3}[- .]\d{4}\b"
+_PII_RULES = (
+    # application order matters (an email can embed an IP-like host);
+    # both engines apply the same sequence
+    ("email", PII_EMAIL_RE, "<EMAIL>"),
+    ("ip", PII_IPV4_RE, "<IP>"),
+    ("phone", PII_PHONE_RE, "<PHONE>"),
+)
+
+
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over ``documents``: replace email addresses,
+    IPv4 addresses and NANP-style phone numbers with typed mask
+    tokens, reporting per-category match counts (counted on the
+    ORIGINAL text, before any replacement — so an email-embedded IP
+    counts as both even though the email mask consumes it first).
+
+    100 TB shape: a zero-shuffle narrow map — three
+    ``regexp_replace`` + three ``regexp_count`` expressions fused into
+    one whole-stage-codegen projection over the parquet scan; scales
+    embarrassingly.  Masking (vs dropping) follows CCNet/Dolma corpus
+    practice: downstream dedup and quality signals still see the
+    document."""
+    docs = _read(spark, sf_dir, "documents")
+    red = F.col("text")
+    for _, pat, repl in _PII_RULES:
+        red = F.regexp_replace(red, pat, repl)
+    return docs.select(
+        "doc_id",
+        red.alias("redacted_text"),
+        *[
+            F.regexp_count("text", F.lit(pat)).cast("long").alias(f"n_{name}")
+            for name, pat, _ in _PII_RULES
+        ],
+    )
+
+
+def _pii_redact_sql_text() -> str:
+    expr = "text"
+    for _, pat, repl in _PII_RULES:
+        expr = f"regexp_replace({expr}, '{pat}', '{repl}', 'g')"
+    return expr
+
+
+PII_REDACT_SQL = f"""
+SELECT doc_id,
+       {_pii_redact_sql_text()} AS redacted_text,
+       {", ".join(
+           f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT)"
+           f" AS n_{name}"
+           for name, pat, _ in _PII_RULES
+       )}
+FROM documents
+"""
+
+
+# ------------------------------------------------------ vocab coverage
+
+VOCAB_TOP_K = 50
+
+
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-sizing curve: the top-K corpus terms by occurrence
+    count with each term's cumulative share of total token mass — the
+    evidence a vocabulary/tokenizer decision reads (how much of the
+    corpus do the first K entries cover?).
+
+    100 TB shape: token explode -> ONE groupBy(term) with map-side
+    partial aggregation; the top-K comes from ``orderBy().limit()``
+    which plans as TakeOrderedAndProject (per-partition heaps, no
+    global sort — a web-scale vocabulary has billions of entries, so a
+    global row_number window over the full vocab frame would funnel it
+    through one task); ranking and the running sum then operate on the
+    K-row result only.  The corpus-total denominator is an integer SUM
+    — exact, so one final division is the only float op (order-proof
+    hashing).  ROWS framing is explicit: RANGE (the default) would
+    merge count-ties across both engines' window semantics
+    differently-ordered peers."""
+    from pyspark.sql.window import Window
+
+    docs = _read(spark, sf_dir, "documents")
+    terms = docs.select(
+        F.explode(F.split(F.lower("text"), " ")).alias("term")
+    ).filter(F.col("term") != "")
+    cnt = terms.groupBy("term").agg(F.count("*").alias("cnt"))
+    total = cnt.agg(F.sum("cnt").alias("total"))
+    topk = cnt.orderBy(F.desc("cnt"), F.asc("term")).limit(VOCAB_TOP_K)
+    # the unpartitioned window below sees exactly <= VOCAB_TOP_K rows
+    w = Window.orderBy(F.desc("cnt"), F.asc("term"))
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        topk.withColumn("rank", F.row_number().over(w))
+        .withColumn("cum_cnt", F.sum("cnt").over(cum))
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col("rank").cast("long"),
+            "term",
+            F.col("cnt").cast("long"),
+            F.round(F.col("cum_cnt") / F.col("total"), 6).alias("cum_share"),
+        )
+    )
+
+
+VOCAB_COVERAGE_SQL = f"""
+WITH terms AS (
+  SELECT t.term
+  FROM documents, unnest(string_split(lower(text), ' ')) AS t(term)
+  WHERE t.term <> ''
+),
+cnt AS (SELECT term, COUNT(*) AS cnt FROM terms GROUP BY term),
+total AS (SELECT SUM(cnt) AS total FROM cnt),
+ranked AS (
+  SELECT term, cnt,
+         ROW_NUMBER() OVER (ORDER BY cnt DESC, term ASC) AS rank,
+         SUM(cnt) OVER (ORDER BY cnt DESC, term ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_cnt
+  FROM cnt
+)
+SELECT CAST(rank AS BIGINT) AS rank, term, CAST(cnt AS BIGINT) AS cnt,
+       ROUND(cum_cnt * 1.0 / total.total, 6) AS cum_share
+FROM ranked CROSS JOIN total
+WHERE rank <= {VOCAB_TOP_K}
+"""
