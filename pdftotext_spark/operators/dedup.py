@@ -70,24 +70,37 @@ def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 
-def _sampled_shingle_expr(text_col: str = "text") -> str:
+def _sampled_shingle_expr(
+    text_col: str = "text", keep_pos1: bool = True
+) -> str:
     """Spark SQL expression: whole-document char-8-gram shingle array,
     md5-threshold sampled (see SHINGLE_KEEP16).  The filter lambda's
     0-based index ``j = 0`` is the oracle's 1-based ``i = 1``
-    always-keep rule."""
+    always-keep rule.
+
+    ``keep_pos1=False`` drops the position-1 exception, making the
+    keep rule PURELY content-based: sampled(B) ⊆ sampled(A) whenever
+    B's text is a substring of A's — required by the containment
+    family, where the positional exception breaks subset semantics
+    for tiny documents (a pos-1-kept shingle of B can be sampled out
+    of A).  MinHash keeps the exception (every doc needs >= 1 shingle
+    for a signature)."""
     base = (
         f"transform(sequence(1, greatest(length({text_col}) - "
         f"{SHINGLE_LEN - 1}, 1)), i -> substring({text_col}, i, {SHINGLE_LEN}))"
     )
     if SHINGLE_KEEP16 >= 16:
         return base
+    pos1 = "j = 0 OR " if keep_pos1 else ""
     return (
-        f"filter({base}, (sh, j) -> j = 0 OR "
+        f"filter({base}, (sh, j) -> {pos1}"
         f"substring(md5(concat('s:', sh)), 1, 1) < '{_KEEP_THR}')"
     )
 
 
-def _shingles(docs: DataFrame, distinct: bool = True) -> DataFrame:
+def _shingles(
+    docs: DataFrame, distinct: bool = True, keep_pos1: bool = True
+) -> DataFrame:
     """Sampled whole-document char-8-gram shingles per doc. Pure
     built-ins: sequence → transform(substring) → filter(md5 keep) →
     explode.
@@ -95,25 +108,31 @@ def _shingles(docs: DataFrame, distinct: bool = True) -> DataFrame:
     ``distinct=False`` skips the dedup shuffle — correct whenever the
     consumer is duplicate-insensitive (MinHash ``min()`` aggregation);
     the exact-Jaccard verifiers need set semantics and keep the
-    default."""
+    default.  ``keep_pos1`` as in :func:`_sampled_shingle_expr`."""
     out = docs.select(
-        "doc_id", F.explode(F.expr(_sampled_shingle_expr())).alias("sh")
+        "doc_id",
+        F.explode(F.expr(_sampled_shingle_expr(keep_pos1=keep_pos1))).alias(
+            "sh"
+        ),
     )
     return out.distinct() if distinct else out
 
 
 def sampled_shingle_scan_sql(
-    cols: str, distinct: bool = True, where: str = ""
+    cols: str, distinct: bool = True, where: str = "", keep_pos1: bool = True
 ) -> str:
     """DuckDB twin of :func:`_shingles`: whole-document positioned
     shingle scan over ``documents`` with the identical md5-threshold
     keep rule.  ``cols`` may reference ``doc_id``, ``source``, ``sh``;
-    ``where`` is ANDed after the keep predicate."""
+    ``where`` is ANDed after the keep predicate; ``keep_pos1`` as in
+    :func:`_sampled_shingle_expr` (must match the Spark side of the
+    consuming operator)."""
     kw = "DISTINCT " if distinct else ""
+    pos1 = "i = 1 OR " if keep_pos1 else ""
     pred = (
         "TRUE"
         if SHINGLE_KEEP16 >= 16
-        else f"(i = 1 OR substr(md5('s:' || sh), 1, 1) < '{_KEEP_THR}')"
+        else f"({pos1}substr(md5('s:' || sh), 1, 1) < '{_KEEP_THR}')"
     )
     extra = f" AND ({where})" if where else ""
     return f"""
@@ -255,8 +274,11 @@ CONTAINMENT_THRESHOLD = 0.8
 # 2010 for the MapReduce shape).  At 100 TB keep this absolute cap
 # small relative to corpus size; a pair sharing ONLY above-cap
 # shingles is missed by design (documented recall trade).
-CONTAINMENT_DF_CAP = int(
-    os.environ.get("SPARK_GRAFT_CONTAINMENT_DF_CAP", "128")
+# Clamped to >= 1 like SHINGLE_KEEP16: a 0/negative lever must not
+# silently disable the operator (cap 0 = empty index) or unbound its
+# cost (min-rare 0 = the measured 693k-candidate blowup below).
+CONTAINMENT_DF_CAP = max(
+    1, int(os.environ.get("SPARK_GRAFT_CONTAINMENT_DF_CAP", "128"))
 )
 # Candidacy additionally requires this many shared WITHIN-CAP
 # shingles — the minimal-evidence rule of prefix-filtering set joins:
@@ -265,9 +287,12 @@ CONTAINMENT_DF_CAP = int(
 # share >= 3, and verification drops 10.5 s -> 1.1 s; the pairs lost
 # relative to a >=1 rule reach the threshold only through above-cap
 # boilerplate shingles, which the DF cap already declares
-# non-evidence of containment).
-CONTAINMENT_MIN_RARE = int(
-    os.environ.get("SPARK_GRAFT_CONTAINMENT_MIN_RARE", "3")
+# non-evidence of containment).  The effective requirement for a pair
+# is least(MIN_RARE, n_rare_a, n_rare_b): a document with fewer than
+# MIN_RARE within-cap shingles (a genuinely tiny doc) must still be
+# reachable through ALL the rare shingles it has.
+CONTAINMENT_MIN_RARE = max(
+    1, int(os.environ.get("SPARK_GRAFT_CONTAINMENT_MIN_RARE", "3"))
 )
 
 
@@ -287,16 +312,25 @@ def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     inverted index (shingle -> docs, df <= CONTAINMENT_DF_CAP), so the
     self-join fan-out per shingle key is bounded by the cap — never an
     all-pairs product; a pair is a candidate only when it shares
-    >= CONTAINMENT_MIN_RARE within-cap shingles (prefix-filtering's
-    minimal-evidence rule); exact verification then counts the FULL
-    sampled intersection for candidate pairs only (same
-    verify-on-candidates shape as :func:`ngram_jaccard_pairs`).  No
-    forced broadcast: the candidate frame grows with the corpus, so
-    AQE picks the join strategy."""
+    least(CONTAINMENT_MIN_RARE, n_rare_a, n_rare_b) within-cap
+    shingles (prefix-filtering's minimal-evidence rule, relaxed so a
+    tiny document with < MIN_RARE rare shingles stays reachable);
+    exact verification then counts the FULL sampled intersection for
+    candidate pairs only (same verify-on-candidates shape as
+    :func:`ngram_jaccard_pairs`).  No forced broadcast: the candidate
+    frame grows with the corpus, so AQE picks the join strategy.
+
+    Shingle sets are sampled WITHOUT the position-1 always-keep
+    exception (``keep_pos1=False``): the purely content-based keep
+    rule guarantees sampled(B) ⊆ sampled(A) whenever B's text occurs
+    verbatim inside A's, so true verbatim containment scores exactly
+    1.0 at any sampling rate — with the exception on, a tiny doc's
+    kept position-1 shingle can be sampled out of its container and
+    cap the score below threshold."""
     docs = _read(spark, sf_dir, "documents")
     # one materialization feeds the df counts, the candidate index and
     # both sides of the verification join
-    s = _shingles(docs).transform(materialize)
+    s = _shingles(docs, keep_pos1=False).transform(materialize)
     counts = s.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     dfreq = (
         s.groupBy("sh")
@@ -305,6 +339,7 @@ def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("sh")
     )
     idx = s.join(dfreq, "sh")
+    n_rare = idx.groupBy("doc_id").agg(F.count("*").alias("n_rare"))
     # the rare-shingle co-occurrence count replaces a bare DISTINCT
     # (same shuffle, map-side partial agg) and feeds the candidacy cut
     cand = (
@@ -313,7 +348,24 @@ def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("common_rare"))
-        .filter(F.col("common_rare") >= CONTAINMENT_MIN_RARE)
+        .join(
+            n_rare.select(
+                F.col("doc_id").alias("doc_a"), F.col("n_rare").alias("nr_a")
+            ),
+            "doc_a",
+        )
+        .join(
+            n_rare.select(
+                F.col("doc_id").alias("doc_b"), F.col("n_rare").alias("nr_b")
+            ),
+            "doc_b",
+        )
+        .filter(
+            F.col("common_rare")
+            >= F.least(
+                F.lit(CONTAINMENT_MIN_RARE), F.col("nr_a"), F.col("nr_b")
+            )
+        )
         .select("doc_a", "doc_b")
     )
     sa = s.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
@@ -347,18 +399,24 @@ def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 CONTAINMENT_PAIRS_SQL = f"""
-WITH s AS ({_SHINGLES_SQL}),
+WITH s AS ({sampled_shingle_scan_sql("doc_id, sh", keep_pos1=False)}),
 c AS (SELECT doc_id, COUNT(*) AS n_sh FROM s GROUP BY doc_id),
 keep_sh AS (
   SELECT sh FROM s GROUP BY sh
   HAVING COUNT(*) <= {CONTAINMENT_DF_CAP}
 ),
 idx AS (SELECT s.doc_id, s.sh FROM s JOIN keep_sh USING (sh)),
+nr AS (SELECT doc_id, COUNT(*) AS n_rare FROM idx GROUP BY doc_id),
 cand AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM idx a JOIN idx b ON a.sh = b.sh AND a.doc_id < b.doc_id
-  GROUP BY a.doc_id, b.doc_id
-  HAVING COUNT(*) >= {CONTAINMENT_MIN_RARE}
+  SELECT t.doc_a, t.doc_b
+  FROM (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common_rare
+    FROM idx a JOIN idx b ON a.sh = b.sh AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+  ) t
+  JOIN nr na ON na.doc_id = t.doc_a
+  JOIN nr nb ON nb.doc_id = t.doc_b
+  WHERE t.common_rare >= least({CONTAINMENT_MIN_RARE}, na.n_rare, nb.n_rare)
 ),
 p AS (
   SELECT cand.doc_a, cand.doc_b, COUNT(*) AS common

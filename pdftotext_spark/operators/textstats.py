@@ -875,27 +875,52 @@ def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     one whole-stage-codegen projection over the parquet scan; scales
     embarrassingly.  Masking (vs dropping) follows CCNet/Dolma corpus
     practice: downstream dedup and quality signals still see the
-    document."""
+    document.
+
+    ``probe_redacted`` redacts a deterministic doc_id-derived string
+    carrying one instance of each PII category.  Why: the synthetic
+    corpus contains no organic PII, so without it the cross-engine
+    gate compares text==text and 0==0 — value-trivially green (the r2
+    zero-row-oracle lesson, in value space).  A Java-vs-RE2 regex
+    divergence leaves per-row digits unmasked in one engine and the
+    hash mismatches."""
     docs = _read(spark, sf_dir, "documents")
-    red = F.col("text")
-    for _, pat, repl in _PII_RULES:
-        red = F.regexp_replace(red, pat, repl)
+
+    def _apply_rules(col: Column) -> Column:
+        for _, pat, repl in _PII_RULES:
+            col = F.regexp_replace(col, pat, repl)
+        return col
+
+    probe = F.concat(
+        F.lit("reach "),
+        F.col("doc_id").cast("string"),
+        F.lit("@probe.ex or 10.1."),
+        (F.col("doc_id") % 200).cast("string"),
+        F.lit(".9 at 555-010-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
     return docs.select(
         "doc_id",
-        red.alias("redacted_text"),
+        _apply_rules(F.col("text")).alias("redacted_text"),
         *[
             F.regexp_count("text", F.lit(pat)).cast("long").alias(f"n_{name}")
             for name, pat, _ in _PII_RULES
         ],
+        _apply_rules(probe).alias("probe_redacted"),
     )
 
 
-def _pii_redact_sql_text() -> str:
-    expr = "text"
+def _pii_redact_sql_text(expr: str = "text") -> str:
     for _, pat, repl in _PII_RULES:
         expr = f"regexp_replace({expr}, '{pat}', '{repl}', 'g')"
     return expr
 
+
+_PII_PROBE_SQL = (
+    "'reach ' || CAST(doc_id AS VARCHAR) || '@probe.ex or 10.1.' || "
+    "CAST(doc_id % 200 AS VARCHAR) || '.9 at 555-010-' || "
+    "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+)
 
 PII_REDACT_SQL = f"""
 SELECT doc_id,
@@ -904,7 +929,8 @@ SELECT doc_id,
            f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT)"
            f" AS n_{name}"
            for name, pat, _ in _PII_RULES
-       )}
+       )},
+       {_pii_redact_sql_text(f"({_PII_PROBE_SQL})")} AS probe_redacted
 FROM documents
 """
 

@@ -66,6 +66,33 @@ def test_containment_pairs_short_in_long(spark, tmp_path):
     assert {(a, b) for a, b, *_ in orc} == {(1, 2)}
 
 
+def test_containment_tiny_doc_scores_exactly_one(spark, tmp_path):
+    """Review catch (r5 pass on the new operators): a genuinely SHORT
+    contained document must still be found, with containment exactly
+    1.0 — the pos-1 always-keep exception would let the tiny doc's
+    kept first shingle be sampled out of the container (capping the
+    score at e.g. 3/4), and a fixed >=3 rare-shingle candidacy bar
+    would make docs with < 3 sampled shingles unreachable. The
+    containment family therefore samples WITHOUT the positional
+    exception and relaxes candidacy to least(3, n_rare_a, n_rare_b)."""
+    from pdftotext_spark.operators import dedup
+
+    long_doc = " ".join(f"word{i:03d}" for i in range(300))
+    tiny = "word100 word101 word102"
+    assert tiny in long_doc
+    sf_dir = _write_docs(
+        tmp_path, spark, [(1, long_doc, "s"), (2, tiny, "s")]
+    )
+    rows = {
+        (r.doc_a, r.doc_b): r
+        for r in dedup.containment_pairs(spark, sf_dir).collect()
+    }
+    assert set(rows) == {(1, 2)}
+    assert rows[(1, 2)].containment_b == 1.0  # exact under sampling
+    orc = _duck(sf_dir).execute(dedup.CONTAINMENT_PAIRS_SQL).fetchall()
+    assert {(a, b) for a, b, *_ in orc} == {(1, 2)}
+
+
 def test_containment_df_cap_prunes_boilerplate_only_overlap(spark, tmp_path):
     """Two documents overlapping ONLY through a shingle present in
     every document generate no candidate pair once the cap excludes
@@ -116,13 +143,18 @@ def test_pii_redact_constructed(spark, tmp_path):
     assert (out[1].n_email, out[1].n_ip, out[1].n_phone) == (2, 1, 1)
     assert out[2].redacted_text == doc2  # untouched — masking never mangles
     assert (out[2].n_email, out[2].n_ip, out[2].n_phone) == (0, 0, 0)
+    # the parity probe exercises every category on every row (the
+    # corpus itself has no organic PII, so without this the gate is
+    # value-trivial)
+    assert out[1].probe_redacted == "reach <EMAIL> or <IP> at <PHONE>"
     # DuckDB twin (RE2) reproduces the Java-regex result exactly
     orc = {
         r[0]: r
         for r in _duck(sf_dir).execute(textstats.PII_REDACT_SQL).fetchall()
     }
     assert orc[1][1] == out[1].redacted_text
-    assert orc[1][2:] == (2, 1, 1)
+    assert orc[1][2:5] == (2, 1, 1)
+    assert orc[1][5] == out[1].probe_redacted
 
 
 def test_vocab_coverage_constructed(spark, tmp_path):
