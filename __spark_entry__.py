@@ -136,6 +136,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "vocab_coverage": textstats.vocab_coverage,          # tokenizer sizing curve
     "knn_graph_srp": similarity.knn_graph_srp,           # all-corpus ANN graph
     "kmeans_ivf_topk": similarity.kmeans_ivf_topk,       # value-checked IVF ANN
+    "semdedup": similarity.semdedup,                     # SemDeDup keep/drop gate
 }
 
 _ORACLES: dict[str, str] = {
@@ -208,6 +209,7 @@ _ORACLES: dict[str, str] = {
     "pivot_daily_by_type": relational.PIVOT_DAILY_BY_TYPE_SQL,
     "knn_graph_srp": similarity.KNN_GRAPH_SRP_SQL,
     "kmeans_ivf_topk": similarity.KMEANS_IVF_TOPK_SQL,
+    "semdedup": similarity.SEMDEDUP_SQL,
     "decontamination_overlap": dedup.DECONTAMINATION_OVERLAP_SQL,
     "decontaminate_apply": dedup.DECONTAMINATE_APPLY_SQL,
     "decontamination_report": dedup.DECONTAMINATION_REPORT_SQL,
@@ -279,6 +281,7 @@ _DRIVER_GATE_FIRST = [
     "curation_pipeline",
     "bigram_logloss",
     "dedup_apply_srp",
+    "semdedup",
 ]
 
 _QUERIES = {

@@ -156,7 +156,11 @@ def cosine_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _cosine_neardup_exact(emb, counts).unionByName(srp)
 
 
-def _cosine_neardup_exact(emb: DataFrame, counts: DataFrame) -> DataFrame:
+def _cosine_neardup_exact(
+    emb: DataFrame,
+    counts: DataFrame,
+    threshold: float = NEARDUP_THRESHOLD,
+) -> DataFrame:
     """The exact chunk-pair path over the in-cap labels in ``counts``
     (value-identical to the naive bucketed join — the oracle's
     semantics)."""
@@ -231,7 +235,7 @@ def _cosine_neardup_exact(emb: DataFrame, counts: DataFrame) -> DataFrame:
             F.col("la").cast("int").alias("label"),
             F.round(cos, 4).alias("cosine"),
         )
-        .filter(F.col("cosine") >= NEARDUP_THRESHOLD)
+        .filter(F.col("cosine") >= threshold)
     )
 
 
@@ -1028,21 +1032,27 @@ def _emb_double(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def kmeans_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN whose coarse quantizer is a FULLY value-checked KMeans:
-    md5-ranked seed vectors, a FIXED number of unrolled Lloyd
-    iterations, and centroid means computed as exact DECIMAL sums
-    divided once — every float the two engines compare derives from
-    identical deterministic arithmetic, so unlike :func:`ivf_topk`
-    (pyspark.ml KMeans, iterative early-stop, rows-only check) this
-    variant has a complete DuckDB oracle.
+def _lloyd_final(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Deterministic unrolled Lloyd-KMeans shared by
+    :func:`kmeans_ivf_topk` and :func:`semdedup`: md5-ranked seed
+    vectors, a FIXED number of unrolled iterations, and centroid means
+    computed as exact DECIMAL(27,10) sums divided once — every float
+    downstream consumers compare derives from identical deterministic
+    arithmetic, so the full chain replays in DuckDB
+    (:func:`_lloyd_with`).
+
+    Returns ``(final, cent)``: ``final`` is the materialized
+    (vec_id, cluster, emb) assignment after KM_ITERS rounds; ``cent``
+    the K-row (cluster, centroid) frame it was assigned against.
 
     100 TB shape: per iteration one narrow assignment pass (vectors ×
-    K broadcast centroids, TakeOrdered per vector) and one
+    K broadcast centroids, row_number per vector) and one
     constant-key-space centroid aggregation (K × dim groups,
-    map-side partial); the probe touches only n_probe inverted lists.
-    Centroid frames are materialized per iteration (8 rows) so
-    the unrolled plan never re-derives earlier iterations."""
+    map-side partial). Centroid frames are materialized per iteration
+    (K rows) so the unrolled plan never re-derives earlier
+    iterations."""
     from pyspark.sql.window import Window
 
     emb = _emb_double(spark, sf_dir).transform(materialize)
@@ -1104,7 +1114,21 @@ def kmeans_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .transform(materialize)
         )
 
-    final = _assign(cent).transform(materialize)
+    return _assign(cent).transform(materialize), cent
+
+
+def kmeans_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN whose coarse quantizer is a FULLY value-checked KMeans
+    (:func:`_lloyd_final`) — unlike :func:`ivf_topk` (pyspark.ml
+    KMeans, iterative early-stop, rows-only check) this variant has a
+    complete DuckDB oracle.
+
+    100 TB shape: the Lloyd passes are broadcast-join + constant-key
+    aggregations (see :func:`_lloyd_final`); the probe touches only
+    n_probe inverted lists."""
+    from pyspark.sql.window import Window
+
+    final, cent = _lloyd_final(spark, sf_dir)
     q = final.filter(F.col("vec_id") == QUERY_VEC_ID).select(
         F.col("emb").alias("q_emb")
     )
@@ -1139,11 +1163,13 @@ def kmeans_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kmeans_sql() -> str:
-    """Unrolled Lloyd-KMeans + IVF probe oracle. Mirrors the Spark
-    plan exactly: sequential-fold distances, DECIMAL(27,10) centroid
-    sums with one double division (half-away-from-zero tie rounding
-    verified identical in both engines), rounded-cosine probe ranks."""
+def _lloyd_with() -> tuple[str, str]:
+    """The DuckDB WITH-body replaying :func:`_lloyd_final` exactly:
+    sequential-fold distances, DECIMAL(27,10) centroid sums with one
+    double division (half-away-from-zero tie rounding verified
+    identical in both engines). Returns ``(with_body, last_cent)``
+    where ``with_body`` defines CTEs ``emb`` … ``final`` and
+    ``last_cent`` names the final centroid CTE."""
     d2 = (
         "list_sum(list_transform(list_zip(e.emb, c.centroid), "
         "x -> (x[1] - x[2]) * (x[1] - x[2])))"
@@ -1172,18 +1198,6 @@ cent{n} AS (
   ) GROUP BY cluster
 )"""
 
-    dot = (
-        "list_sum(list_transform(list_zip({a}, {b}), x -> x[1] * x[2]))"
-    )
-    nrm = "sqrt(list_sum(list_transform({a}, x -> x * x)))"
-    cos_q = (
-        dot.format(a="{v}", b="q.q_emb")
-        + " / ("
-        + nrm.format(a="{v}")
-        + " * "
-        + nrm.format(a="q.q_emb")
-        + ")"
-    )
     iters = []
     prev = "cent0"
     for it in range(1, KM_ITERS + 1):
@@ -1191,8 +1205,7 @@ cent{n} AS (
         iters.append(update(it, f"assign{it}") + ",")
         prev = f"cent{it}"
     chain = "\n".join(iters)
-    return f"""
-WITH emb AS (
+    body = f"""emb AS (
   SELECT CAST(vec_id AS BIGINT) AS vec_id,
          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
   FROM embeddings
@@ -1212,7 +1225,28 @@ final AS (
                               ORDER BY {d2} ASC, c.cluster ASC) AS rn
     FROM emb e CROSS JOIN {prev} c
   ) WHERE rn = 1
-),
+)"""
+    return body, prev
+
+
+_SQL_DOT = "list_sum(list_transform(list_zip({a}, {b}), x -> x[1] * x[2]))"
+_SQL_NRM = "sqrt(list_sum(list_transform({a}, x -> x * x)))"
+
+
+def _kmeans_sql() -> str:
+    """IVF probe over the :func:`_lloyd_with` chain (rounded-cosine
+    probe ranks — the :func:`kmeans_ivf_topk` oracle)."""
+    body, prev = _lloyd_with()
+    cos_q = (
+        _SQL_DOT.format(a="{v}", b="q.q_emb")
+        + " / ("
+        + _SQL_NRM.format(a="{v}")
+        + " * "
+        + _SQL_NRM.format(a="q.q_emb")
+        + ")"
+    )
+    return f"""
+WITH {body},
 q AS (SELECT emb AS q_emb FROM final WHERE vec_id = {QUERY_VEC_ID}),
 probe AS (
   SELECT cluster FROM (
@@ -1234,3 +1268,160 @@ LIMIT {TOP_K}
 
 
 KMEANS_IVF_TOPK_SQL = _kmeans_sql()
+
+
+# SemDeDup pair threshold. The synthetic embeddings are
+# near-orthogonal, so the corpus-wide near-dup threshold (0.30, see
+# NEARDUP_THRESHOLD) doubles as a non-trivial semantic-duplicate bar
+# within KMeans clusters: clusters group the higher-cosine vectors, so
+# the gate checks a real kept/dropped split, not an all-kept no-op.
+SEMDEDUP_EPS = NEARDUP_THRESHOLD
+
+
+def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication via k-means clustering of the embedding space, then
+    within-cluster cosine near-duplicate detection, keeping per
+    duplicate relation the vector FARTHEST from its centroid (lowest
+    centroid-cosine — the paper's keep rule, which preserves
+    cluster-edge diversity). A vector is dropped iff some same-cluster
+    vector at pair-cosine ≥ SEMDEDUP_EPS outranks it (lower rounded
+    centroid-cosine, vec_id ascending tie-break).
+
+    Output: one row per vector — (vec_id, cluster, centroid_cos,
+    n_neighbors, is_kept); survivors are ``is_kept``.
+
+    100 TB shape: the quantizer is :func:`_lloyd_final` (broadcast
+    assignment + constant-key centroid aggs); within-cluster pairs run
+    the chunk-pair scheme of :func:`_cosine_neardup_exact` (per-task
+    work ≤ CHUNK_SIZE², value-identical to the naive bucketed join).
+    Total pair work is Σ cluster² — inherent to SemDeDup, and the
+    paper's own mitigation applies: K scales with corpus size so
+    cluster cardinality stays bounded (they use 50k clusters for
+    LAION-440M; KM_K=8 here fits the 500-row test corpus). Oversized
+    clusters could additionally route through
+    :func:`_srp_label_candidates` exactly like
+    :func:`cosine_neardup_pairs` above EXACT_BUCKET_CAP."""
+    final, cent = _lloyd_final(spark, sf_dir)
+    ccos_col = _dot(F.col("emb"), F.col("centroid")) / (
+        _norm(F.col("emb")) * _norm(F.col("centroid"))
+    )
+    # one row per vector with its rounded centroid-cosine (the keep
+    # rank); materialized — it feeds the pair path, both rank joins,
+    # and the final left join
+    ccos = (
+        final.join(F.broadcast(cent), "cluster")
+        .select(
+            "vec_id",
+            "cluster",
+            "emb",
+            F.round(ccos_col, 4).alias("centroid_cos"),
+        )
+        .transform(materialize)
+    )
+    emb_pairs = ccos.select(
+        F.col("cluster").alias("label"),
+        "vec_id",
+        F.col("emb").alias("embedding"),
+    ).withColumn("nrm", _norm(F.col("embedding")))
+    counts = (
+        emb_pairs.groupBy("label")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn(
+            "n_chunks", F.ceil(F.col("cnt") / CHUNK_SIZE).cast("int")
+        )
+    )
+    pairs = _cosine_neardup_exact(
+        emb_pairs, counts, threshold=SEMDEDUP_EPS
+    )
+    ra = ccos.select(
+        F.col("vec_id").alias("vec_a"), F.col("centroid_cos").alias("ca")
+    )
+    rb = ccos.select(
+        F.col("vec_id").alias("vec_b"), F.col("centroid_cos").alias("cb")
+    )
+    m = pairs.join(ra, "vec_a").join(rb, "vec_b")
+    # pairs have vec_a < vec_b, so exactly one side loses: a is beaten
+    # iff b's rank is strictly better (cb < ca); on a centroid-cos tie
+    # the smaller vec_id (a) wins
+    beaten_a = (F.col("cb") < F.col("ca")).cast("int")
+    directed = m.select(
+        F.col("vec_a").alias("vec_id"), beaten_a.alias("beaten")
+    ).unionByName(
+        m.select(
+            F.col("vec_b").alias("vec_id"),
+            (1 - beaten_a).alias("beaten"),
+        )
+    )
+    agg = directed.groupBy("vec_id").agg(
+        F.count("*").alias("n_neighbors"), F.max("beaten").alias("dropped")
+    )
+    return ccos.join(agg, "vec_id", "left").select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("cluster").cast("int").alias("cluster"),
+        "centroid_cos",
+        F.coalesce(F.col("n_neighbors"), F.lit(0))
+        .cast("long")
+        .alias("n_neighbors"),
+        (F.coalesce(F.col("dropped"), F.lit(0)) == 0).alias("is_kept"),
+    )
+
+
+def _semdedup_sql() -> str:
+    """SemDeDup oracle: the :func:`_lloyd_with` chain, then the naive
+    within-cluster pair join (value-identical to the Spark chunk-pair
+    scheme) with the same rounded-cosine threshold and keep rule."""
+    body, prev = _lloyd_with()
+    ccos = (
+        _SQL_DOT.format(a="f.emb", b="c.centroid")
+        + " / ("
+        + _SQL_NRM.format(a="f.emb")
+        + " * "
+        + _SQL_NRM.format(a="c.centroid")
+        + ")"
+    )
+    paircos = (
+        _SQL_DOT.format(a="a.emb", b="b.emb")
+        + " / ("
+        + _SQL_NRM.format(a="a.emb")
+        + " * "
+        + _SQL_NRM.format(a="b.emb")
+        + ")"
+    )
+    return f"""
+WITH {body},
+ccos AS (
+  SELECT f.vec_id, f.cluster, f.emb,
+         ROUND({ccos}, 4) AS centroid_cos
+  FROM final f JOIN {prev} c USING (cluster)
+),
+matched AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb,
+         a.centroid_cos AS ca, b.centroid_cos AS cb
+  FROM ccos a JOIN ccos b
+    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  WHERE ROUND({paircos}, 4) >= {SEMDEDUP_EPS}
+),
+directed AS (
+  SELECT va AS vec_id,
+         CASE WHEN cb < ca THEN 1 ELSE 0 END AS beaten
+  FROM matched
+  UNION ALL
+  SELECT vb,
+         CASE WHEN cb < ca THEN 0 ELSE 1 END
+  FROM matched
+),
+agg AS (
+  SELECT vec_id, COUNT(*) AS n_neighbors, MAX(beaten) AS dropped
+  FROM directed GROUP BY vec_id
+)
+SELECT CAST(c.vec_id AS BIGINT) AS vec_id,
+       CAST(c.cluster AS INT) AS cluster,
+       c.centroid_cos,
+       CAST(COALESCE(a.n_neighbors, 0) AS BIGINT) AS n_neighbors,
+       COALESCE(a.dropped, 0) = 0 AS is_kept
+FROM ccos c LEFT JOIN agg a USING (vec_id)
+"""
+
+
+SEMDEDUP_SQL = _semdedup_sql()

@@ -152,6 +152,119 @@ def test_kmeans_ivf_recall_vs_exact(spark):
     assert similarity.QUERY_VEC_ID not in approx
 
 
+def test_semdedup_constructed_keep_rule(spark, tmp_path):
+    """Hand-checked SemDeDup semantics (the parity gate is blind to a
+    keep-rule inversion implemented identically in both engines):
+    replay the within-cluster pair scan + the paper's keep rule
+    (FARTHEST-from-centroid survives, smaller vec_id on ties) in pure
+    Python against the engine's own cluster/centroid_cos outputs and
+    require an exact kept/dropped/n_neighbors match on every vector —
+    plus a planted pair where the member closer to its centroid is
+    the one dropped."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import numpy as np
+
+    from pdftotext_spark.operators import similarity
+
+    rng = np.random.default_rng(7)
+    dim = 16
+    rows = []
+    vid = 0
+    # four well-separated direction groups -> clusters with real mass;
+    # within a group every pair is a near-dup (cosine ~0.995 >> eps)
+    for g in range(4):
+        base = np.zeros(dim)
+        base[g] = 1.0
+        for _ in range(6):
+            v = base + rng.normal(scale=0.05, size=dim)
+            rows.append((vid, 0, [float(x) for x in v]))
+            vid += 1
+    # planted near-dup pair in group 0: A sits on the centroid mass,
+    # B is tilted away (pair cosine ~0.89 >= eps, lower centroid-cos)
+    a = np.zeros(dim)
+    a[0] = 1.0
+    b = 0.9 * a
+    b[1] = 0.45
+    rows.append((100, 0, [float(x) for x in a]))
+    rows.append((200, 0, [float(x) for x in b]))
+    # two mutually-orthogonal loners: near-dup of nothing -> exercise
+    # the kept-with-zero-neighbors left-join path
+    for loner_dim, loner_id in ((5, 300), (6, 400)):
+        v = np.zeros(dim)
+        v[loner_dim] = 1.0
+        rows.append((loner_id, 0, [float(x) for x in v]))
+    spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<float>"
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+
+    out = {
+        r.vec_id: r
+        for r in similarity.semdedup(spark, str(tmp_path)).collect()
+    }
+    assert len(out) == len(rows)
+
+    # independent Python replay; float32 storage then double math,
+    # strict left-to-right accumulation (the JVM fold order)
+    emb = {
+        r[0]: np.array(r[2], dtype=np.float32).astype(np.float64)
+        for r in rows
+    }
+
+    def seqdot(x, y):
+        acc = 0.0
+        for i in range(len(x)):
+            acc += x[i] * y[i]
+        return acc
+
+    def cos4(x, y):
+        c = seqdot(x, y) / (
+            math.sqrt(seqdot(x, x)) * math.sqrt(seqdot(y, y))
+        )
+        # Spark ROUND on doubles goes through the shortest-repr
+        # decimal, HALF_UP
+        return float(
+            Decimal(repr(c)).quantize(Decimal("0.0001"), ROUND_HALF_UP)
+        )
+
+    clusters: dict[int, list[int]] = {}
+    for v, r in out.items():
+        clusters.setdefault(r.cluster, []).append(v)
+    nbrs = {v: 0 for v in emb}
+    beaten = {v: False for v in emb}
+    for vids in clusters.values():
+        svids = sorted(vids)
+        for i, va in enumerate(svids):
+            for vb in svids[i + 1 :]:
+                if cos4(emb[va], emb[vb]) < similarity.SEMDEDUP_EPS:
+                    continue
+                nbrs[va] += 1
+                nbrs[vb] += 1
+                # exactly one side loses: a iff b ranks strictly
+                # better (lower centroid-cos); tie -> smaller id wins
+                if out[vb].centroid_cos < out[va].centroid_cos:
+                    beaten[va] = True
+                else:
+                    beaten[vb] = True
+    for v in emb:
+        assert out[v].n_neighbors == nbrs[v], v
+        assert out[v].is_kept == (not beaten[v]), v
+
+    # planted semantics: same cluster, B farther from centroid, so A
+    # (the one CLOSER to its centroid) is dropped and B survives
+    assert out[100].cluster == out[200].cluster
+    assert out[200].centroid_cos < out[100].centroid_cos
+    assert not out[100].is_kept
+    assert out[200].is_kept
+    # loners never pair, always kept
+    for loner_id in (300, 400):
+        assert out[loner_id].n_neighbors == 0 and out[loner_id].is_kept
+    # the gate is non-trivial both ways
+    kept = [r.is_kept for r in out.values()]
+    assert any(kept) and not all(kept)
+
+
 def test_repetition_and_chunking_match_python_model(spark, tmp_path):
     """Differential check on 200 seeded random docs: the zero-shuffle
     array-expression plans must agree exactly with a direct Python
