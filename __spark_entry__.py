@@ -137,6 +137,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_graph_srp": similarity.knn_graph_srp,           # all-corpus ANN graph
     "kmeans_ivf_topk": similarity.kmeans_ivf_topk,       # value-checked IVF ANN
     "semdedup": similarity.semdedup,                     # SemDeDup keep/drop gate
+    "dsir_select": textstats.dsir_select,                # DSIR importance resampling
+    "mix_weights": textstats.mix_weights,                # temperature source mixing
 }
 
 _ORACLES: dict[str, str] = {
@@ -210,6 +212,8 @@ _ORACLES: dict[str, str] = {
     "knn_graph_srp": similarity.KNN_GRAPH_SRP_SQL,
     "kmeans_ivf_topk": similarity.KMEANS_IVF_TOPK_SQL,
     "semdedup": similarity.SEMDEDUP_SQL,
+    "dsir_select": textstats.DSIR_SELECT_SQL,
+    "mix_weights": textstats.MIX_WEIGHTS_SQL,
     "decontamination_overlap": dedup.DECONTAMINATION_OVERLAP_SQL,
     "decontaminate_apply": dedup.DECONTAMINATE_APPLY_SQL,
     "decontamination_report": dedup.DECONTAMINATION_REPORT_SQL,
@@ -282,6 +286,8 @@ _DRIVER_GATE_FIRST = [
     "bigram_logloss",
     "dedup_apply_srp",
     "semdedup",
+    "dsir_select",
+    "mix_weights",
 ]
 
 _QUERIES = {

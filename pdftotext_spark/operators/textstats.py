@@ -1002,3 +1002,222 @@ SELECT CAST(rank AS BIGINT) AS rank, term, CAST(cnt AS BIGINT) AS cnt,
 FROM ranked CROSS JOIN total
 WHERE rank <= {VOCAB_TOP_K}
 """
+
+
+# DSIR (Xie et al. 2023, arXiv:2302.03169) hashed-feature importance
+# resampling. Feature space = md5-prefix buckets (16^DSIR_BUCKETS_HEX
+# buckets; the paper uses 10k hashed n-grams — the prefix length is
+# the scale lever and, being md5-derived, replays in DuckDB like
+# every other pseudo-random draw in this repo). Selection is the
+# deterministic top-N by log importance weight (the paper resamples
+# with Gumbel noise; rank-by-weight is its noise-free limit and the
+# only oracle-checkable variant).
+DSIR_BUCKETS_HEX = 2  # 16^2 = 256 hashed feature buckets
+DSIR_SELECT_N = 200  # resample size
+_DSIR_B = 16**DSIR_BUCKETS_HEX
+
+
+def dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection via Importance Resampling: score every document
+    by sum_tokens log2(p_target(bucket) / p_raw(bucket)) under
+    add-one-smoothed hashed-unigram LMs, where the target distribution
+    is the lexicographically-first source (a stand-in for "the
+    high-quality domain" — Wikipedia in the paper) and the raw
+    distribution is the whole corpus; keep the top DSIR_SELECT_N.
+
+    100 TB shape: one token scan; both bucket-count tables are at most
+    16^DSIR_BUCKETS_HEX rows (constant key space, map-side partial
+    agg) and join back broadcast; the top-N plans as
+    TakeOrderedAndProject on the integer-summed weight (never a global
+    window). Portability: per-token log2 values are integer-scaled to
+    micro-bits before the per-doc sum (order-proof addition, the
+    unigram_logloss convention) and selection ranks on the exact
+    integer sum with a doc_id tie-break."""
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.expr("filter(split(lower(text), ' '), x -> x <> '')")
+        ).alias("tok"),
+    ).withColumn(
+        "bucket", F.substring(F.md5("tok"), 1, DSIR_BUCKETS_HEX)
+    )
+    target = docs.agg(F.min("source").alias("tsrc"))
+    raw_cnt = (
+        toks.groupBy("bucket")
+        .agg(F.count("*").alias("cr"))
+        .transform(materialize)
+    )
+    tgt_cnt = (
+        toks.join(
+            F.broadcast(target), F.col("source") == F.col("tsrc")
+        )
+        .groupBy("bucket")
+        .agg(F.count("*").alias("ct"))
+        .transform(materialize)
+    )
+    totals = (
+        raw_cnt.agg(F.sum("cr").alias("tr"))
+        .crossJoin(
+            tgt_cnt.agg(F.coalesce(F.sum("ct"), F.lit(0)).alias("tt"))
+        )
+    )
+    ratio = (
+        (F.coalesce(F.col("ct"), F.lit(0)) + F.lit(1.0))
+        / (F.col("tt") + F.lit(float(_DSIR_B)))
+    ) / ((F.col("cr") + F.lit(1.0)) / (F.col("tr") + F.lit(float(_DSIR_B))))
+    scored_tok = (
+        toks.join(F.broadcast(raw_cnt), "bucket")
+        .join(F.broadcast(tgt_cnt), "bucket", "left")
+        .crossJoin(F.broadcast(totals))
+        .withColumn(
+            "lw_i",
+            F.round(F.log2(ratio) * 1_000_000, 0).cast("long"),
+        )
+    )
+    doc = scored_tok.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.sum("lw_i").alias("lw"),
+    )
+    # top-N ids by exact integer weight -> TakeOrderedAndProject
+    sel = (
+        doc.orderBy(F.desc("lw"), F.asc("doc_id"))
+        .limit(DSIR_SELECT_N)
+        .select("doc_id", F.lit(True).alias("selected"))
+    )
+    return doc.join(F.broadcast(sel), "doc_id", "left").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "n_tokens",
+        (F.col("lw") / F.lit(1_000_000.0)).alias("logweight_bits"),
+        F.coalesce(F.col("selected"), F.lit(False)).alias("selected"),
+    )
+
+
+DSIR_SELECT_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, source, substr(md5(t.tok), 1, {DSIR_BUCKETS_HEX}) AS bucket
+  FROM documents, unnest(string_split(lower(text), ' ')) AS t(tok)
+  WHERE t.tok <> ''
+),
+tgt AS (SELECT MIN(source) AS tsrc FROM documents),
+raw_cnt AS (SELECT bucket, COUNT(*) AS cr FROM toks GROUP BY bucket),
+tgt_cnt AS (
+  SELECT bucket, COUNT(*) AS ct
+  FROM toks CROSS JOIN tgt WHERE source = tsrc GROUP BY bucket
+),
+totals AS (
+  SELECT (SELECT SUM(cr) FROM raw_cnt) AS tr,
+         (SELECT COALESCE(SUM(ct), 0) FROM tgt_cnt) AS tt
+),
+scored_tok AS (
+  SELECT k.doc_id,
+         CAST(ROUND(log2(
+           ((COALESCE(c.ct, 0) + 1.0) / (t.tt + {_DSIR_B}.0))
+           / ((r.cr + 1.0) / (t.tr + {_DSIR_B}.0))
+         ) * 1000000, 0) AS BIGINT) AS lw_i
+  FROM toks k
+  JOIN raw_cnt r USING (bucket)
+  LEFT JOIN tgt_cnt c USING (bucket)
+  CROSS JOIN totals t
+),
+doc AS (
+  SELECT doc_id, COUNT(*) AS n_tokens, SUM(lw_i) AS lw
+  FROM scored_tok GROUP BY doc_id
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY lw DESC, doc_id ASC) AS rn
+  FROM doc
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       lw / 1000000.0 AS logweight_bits,
+       rn <= {DSIR_SELECT_N} AS selected
+FROM ranked
+"""
+
+
+# Temperature exponent for source mixing. alpha=0.5 means q_s is
+# proportional to sqrt(p_s): sqrt is correctly-rounded IEEE-754 in
+# both engines, so the unnormalized weights are bit-identical
+# cross-engine before the (integer-scaled, order-proof) normalization.
+MIX_TEMP_ALPHA = 0.5
+
+
+def mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened source sampling weights — the
+    multilingual mixing rule of mT5 / XLM-R (q_s proportional to
+    p_s^alpha with alpha < 1): upsample low-resource sources, damp
+    dominant ones. p_s = source s's share of corpus tokens;
+    oversample = q_s / p_s is the rate multiplier a sampler applies
+    to that source (> 1 boosts).
+
+    100 TB shape: one token-count scan aggregated to the (tiny,
+    constant-key) per-source table, then scalar broadcast joins —
+    never a shuffle wider than the source count. Portability: the
+    normalizing sum adds INTEGER-scaled sqrt values (1e12) so
+    addition order can't perturb the weights; oversample divides the
+    two single-division doubles (identical expression both engines)
+    and rounds once at the end."""
+    docs = _read(spark, sf_dir, "documents").select("source", "text")
+    per_src = (
+        docs.select(
+            "source",
+            F.size(
+                F.expr("filter(split(lower(text), ' '), x -> x <> '')")
+            ).cast("long").alias("n"),
+        )
+        .groupBy("source")
+        .agg(F.sum("n").alias("n_tokens"))
+        .transform(materialize)
+    )
+    total = per_src.agg(F.sum("n_tokens").alias("total"))
+    with_p = per_src.crossJoin(F.broadcast(total)).withColumn(
+        "sq_i",
+        F.round(
+            F.sqrt(F.col("n_tokens") / F.col("total")) * 1e12, 0
+        ).cast("long"),
+    )
+    ssum = with_p.agg(F.sum("sq_i").alias("ssum"))
+    return (
+        with_p.crossJoin(F.broadcast(ssum))
+        .select(
+            "source",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.round(F.col("n_tokens") / F.col("total"), 6).alias("p_raw"),
+            F.round(F.col("sq_i") / F.col("ssum"), 6).alias("weight"),
+            F.round(
+                (F.col("sq_i") / F.col("ssum"))
+                / (F.col("n_tokens") / F.col("total")),
+                6,
+            ).alias("oversample"),
+        )
+    )
+
+
+MIX_WEIGHTS_SQL = """
+WITH per_src AS (
+  SELECT source,
+         SUM(len(list_filter(string_split(lower(text), ' '),
+                             x -> x <> ''))) AS n_tokens
+  FROM documents GROUP BY source
+),
+total AS (SELECT SUM(n_tokens) AS total FROM per_src),
+with_p AS (
+  SELECT source, n_tokens,
+         CAST(ROUND(sqrt(n_tokens * 1.0 / total) * 1e12, 0) AS BIGINT)
+           AS sq_i,
+         total
+  FROM per_src CROSS JOIN total
+),
+ssum AS (SELECT SUM(sq_i) AS ssum FROM with_p)
+SELECT source,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       ROUND(n_tokens * 1.0 / total, 6) AS p_raw,
+       ROUND(sq_i * 1.0 / ssum, 6) AS weight,
+       ROUND((sq_i * 1.0 / ssum) / (n_tokens * 1.0 / total), 6)
+         AS oversample
+FROM with_p CROSS JOIN ssum
+"""

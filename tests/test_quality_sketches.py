@@ -465,3 +465,94 @@ def test_bigram_logloss_hand_checked(spark, tmp_path):
     assert rows[2].logloss_bits == pytest.approx(ab, abs=1e-5)
     assert rows[3].logloss_bits == pytest.approx(ac, abs=1e-5)
     assert rows[3].logloss_bits > rows[1].logloss_bits
+
+
+def test_dsir_select_constructed_ranking(spark, tmp_path):
+    """Hand-checked DSIR semantics: with a target source whose vocab
+    is disjoint from the bulk's, every target-vocab document must get
+    a positive log importance weight, every bulk-vocab document a
+    negative one, and the top-N selection must take all target-vocab
+    docs first then fill by doc_id tie-break — computed WITHOUT
+    replaying floats (margin-based), so the test is independent of
+    both engines' log arithmetic."""
+    import pandas as pd
+
+    from pdftotext_spark.operators import textstats
+
+    tgt_text = "qq ww ee rr qq ww"
+    bulk_text = "aa bb cc dd aa bb"
+    rows = []
+    # 10 target docs (source 'a' = MIN(source) -> the target domain)
+    for i in range(10):
+        rows.append((i, tgt_text, "en", "a", len(tgt_text)))
+    # 120 bulk docs written in the TARGET vocab (should be selected)
+    for i in range(100, 220):
+        rows.append((i, tgt_text, "en", "z", len(tgt_text)))
+    # 120 bulk docs in the bulk vocab (negative weight)
+    for i in range(300, 420):
+        rows.append((i, bulk_text, "en", "z", len(bulk_text)))
+    pdf = pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+
+    out = {
+        r.doc_id: r
+        for r in textstats.dsir_select(spark, str(tmp_path)).collect()
+    }
+    assert len(out) == 250
+    tgt_ids = set(range(10)) | set(range(100, 220))
+    bulk_ids = set(range(300, 420))
+    # DSIR weights are relative (smoothing shifts the absolute level):
+    # every target-vocab doc must strictly outrank every bulk-vocab doc
+    tgt_lw = {out[d].logweight_bits for d in tgt_ids}
+    bulk_lw = {out[d].logweight_bits for d in bulk_ids}
+    assert min(tgt_lw) > max(bulk_lw)
+    for d in tgt_ids:
+        assert out[d].n_tokens == 6
+    # identical content -> identical weight within each group
+    assert len({out[d].logweight_bits for d in tgt_ids}) == 1
+    assert len({out[d].logweight_bits for d in bulk_ids}) == 1
+    # top-200: all 130 target-vocab docs, then the 70 smallest bulk
+    # doc_ids on the tie-break
+    expected_sel = tgt_ids | set(sorted(bulk_ids)[:70])
+    got_sel = {d for d, r in out.items() if r.selected}
+    assert got_sel == expected_sel
+    assert len(got_sel) == textstats.DSIR_SELECT_N
+
+
+def test_mix_weights_hand_checked(spark, tmp_path):
+    """Temperature mixing on a 90/10 token split: p = (0.9, 0.1),
+    q proportional to sqrt(p) -> (0.75, 0.25), oversample (0.8333...,
+    2.5) — the XLM-R upsampling of the low-resource source."""
+    import pandas as pd
+
+    from pdftotext_spark.operators import textstats
+
+    rows = []
+    # source 'big': 9 docs x 10 tokens = 90; 'small': 1 doc x 10 = 10
+    for i in range(9):
+        rows.append((i, " ".join(["tok"] * 10), "en", "big", 40))
+    rows.append((99, " ".join(["tok"] * 10), "en", "small", 40))
+    pdf = pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+
+    out = {
+        r.source: r
+        for r in textstats.mix_weights(spark, str(tmp_path)).collect()
+    }
+    assert set(out) == {"big", "small"}
+    assert out["big"].n_tokens == 90 and out["small"].n_tokens == 10
+    assert out["big"].p_raw == 0.9 and out["small"].p_raw == 0.1
+    assert abs(out["big"].weight - 0.75) < 1e-6
+    assert abs(out["small"].weight - 0.25) < 1e-6
+    assert abs(out["big"].oversample - 0.833333) < 1e-5
+    assert abs(out["small"].oversample - 2.5) < 1e-6
+    # weights are a distribution
+    assert abs(out["big"].weight + out["small"].weight - 1.0) < 1e-9
