@@ -1025,9 +1025,11 @@ def dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     high-quality domain" — Wikipedia in the paper) and the raw
     distribution is the whole corpus; keep the top DSIR_SELECT_N.
 
-    100 TB shape: one token scan; both bucket-count tables are at most
-    16^DSIR_BUCKETS_HEX rows (constant key space, map-side partial
-    agg) and join back broadcast; the top-N plans as
+    100 TB shape: TWO token scans total — one fused count pass (raw
+    and target bucket counts in a single constant-key-space groupBy
+    with a conditional sum; the token stream itself is never
+    checkpointed) and one scoring pass; the ≤16^DSIR_BUCKETS_HEX-row
+    count table joins back broadcast and the top-N plans as
     TakeOrderedAndProject on the integer-summed weight (never a global
     window). Portability: per-token log2 values are integer-scaled to
     micro-bits before the per-doc sum (order-proof addition, the
@@ -1046,32 +1048,26 @@ def dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bucket", F.substring(F.md5("tok"), 1, DSIR_BUCKETS_HEX)
     )
     target = docs.agg(F.min("source").alias("tsrc"))
-    raw_cnt = (
-        toks.groupBy("bucket")
-        .agg(F.count("*").alias("cr"))
-        .transform(materialize)
-    )
-    tgt_cnt = (
-        toks.join(
-            F.broadcast(target), F.col("source") == F.col("tsrc")
-        )
+    # ONE count scan: raw and target-conditional counts per bucket
+    cnt = (
+        toks.crossJoin(F.broadcast(target))
         .groupBy("bucket")
-        .agg(F.count("*").alias("ct"))
+        .agg(
+            F.count("*").alias("cr"),
+            F.sum(
+                F.when(F.col("source") == F.col("tsrc"), 1).otherwise(0)
+            ).alias("ct"),
+        )
         .transform(materialize)
     )
-    totals = (
-        raw_cnt.agg(F.sum("cr").alias("tr"))
-        .crossJoin(
-            tgt_cnt.agg(F.coalesce(F.sum("ct"), F.lit(0)).alias("tt"))
-        )
+    totals = cnt.agg(
+        F.sum("cr").alias("tr"), F.sum("ct").alias("tt")
     )
     ratio = (
-        (F.coalesce(F.col("ct"), F.lit(0)) + F.lit(1.0))
-        / (F.col("tt") + F.lit(float(_DSIR_B)))
+        (F.col("ct") + F.lit(1.0)) / (F.col("tt") + F.lit(float(_DSIR_B)))
     ) / ((F.col("cr") + F.lit(1.0)) / (F.col("tr") + F.lit(float(_DSIR_B))))
     scored_tok = (
-        toks.join(F.broadcast(raw_cnt), "bucket")
-        .join(F.broadcast(tgt_cnt), "bucket", "left")
+        toks.join(F.broadcast(cnt), "bucket")
         .crossJoin(F.broadcast(totals))
         .withColumn(
             "lw_i",
@@ -1103,24 +1099,20 @@ WITH toks AS (
   WHERE t.tok <> ''
 ),
 tgt AS (SELECT MIN(source) AS tsrc FROM documents),
-raw_cnt AS (SELECT bucket, COUNT(*) AS cr FROM toks GROUP BY bucket),
-tgt_cnt AS (
-  SELECT bucket, COUNT(*) AS ct
-  FROM toks CROSS JOIN tgt WHERE source = tsrc GROUP BY bucket
+cnt AS (
+  SELECT bucket, COUNT(*) AS cr,
+         SUM(CASE WHEN source = tsrc THEN 1 ELSE 0 END) AS ct
+  FROM toks CROSS JOIN tgt GROUP BY bucket
 ),
-totals AS (
-  SELECT (SELECT SUM(cr) FROM raw_cnt) AS tr,
-         (SELECT COALESCE(SUM(ct), 0) FROM tgt_cnt) AS tt
-),
+totals AS (SELECT SUM(cr) AS tr, SUM(ct) AS tt FROM cnt),
 scored_tok AS (
   SELECT k.doc_id,
          CAST(ROUND(log2(
-           ((COALESCE(c.ct, 0) + 1.0) / (t.tt + {_DSIR_B}.0))
-           / ((r.cr + 1.0) / (t.tr + {_DSIR_B}.0))
+           ((c.ct + 1.0) / (t.tt + {_DSIR_B}.0))
+           / ((c.cr + 1.0) / (t.tr + {_DSIR_B}.0))
          ) * 1000000, 0) AS BIGINT) AS lw_i
   FROM toks k
-  JOIN raw_cnt r USING (bucket)
-  LEFT JOIN tgt_cnt c USING (bucket)
+  JOIN cnt c USING (bucket)
   CROSS JOIN totals t
 ),
 doc AS (

@@ -302,6 +302,19 @@ def test_no_cartesian_product_in_any_registered_query(spark):
     assert offenders == []
 
 
+def test_dsir_select_plan_shape(spark):
+    """DSIR must rank its top-N on TakeOrderedAndProject (never a
+    global window / global sort) and join the constant-key bucket
+    counts back broadcast (never a shuffled SortMergeJoin)."""
+    from pdftotext_spark.operators import textstats
+
+    plan = _plan(textstats.dsir_select(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
 def test_aggregations_are_partial(spark):
     # map-side combine: two HashAggregate levels around the exchange
     plan = _plan(relational.pricing_summary(spark, SF))
