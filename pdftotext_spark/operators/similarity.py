@@ -278,7 +278,11 @@ def _srp_label_candidates(big_emb: DataFrame) -> DataFrame:
     )
 
 
-def _cosine_neardup_srp(emb: DataFrame, big_labels: DataFrame) -> DataFrame:
+def _cosine_neardup_srp(
+    emb: DataFrame,
+    big_labels: DataFrame,
+    threshold: float = NEARDUP_THRESHOLD,
+) -> DataFrame:
     """Approximate branch for labels above EXACT_BUCKET_CAP: SRP band
     candidates within the label, exact cosine rescoring, identical
     threshold — emitted values are exact, only band-missed pairs are
@@ -310,7 +314,7 @@ def _cosine_neardup_srp(emb: DataFrame, big_labels: DataFrame) -> DataFrame:
             F.col("label").cast("int").alias("label"),
             F.round("cosine_raw", 4).alias("cosine"),
         )
-        .filter(F.col("cosine") >= NEARDUP_THRESHOLD)
+        .filter(F.col("cosine") >= threshold)
     )
 
 
@@ -1294,14 +1298,17 @@ def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB shape: the quantizer is :func:`_lloyd_final` (broadcast
     assignment + constant-key centroid aggs); within-cluster pairs run
     the chunk-pair scheme of :func:`_cosine_neardup_exact` (per-task
-    work ≤ CHUNK_SIZE², value-identical to the naive bucketed join).
-    Total pair work is Σ cluster² — inherent to SemDeDup, and the
-    paper's own mitigation applies: K scales with corpus size so
-    cluster cardinality stays bounded (they use 50k clusters for
-    LAION-440M; KM_K=8 here fits the 500-row test corpus). Oversized
-    clusters could additionally route through
-    :func:`_srp_label_candidates` exactly like
-    :func:`cosine_neardup_pairs` above EXACT_BUCKET_CAP."""
+    work ≤ CHUNK_SIZE², value-identical to the naive bucketed join)
+    for clusters ≤ EXACT_BUCKET_CAP, and route through SRP band
+    candidates + exact rescoring (:func:`_cosine_neardup_srp`) above
+    it — the same hybrid as :func:`cosine_neardup_pairs`, so total
+    pair work stays subquadratic even when K under-segments (the
+    paper's own mitigation — K scaling with corpus size so cluster
+    cardinality stays bounded; 50k clusters for LAION-440M, KM_K=8
+    here — remains the first lever). Band-missed borderline pairs
+    above the cap can only make the gate KEEP more (a missed neighbor
+    relation never drops a vector); test corpora sit below the cap so
+    the DuckDB oracle stays value-exact."""
     final, cent = _lloyd_final(spark, sf_dir)
     ccos_col = _dot(F.col("emb"), F.col("centroid")) / (
         _norm(F.col("emb")) * _norm(F.col("centroid"))
@@ -1324,16 +1331,33 @@ def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.col("emb").alias("embedding"),
     ).withColumn("nrm", _norm(F.col("embedding")))
-    counts = (
+    all_counts = (
         emb_pairs.groupBy("label")
         .agg(F.count("*").alias("cnt"))
         .withColumn(
             "n_chunks", F.ceil(F.col("cnt") / CHUNK_SIZE).cast("int")
         )
+        .transform(materialize)
     )
-    pairs = _cosine_neardup_exact(
-        emb_pairs, counts, threshold=SEMDEDUP_EPS
-    )
+    counts = all_counts.filter(F.col("cnt") <= EXACT_BUCKET_CAP)
+    big_labels = all_counts.filter(F.col("cnt") > EXACT_BUCKET_CAP)
+    if big_labels.count() == 0:
+        # no oversized cluster: skip the approximate branch entirely
+        pairs = _cosine_neardup_exact(
+            emb_pairs, counts, threshold=SEMDEDUP_EPS
+        )
+    else:
+        from pdftotext_spark.sources.shipping import ship_package
+
+        ship_package(spark)
+        emb_pairs = emb_pairs.transform(materialize)
+        pairs = _cosine_neardup_exact(
+            emb_pairs, counts, threshold=SEMDEDUP_EPS
+        ).unionByName(
+            _cosine_neardup_srp(
+                emb_pairs, big_labels, threshold=SEMDEDUP_EPS
+            )
+        )
     ra = ccos.select(
         F.col("vec_id").alias("vec_a"), F.col("centroid_cos").alias("ca")
     )

@@ -152,6 +152,43 @@ def test_kmeans_ivf_recall_vs_exact(spark):
     assert similarity.QUERY_VEC_ID not in approx
 
 
+def _write_semdedup_fixture(spark, tmp_path, dim=16, noise=0.05):
+    """Constructed embedding corpus for the SemDeDup tests: four
+    well-separated direction groups (within-group pairs are strong
+    near-dups), a planted A/B pair in group 0 where A sits on the
+    centroid mass and B is tilted away (pair cosine ~0.89, lower
+    centroid-cos), and two orthogonal loners that pair with nothing.
+    The oversized-cluster routing test passes dim=SRP_DIM (the band
+    planes are 64-wide) with tighter noise to keep the centroid-cos
+    margins clear."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    rows = []
+    vid = 0
+    for g in range(4):
+        base = np.zeros(dim)
+        base[g] = 1.0
+        for _ in range(6):
+            v = base + rng.normal(scale=noise, size=dim)
+            rows.append((vid, 0, [float(x) for x in v]))
+            vid += 1
+    a = np.zeros(dim)
+    a[0] = 1.0
+    b = 0.9 * a
+    b[1] = 0.45
+    rows.append((100, 0, [float(x) for x in a]))
+    rows.append((200, 0, [float(x) for x in b]))
+    for loner_dim, loner_id in ((5, 300), (6, 400)):
+        v = np.zeros(dim)
+        v[loner_dim] = 1.0
+        rows.append((loner_id, 0, [float(x) for x in v]))
+    spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<float>"
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    return rows
+
+
 def test_semdedup_constructed_keep_rule(spark, tmp_path):
     """Hand-checked SemDeDup semantics (the parity gate is blind to a
     keep-rule inversion implemented identically in both engines):
@@ -168,36 +205,7 @@ def test_semdedup_constructed_keep_rule(spark, tmp_path):
 
     from pdftotext_spark.operators import similarity
 
-    rng = np.random.default_rng(7)
-    dim = 16
-    rows = []
-    vid = 0
-    # four well-separated direction groups -> clusters with real mass;
-    # within a group every pair is a near-dup (cosine ~0.995 >> eps)
-    for g in range(4):
-        base = np.zeros(dim)
-        base[g] = 1.0
-        for _ in range(6):
-            v = base + rng.normal(scale=0.05, size=dim)
-            rows.append((vid, 0, [float(x) for x in v]))
-            vid += 1
-    # planted near-dup pair in group 0: A sits on the centroid mass,
-    # B is tilted away (pair cosine ~0.89 >= eps, lower centroid-cos)
-    a = np.zeros(dim)
-    a[0] = 1.0
-    b = 0.9 * a
-    b[1] = 0.45
-    rows.append((100, 0, [float(x) for x in a]))
-    rows.append((200, 0, [float(x) for x in b]))
-    # two mutually-orthogonal loners: near-dup of nothing -> exercise
-    # the kept-with-zero-neighbors left-join path
-    for loner_dim, loner_id in ((5, 300), (6, 400)):
-        v = np.zeros(dim)
-        v[loner_dim] = 1.0
-        rows.append((loner_id, 0, [float(x) for x in v]))
-    spark.createDataFrame(
-        rows, "vec_id long, label int, embedding array<float>"
-    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    rows = _write_semdedup_fixture(spark, tmp_path)
 
     out = {
         r.vec_id: r
@@ -465,6 +473,36 @@ def test_bigram_logloss_hand_checked(spark, tmp_path):
     assert rows[2].logloss_bits == pytest.approx(ab, abs=1e-5)
     assert rows[3].logloss_bits == pytest.approx(ac, abs=1e-5)
     assert rows[3].logloss_bits > rows[1].logloss_bits
+
+
+def test_semdedup_oversized_cluster_routes_srp(spark, tmp_path, monkeypatch):
+    """Clusters above EXACT_BUCKET_CAP leave the chunked all-pairs
+    path for SRP band candidates + exact rescoring (the
+    cosine_neardup_pairs hybrid). On the strong-near-dup fixture the
+    band collision probability is ~1, so the routed run must produce
+    the IDENTICAL keep/drop/n_neighbors output as the exact run —
+    same fixture, same deterministic KMeans, only the pair-candidate
+    generator differs."""
+    from pdftotext_spark.operators import similarity
+
+    _write_semdedup_fixture(
+        spark, tmp_path, dim=similarity.SRP_DIM, noise=0.02
+    )
+    exact = {
+        r.vec_id: (r.cluster, r.centroid_cos, r.n_neighbors, r.is_kept)
+        for r in similarity.semdedup(spark, str(tmp_path)).collect()
+    }
+    assert exact
+    # the gate is non-trivial: the fixture has both kept and dropped
+    kept_flags = {v[3] for v in exact.values()}
+    assert kept_flags == {True, False}
+
+    monkeypatch.setattr(similarity, "EXACT_BUCKET_CAP", 4)
+    routed = {
+        r.vec_id: (r.cluster, r.centroid_cos, r.n_neighbors, r.is_kept)
+        for r in similarity.semdedup(spark, str(tmp_path)).collect()
+    }
+    assert routed == exact
 
 
 def test_dsir_select_constructed_ranking(spark, tmp_path):
