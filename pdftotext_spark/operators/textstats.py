@@ -1074,10 +1074,12 @@ def dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.log2(ratio) * 1_000_000, 0).cast("long"),
         )
     )
+    # materialized: doc feeds BOTH the top-N and the final join — an
+    # unshared lineage would re-run the token scan + scoring twice
     doc = scored_tok.groupBy("doc_id").agg(
         F.count("*").cast("long").alias("n_tokens"),
         F.sum("lw_i").alias("lw"),
-    )
+    ).transform(materialize)
     # top-N ids by exact integer weight -> TakeOrderedAndProject
     sel = (
         doc.orderBy(F.desc("lw"), F.asc("doc_id"))
