@@ -1313,20 +1313,22 @@ def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ccos_col = _dot(F.col("emb"), F.col("centroid")) / (
         _norm(F.col("emb")) * _norm(F.col("centroid"))
     )
-    # one row per vector with its rounded centroid-cosine (the keep
-    # rank); materialized — it feeds the pair path, both rank joins,
-    # and the final left join
+    # one SLIM row per vector with its rounded centroid-cosine (the
+    # keep rank); materialized WITHOUT the embedding — ExistingRDD
+    # scans don't column-prune, and this frame is read three times by
+    # scalar-only consumers (both rank joins + the final left join).
+    # The pair path reads the vectors from `final`, which
+    # _lloyd_final already materialized with them.
     ccos = (
         final.join(F.broadcast(cent), "cluster")
         .select(
             "vec_id",
             "cluster",
-            "emb",
             F.round(ccos_col, 4).alias("centroid_cos"),
         )
         .transform(materialize)
     )
-    emb_pairs = ccos.select(
+    emb_pairs = final.select(
         F.col("cluster").alias("label"),
         "vec_id",
         F.col("emb").alias("embedding"),
