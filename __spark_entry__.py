@@ -137,6 +137,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_graph_srp": similarity.knn_graph_srp,           # all-corpus ANN graph
     "kmeans_ivf_topk": similarity.kmeans_ivf_topk,       # value-checked IVF ANN
     "semdedup": similarity.semdedup,                     # SemDeDup keep/drop gate
+    "ssl_prototypes": similarity.ssl_prototypes,         # D4 prototypicality prune
     "dsir_select": textstats.dsir_select,                # DSIR importance resampling
     "mix_weights": textstats.mix_weights,                # temperature source mixing
 }
@@ -212,6 +213,7 @@ _ORACLES: dict[str, str] = {
     "knn_graph_srp": similarity.KNN_GRAPH_SRP_SQL,
     "kmeans_ivf_topk": similarity.KMEANS_IVF_TOPK_SQL,
     "semdedup": similarity.SEMDEDUP_SQL,
+    "ssl_prototypes": similarity.SSL_PROTOTYPES_SQL,
     "dsir_select": textstats.DSIR_SELECT_SQL,
     "mix_weights": textstats.MIX_WEIGHTS_SQL,
     "decontamination_overlap": dedup.DECONTAMINATION_OVERLAP_SQL,
@@ -288,6 +290,7 @@ _DRIVER_GATE_FIRST = [
     "semdedup",
     "dsir_select",
     "mix_weights",
+    "ssl_prototypes",
 ]
 
 _QUERIES = {

@@ -1451,3 +1451,99 @@ FROM ccos c LEFT JOIN agg a USING (vec_id)
 
 
 SEMDEDUP_SQL = _semdedup_sql()
+
+
+# Fraction of each cluster to prune, most-prototypical first. 1/4 is
+# exact in binary so the threshold arithmetic replays identically.
+PROTO_DROP_FRAC = 0.25
+
+
+def ssl_prototypes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SSL-prototypes pruning (Sorscher et al. 2022, "Beyond neural
+    scaling laws"): rank vectors within each KMeans cluster by cosine
+    to their centroid and DROP the most prototypical
+    PROTO_DROP_FRAC — easy, redundant examples near cluster cores
+    contribute least to training. Composed with :func:`semdedup`
+    (which prunes the near-duplicate relation instead of the core)
+    this is the D4 pipeline of Tirumala et al. 2023
+    (arXiv:2308.12284).
+
+    Output: one row per vector — (vec_id, cluster, centroid_cos,
+    proto_rank, n_cluster, is_kept); is_kept iff
+    proto_rank > floor(PROTO_DROP_FRAC * n_cluster).
+
+    100 TB shape: the quantizer is the shared :func:`_lloyd_final`
+    (broadcast assignment + constant-key centroid aggs); the ranking
+    window is PARTITIONED BY cluster, so it parallelizes over
+    clusters and per-partition size is bounded by cluster cardinality
+    (the same K lever as SemDeDup — K scales with corpus size).
+    Ties: centroid_cos DESC then vec_id ASC, deterministic in both
+    engines."""
+    from pyspark.sql.window import Window
+
+    final, cent = _lloyd_final(spark, sf_dir)
+    ccos_col = _dot(F.col("emb"), F.col("centroid")) / (
+        _norm(F.col("emb")) * _norm(F.col("centroid"))
+    )
+    ccos = final.join(F.broadcast(cent), "cluster").select(
+        "vec_id", "cluster", F.round(ccos_col, 4).alias("centroid_cos")
+    )
+    w = Window.partitionBy("cluster").orderBy(
+        F.desc("centroid_cos"), F.asc("vec_id")
+    )
+    wc = Window.partitionBy("cluster")
+    return (
+        ccos.withColumn("proto_rank", F.row_number().over(w))
+        .withColumn("n_cluster", F.count("*").over(wc))
+        .select(
+            F.col("vec_id").cast("long").alias("vec_id"),
+            F.col("cluster").cast("int").alias("cluster"),
+            "centroid_cos",
+            F.col("proto_rank").cast("long").alias("proto_rank"),
+            F.col("n_cluster").cast("long").alias("n_cluster"),
+            (
+                F.col("proto_rank")
+                > F.floor(F.col("n_cluster") * F.lit(PROTO_DROP_FRAC))
+            ).alias("is_kept"),
+        )
+    )
+
+
+def _ssl_prototypes_sql() -> str:
+    """The :func:`_lloyd_with` chain + the same per-cluster
+    prototypicality ranking and floor-threshold keep rule."""
+    body, prev = _lloyd_with()
+    ccos = (
+        _SQL_DOT.format(a="f.emb", b="c.centroid")
+        + " / ("
+        + _SQL_NRM.format(a="f.emb")
+        + " * "
+        + _SQL_NRM.format(a="c.centroid")
+        + ")"
+    )
+    return f"""
+WITH {body},
+ccos AS (
+  SELECT f.vec_id, f.cluster,
+         ROUND({ccos}, 4) AS centroid_cos
+  FROM final f JOIN {prev} c USING (cluster)
+),
+ranked AS (
+  SELECT vec_id, cluster, centroid_cos,
+         ROW_NUMBER() OVER (PARTITION BY cluster
+                            ORDER BY centroid_cos DESC, vec_id ASC)
+           AS proto_rank,
+         COUNT(*) OVER (PARTITION BY cluster) AS n_cluster
+  FROM ccos
+)
+SELECT CAST(vec_id AS BIGINT) AS vec_id,
+       CAST(cluster AS INT) AS cluster,
+       centroid_cos,
+       CAST(proto_rank AS BIGINT) AS proto_rank,
+       CAST(n_cluster AS BIGINT) AS n_cluster,
+       proto_rank > FLOOR(n_cluster * {PROTO_DROP_FRAC}) AS is_kept
+FROM ranked
+"""
+
+
+SSL_PROTOTYPES_SQL = _ssl_prototypes_sql()

@@ -594,3 +594,42 @@ def test_mix_weights_hand_checked(spark, tmp_path):
     assert abs(out["small"].oversample - 2.5) < 1e-6
     # weights are a distribution
     assert abs(out["big"].weight + out["small"].weight - 1.0) < 1e-9
+
+
+def test_ssl_prototypes_constructed(spark, tmp_path):
+    """Hand-checked prototypicality pruning (Sorscher et al. 2022):
+    replay the per-cluster rank + floor-threshold keep rule in pure
+    Python from the engine's own (cluster, centroid_cos) outputs and
+    require an exact rank/n/is_kept match on every vector; the
+    planted pure-base vector A — the most prototypical member of its
+    cluster — must be dropped while the tilted B survives."""
+    import math
+
+    from pdftotext_spark.operators import similarity
+
+    rows = _write_semdedup_fixture(spark, tmp_path)
+    out = {
+        r.vec_id: r
+        for r in similarity.ssl_prototypes(spark, str(tmp_path)).collect()
+    }
+    assert len(out) == len(rows)
+
+    by_cluster: dict[int, list] = {}
+    for r in out.values():
+        by_cluster.setdefault(r.cluster, []).append(r)
+    for members in by_cluster.values():
+        members.sort(key=lambda r: (-r.centroid_cos, r.vec_id))
+        n = len(members)
+        drop = math.floor(n * similarity.PROTO_DROP_FRAC)
+        for i, r in enumerate(members, 1):
+            assert r.proto_rank == i, r
+            assert r.n_cluster == n, r
+            assert r.is_kept == (i > drop), r
+
+    # planted semantics: A (no noise-norm penalty) is the cluster's
+    # most prototypical member -> dropped; B is tilted away -> kept
+    assert out[100].proto_rank == 1
+    assert not out[100].is_kept
+    assert out[200].is_kept
+    flags = {r.is_kept for r in out.values()}
+    assert flags == {True, False}
