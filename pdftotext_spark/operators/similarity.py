@@ -1282,6 +1282,41 @@ KMEANS_IVF_TOPK_SQL = _kmeans_sql()
 SEMDEDUP_EPS = NEARDUP_THRESHOLD
 
 
+def _ccos_frame(final: DataFrame, cent: DataFrame) -> DataFrame:
+    """One slim row per vector with its rounded centroid-cosine —
+    the rank authority shared by :func:`semdedup` and
+    :func:`ssl_prototypes` (single source, like :func:`_lloyd_final`:
+    a 4dp→6dp bump or a join change must hit both operators AND both
+    oracles, see :func:`_ccos_sql`)."""
+    ccos_col = _dot(F.col("emb"), F.col("centroid")) / (
+        _norm(F.col("emb")) * _norm(F.col("centroid"))
+    )
+    return final.join(F.broadcast(cent), "cluster").select(
+        "vec_id",
+        "cluster",
+        F.round(ccos_col, 4).alias("centroid_cos"),
+    )
+
+
+def _ccos_sql(prev: str) -> str:
+    """The DuckDB CTE body replaying :func:`_ccos_frame` over the
+    :func:`_lloyd_with` chain (``prev`` names its final centroid
+    CTE)."""
+    ccos = (
+        _SQL_DOT.format(a="f.emb", b="c.centroid")
+        + " / ("
+        + _SQL_NRM.format(a="f.emb")
+        + " * "
+        + _SQL_NRM.format(a="c.centroid")
+        + ")"
+    )
+    return f"""ccos AS (
+  SELECT f.vec_id, f.cluster, f.emb,
+         ROUND({ccos}, 4) AS centroid_cos
+  FROM final f JOIN {prev} c USING (cluster)
+)"""
+
+
 def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     deduplication via k-means clustering of the embedding space, then
@@ -1305,29 +1340,25 @@ def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair work stays subquadratic even when K under-segments (the
     paper's own mitigation — K scaling with corpus size so cluster
     cardinality stays bounded; 50k clusters for LAION-440M, KM_K=8
-    here — remains the first lever). Band-missed borderline pairs
-    above the cap can only make the gate KEEP more (a missed neighbor
-    relation never drops a vector); test corpora sit below the cap so
-    the DuckDB oracle stays value-exact."""
+    here — remains the first lever). Band-missed pairs above the cap
+    can only make the gate KEEP more (a missed neighbor relation
+    never drops a vector), and the miss RATE depends on eps: with 16
+    bands × 8 bits, pair recall = 1 − (1 − p^8)^16 for
+    p = 1 − acos(eps)/π, i.e. ~0.98 at eps 0.86, ~0.80 at 0.70,
+    ~0.23 at this corpus's synthetic eps 0.30. The band family is
+    tuned for the paper's operating range (extreme-dedup eps ≥ 0.86);
+    at low eps the near-dup relation is DENSE and no LSH is
+    subquadratic — there K (and the exact cap) is the only honest
+    lever. Test corpora sit below the cap so the DuckDB oracle stays
+    value-exact."""
     final, cent = _lloyd_final(spark, sf_dir)
-    ccos_col = _dot(F.col("emb"), F.col("centroid")) / (
-        _norm(F.col("emb")) * _norm(F.col("centroid"))
-    )
     # one SLIM row per vector with its rounded centroid-cosine (the
     # keep rank); materialized WITHOUT the embedding — ExistingRDD
     # scans don't column-prune, and this frame is read three times by
     # scalar-only consumers (both rank joins + the final left join).
     # The pair path reads the vectors from `final`, which
     # _lloyd_final already materialized with them.
-    ccos = (
-        final.join(F.broadcast(cent), "cluster")
-        .select(
-            "vec_id",
-            "cluster",
-            F.round(ccos_col, 4).alias("centroid_cos"),
-        )
-        .transform(materialize)
-    )
+    ccos = _ccos_frame(final, cent).transform(materialize)
     emb_pairs = final.select(
         F.col("cluster").alias("label"),
         "vec_id",
@@ -1398,14 +1429,6 @@ def _semdedup_sql() -> str:
     within-cluster pair join (value-identical to the Spark chunk-pair
     scheme) with the same rounded-cosine threshold and keep rule."""
     body, prev = _lloyd_with()
-    ccos = (
-        _SQL_DOT.format(a="f.emb", b="c.centroid")
-        + " / ("
-        + _SQL_NRM.format(a="f.emb")
-        + " * "
-        + _SQL_NRM.format(a="c.centroid")
-        + ")"
-    )
     paircos = (
         _SQL_DOT.format(a="a.emb", b="b.emb")
         + " / ("
@@ -1416,11 +1439,7 @@ def _semdedup_sql() -> str:
     )
     return f"""
 WITH {body},
-ccos AS (
-  SELECT f.vec_id, f.cluster, f.emb,
-         ROUND({ccos}, 4) AS centroid_cos
-  FROM final f JOIN {prev} c USING (cluster)
-),
+{_ccos_sql(prev)},
 matched AS (
   SELECT a.vec_id AS va, b.vec_id AS vb,
          a.centroid_cos AS ca, b.centroid_cos AS cb
@@ -1482,12 +1501,7 @@ def ssl_prototypes(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     final, cent = _lloyd_final(spark, sf_dir)
-    ccos_col = _dot(F.col("emb"), F.col("centroid")) / (
-        _norm(F.col("emb")) * _norm(F.col("centroid"))
-    )
-    ccos = final.join(F.broadcast(cent), "cluster").select(
-        "vec_id", "cluster", F.round(ccos_col, 4).alias("centroid_cos")
-    )
+    ccos = _ccos_frame(final, cent)
     w = Window.partitionBy("cluster").orderBy(
         F.desc("centroid_cos"), F.asc("vec_id")
     )
@@ -1513,21 +1527,9 @@ def _ssl_prototypes_sql() -> str:
     """The :func:`_lloyd_with` chain + the same per-cluster
     prototypicality ranking and floor-threshold keep rule."""
     body, prev = _lloyd_with()
-    ccos = (
-        _SQL_DOT.format(a="f.emb", b="c.centroid")
-        + " / ("
-        + _SQL_NRM.format(a="f.emb")
-        + " * "
-        + _SQL_NRM.format(a="c.centroid")
-        + ")"
-    )
     return f"""
 WITH {body},
-ccos AS (
-  SELECT f.vec_id, f.cluster,
-         ROUND({ccos}, 4) AS centroid_cos
-  FROM final f JOIN {prev} c USING (cluster)
-),
+{_ccos_sql(prev)},
 ranked AS (
   SELECT vec_id, cluster, centroid_cos,
          ROW_NUMBER() OVER (PARTITION BY cluster

@@ -1034,7 +1034,10 @@ def dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     window). Portability: per-token log2 values are integer-scaled to
     micro-bits before the per-doc sum (order-proof addition, the
     unigram_logloss convention) and selection ranks on the exact
-    integer sum with a doc_id tie-break."""
+    integer sum with a doc_id tie-break. Zero-token documents are
+    EMITTED (not silently dropped) with logweight 0 — the empty
+    product is equally likely under both LMs, so they rank above
+    negative-weight docs and below positive ones."""
     docs = _read(spark, sf_dir, "documents").select(
         "doc_id", "source", "text"
     )
@@ -1074,12 +1077,26 @@ def dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.log2(ratio) * 1_000_000, 0).cast("long"),
         )
     )
-    # materialized: doc feeds BOTH the top-N and the final join — an
-    # unshared lineage would re-run the token scan + scoring twice
-    doc = scored_tok.groupBy("doc_id").agg(
+    scored = scored_tok.groupBy("doc_id").agg(
         F.count("*").cast("long").alias("n_tokens"),
         F.sum("lw_i").alias("lw"),
-    ).transform(materialize)
+    )
+    # left-join back onto ALL doc ids so zero-token documents get an
+    # explicit (n_tokens=0, lw=0) row instead of vanishing, then
+    # materialize: doc feeds BOTH the top-N and the final join — an
+    # unshared lineage would re-run the token scan + scoring twice
+    doc = (
+        docs.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long").alias(
+                "n_tokens"
+            ),
+            F.coalesce(F.col("lw"), F.lit(0)).cast("long").alias("lw"),
+        )
+        .transform(materialize)
+    )
     # top-N ids by exact integer weight -> TakeOrderedAndProject
     sel = (
         doc.orderBy(F.desc("lw"), F.asc("doc_id"))
@@ -1117,9 +1134,15 @@ scored_tok AS (
   JOIN cnt c USING (bucket)
   CROSS JOIN totals t
 ),
-doc AS (
+doc0 AS (
   SELECT doc_id, COUNT(*) AS n_tokens, SUM(lw_i) AS lw
   FROM scored_tok GROUP BY doc_id
+),
+doc AS (
+  SELECT d.doc_id,
+         CAST(COALESCE(n_tokens, 0) AS BIGINT) AS n_tokens,
+         CAST(COALESCE(lw, 0) AS BIGINT) AS lw
+  FROM documents d LEFT JOIN doc0 USING (doc_id)
 ),
 ranked AS (
   SELECT *, ROW_NUMBER() OVER (ORDER BY lw DESC, doc_id ASC) AS rn

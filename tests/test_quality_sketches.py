@@ -529,6 +529,8 @@ def test_dsir_select_constructed_ranking(spark, tmp_path):
     # 120 bulk docs in the bulk vocab (negative weight)
     for i in range(300, 420):
         rows.append((i, bulk_text, "en", "z", len(bulk_text)))
+    # one zero-token doc: must be EMITTED with weight 0, not dropped
+    rows.append((500, "  ", "en", "z", 2))
     pdf = pd.DataFrame(
         rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
     )
@@ -540,7 +542,12 @@ def test_dsir_select_constructed_ranking(spark, tmp_path):
         r.doc_id: r
         for r in textstats.dsir_select(spark, str(tmp_path)).collect()
     }
-    assert len(out) == 250
+    assert len(out) == 251
+    # the empty doc: weight log2(1) = 0 (equally likely under both
+    # LMs) -> ranks above every negative-weight doc here
+    assert out[500].n_tokens == 0
+    assert out[500].logweight_bits == 0.0
+    assert out[500].selected
     tgt_ids = set(range(10)) | set(range(100, 220))
     bulk_ids = set(range(300, 420))
     # DSIR weights are relative (smoothing shifts the absolute level):
@@ -553,9 +560,10 @@ def test_dsir_select_constructed_ranking(spark, tmp_path):
     # identical content -> identical weight within each group
     assert len({out[d].logweight_bits for d in tgt_ids}) == 1
     assert len({out[d].logweight_bits for d in bulk_ids}) == 1
-    # top-200: all 130 target-vocab docs, then the 70 smallest bulk
-    # doc_ids on the tie-break
-    expected_sel = tgt_ids | set(sorted(bulk_ids)[:70])
+    # top-200: the zero-token doc (weight 0, ranks first), all 130
+    # target-vocab docs, then the 69 smallest bulk doc_ids on the
+    # tie-break
+    expected_sel = {500} | tgt_ids | set(sorted(bulk_ids)[:69])
     got_sel = {d for d, r in out.items() if r.selected}
     assert got_sel == expected_sel
     assert len(got_sel) == textstats.DSIR_SELECT_N
