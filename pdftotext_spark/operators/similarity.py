@@ -100,13 +100,17 @@ LIMIT {TOP_K}
 # Σ bucket² — a label holding 1% of a 100 TB corpus still pays ~10¹⁸
 # dot products. Above the cap, candidates come from a banded equi-join
 # of 16 bands × 8 bits (md5 plane family, 256 buckets per band within
-# the label: random-pair collision ≈ 16/256, strong near-dups cos ≥
-# 0.86 collide with p ≈ 0.98), scored exactly and thresholded
-# identically — emitted values are a SUBSET of the exact path's rows;
-# band-missed borderline pairs are the documented LSH trade, and
-# NEARDUP_SRP_BAND_BITS is the per-corpus selectivity lever (more bits
-# for bigger buckets/tighter geometry). Test corpora sit far below the
-# cap, so the DuckDB oracle (naive bucketed join) stays value-exact.
+# the label: random-pair collision ≈ 16/256), scored exactly and
+# thresholded identically — emitted values are a SUBSET of the exact
+# path's rows. Band-missed pairs are the documented LSH trade, with
+# recall(c) = 1 − (1 − p⁸)¹⁶ for p = 1 − acos(c)/π per pair cosine c:
+# ≈ 0.98 at c = 0.86, ≈ 0.80 at 0.70, ≈ 0.23 at the default
+# threshold 0.30 itself — the family is tuned to catch STRONG
+# near-dups in oversized buckets; threshold-level pairs at low
+# thresholds form a dense relation no LSH can enumerate
+# subquadratically, so NEARDUP_SRP_BAND_BITS (selectivity) and the
+# cap are the honest levers. Test corpora sit far below the cap, so
+# the DuckDB oracle (naive bucketed join) stays value-exact.
 EXACT_BUCKET_CAP = 4096
 NEARDUP_SRP_BANDS = 16
 NEARDUP_SRP_BAND_BITS = 8
