@@ -140,6 +140,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ssl_prototypes": similarity.ssl_prototypes,         # D4 prototypicality prune
     "dsir_select": textstats.dsir_select,                # DSIR importance resampling
     "mix_weights": textstats.mix_weights,                # temperature source mixing
+    "bpe_learn_merges": textstats.bpe_learn_merges,      # BPE tokenizer training
 }
 
 _ORACLES: dict[str, str] = {
@@ -216,6 +217,7 @@ _ORACLES: dict[str, str] = {
     "ssl_prototypes": similarity.SSL_PROTOTYPES_SQL,
     "dsir_select": textstats.DSIR_SELECT_SQL,
     "mix_weights": textstats.MIX_WEIGHTS_SQL,
+    "bpe_learn_merges": textstats.BPE_LEARN_MERGES_SQL,
     "decontamination_overlap": dedup.DECONTAMINATION_OVERLAP_SQL,
     "decontaminate_apply": dedup.DECONTAMINATE_APPLY_SQL,
     "decontamination_report": dedup.DECONTAMINATION_REPORT_SQL,
@@ -291,6 +293,7 @@ _DRIVER_GATE_FIRST = [
     "dsir_select",
     "mix_weights",
     "ssl_prototypes",
+    "bpe_learn_merges",
 ]
 
 _QUERIES = {

@@ -1238,3 +1238,168 @@ SELECT source,
          AS oversample
 FROM with_p CROSS JOIN ssum
 """
+
+
+# BPE merge learning (Sennrich et al. 2016): the tokenizer-training
+# loop as FIXED unrolled rounds, the Lloyd-KMeans treatment — each
+# round's argmax pair and fold-applied merge derive from identical
+# deterministic arithmetic in both engines, so the whole chain
+# replays in DuckDB. Rounds after pair exhaustion emit nothing.
+BPE_MERGE_ROUNDS = 8
+
+# left-to-right non-overlapping merge of (bl, br) over the
+# space-joined symbol string `seq` — a string-accumulator fold seeded
+# with the first symbol (Spark aggregate(slice..) == DuckDB
+# list_reduce). The boundary checks use substr, not LIKE/regex, so
+# symbols may contain any non-space character.
+_BPE_FOLD_CASE = (
+    "CASE WHEN x = {br} AND "
+    "substr(acc, length(acc) - length({bl}) + 1) = {bl} AND "
+    "(length(acc) = length({bl}) OR "
+    "substr(acc, length(acc) - length({bl}), 1) = ' ') "
+    "THEN substr(acc, 1, length(acc) - length({bl})) || {bl} || {br} "
+    "ELSE acc || ' ' || x END"
+)
+
+
+def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn the first BPE_MERGE_ROUNDS byte-pair-encoding merges over
+    the corpus vocabulary: per round, count adjacent symbol pairs
+    weighted by word frequency (overlapping positions count, the
+    reference get_stats behavior), take the argmax (count DESC, then
+    left/right symbol ASC — a total deterministic order), and apply
+    the merge leftmost-non-overlapping to every word's symbol
+    sequence via the shared fold. Output: one row per performed merge
+    (merge_rank, left_sym, right_sym, merged, pair_count).
+
+    100 TB shape: everything after the one corpus token scan operates
+    on the VOCABULARY table (words × frequency — orders of magnitude
+    smaller than the corpus, the reason BPE training is tractable at
+    all); per round one explode+groupBy over the vocab (map-side
+    partial agg), one TakeOrdered(1) argmax, one broadcast-scalar
+    fold apply; the vocab frame is materialized per round so the
+    unrolled plan never re-derives earlier rounds."""
+    docs = _read(spark, sf_dir, "documents").select("text")
+    v = (
+        docs.select(
+            F.explode(
+                F.expr("filter(split(lower(text), ' '), x -> x <> '')")
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+        .withColumn(
+            "seq",
+            F.expr(
+                "array_join(transform(sequence(1, length(word)), "
+                "i -> substr(word, i, 1)), ' ')"
+            ),
+        )
+        .transform(materialize)
+    )
+    fold = _BPE_FOLD_CASE.format(bl="bl", br="br")
+    merges = None
+    for rnd in range(1, BPE_MERGE_ROUNDS + 1):
+        pairs = (
+            v.select(
+                "freq",
+                F.explode(
+                    F.expr(
+                        "CASE WHEN size(split(seq, ' ')) >= 2 THEN "
+                        "transform(sequence(1, size(split(seq, ' ')) - 1), "
+                        "i -> struct(split(seq, ' ')[i-1] AS la, "
+                        "split(seq, ' ')[i] AS rb)) "
+                        "ELSE array() END"
+                    )
+                ).alias("p"),
+            )
+            .select("freq", F.col("p.la").alias("la"), F.col("p.rb").alias("rb"))
+            .groupBy("la", "rb")
+            .agg(F.sum("freq").alias("cnt"))
+        )
+        best = (
+            pairs.orderBy(F.desc("cnt"), F.asc("la"), F.asc("rb"))
+            .limit(1)
+            .select(
+                F.col("la").alias("bl"),
+                F.col("rb").alias("br"),
+                F.col("cnt").alias("pair_count"),
+            )
+            .transform(materialize)
+        )
+        row = best.select(
+            F.lit(rnd).cast("int").alias("merge_rank"),
+            F.col("bl").alias("left_sym"),
+            F.col("br").alias("right_sym"),
+            F.concat("bl", "br").alias("merged"),
+            F.col("pair_count").cast("long").alias("pair_count"),
+        )
+        merges = row if merges is None else merges.unionByName(row)
+        v = (
+            v.crossJoin(F.broadcast(best.select("bl", "br")))
+            .withColumn(
+                "seq",
+                F.expr(
+                    "CASE WHEN size(split(seq, ' ')) = 1 THEN seq "
+                    "ELSE aggregate(slice(split(seq, ' '), 2, "
+                    "size(split(seq, ' ')) - 1), split(seq, ' ')[0], "
+                    f"(acc, x) -> {fold}) END"
+                ),
+            )
+            .select("word", "freq", "seq")
+            .transform(materialize)
+        )
+    return merges
+
+
+def _bpe_learn_sql() -> str:
+    fold = _BPE_FOLD_CASE.format(bl="bl", br="br")
+    parts = [
+        """words AS (
+  SELECT t.tok AS word, COUNT(*) AS freq
+  FROM documents, unnest(list_filter(string_split(lower(text), ' '),
+                                     x -> x <> '')) AS t(tok)
+  GROUP BY t.tok
+),
+v0 AS (
+  SELECT word, freq,
+         array_to_string(list_transform(generate_series(1, length(word)),
+                                        i -> substr(word, i, 1)), ' ')
+           AS seq
+  FROM words
+)"""
+    ]
+    for rnd in range(1, BPE_MERGE_ROUNDS + 1):
+        prev = f"v{rnd - 1}"
+        parts.append(f"""p{rnd} AS (
+  SELECT la, rb, SUM(freq) AS cnt FROM (
+    SELECT freq,
+           unnest(syms[1:len(syms)-1]) AS la,
+           unnest(syms[2:len(syms)]) AS rb
+    FROM (SELECT freq, string_split(seq, ' ') AS syms FROM {prev})
+    WHERE len(syms) >= 2
+  ) GROUP BY la, rb
+),
+b{rnd} AS (
+  SELECT la AS bl, rb AS br, cnt AS pair_count
+  FROM p{rnd} ORDER BY cnt DESC, la ASC, rb ASC LIMIT 1
+),
+v{rnd} AS (
+  SELECT word, freq,
+         CASE WHEN len(syms) = 1 THEN seq
+         ELSE list_reduce(syms, (acc, x) -> {fold}) END AS seq
+  FROM (SELECT word, freq, seq, string_split(seq, ' ') AS syms
+        FROM {prev})
+  CROSS JOIN b{rnd}
+)""")
+    selects = "\nUNION ALL\n".join(
+        f"""SELECT CAST({rnd} AS INT) AS merge_rank, bl AS left_sym,
+       br AS right_sym, bl || br AS merged,
+       CAST(pair_count AS BIGINT) AS pair_count
+FROM b{rnd}"""
+        for rnd in range(1, BPE_MERGE_ROUNDS + 1)
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + selects
+
+
+BPE_LEARN_MERGES_SQL = _bpe_learn_sql()

@@ -641,3 +641,81 @@ def test_ssl_prototypes_constructed(spark, tmp_path):
     assert out[200].is_kept
     flags = {r.is_kept for r in out.values()}
     assert flags == {True, False}
+
+
+def test_bpe_learn_merges_matches_reference_python(spark, tmp_path):
+    """Hand-checked BPE training: an independent pure-Python
+    implementation of the Sennrich et al. 2016 loop (overlapping
+    adjacent pair counts weighted by word frequency, argmax with the
+    count-DESC/left-ASC/right-ASC total order, leftmost
+    non-overlapping merge application) must produce the IDENTICAL
+    merge table — rank, symbols, merged token, and pair count. The
+    fixture plants a repeated-char run ('zzzz') to pin the
+    overlap-counting and leftmost-application semantics."""
+    import pandas as pd
+
+    from pdftotext_spark.operators import textstats
+
+    vocab = {"low": 5, "lower": 2, "newest": 6, "widest": 3, "zzzz": 4}
+    rows = []
+    did = 0
+    for w, n in vocab.items():
+        # spread each word's occurrences over two docs
+        rows.append((did, " ".join([w] * (n // 2 + n % 2)), "en", "a", 1))
+        did += 1
+        if n // 2:
+            rows.append((did, " ".join([w] * (n // 2)), "en", "b", 1))
+            did += 1
+    pdf = pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+
+    def ref_bpe(words, k):
+        seqs = {w: list(w) for w in words}
+        merges = []
+        for _ in range(k):
+            stats = {}
+            for w, f in words.items():
+                s = seqs[w]
+                for i in range(len(s) - 1):
+                    stats[(s[i], s[i + 1])] = (
+                        stats.get((s[i], s[i + 1]), 0) + f
+                    )
+            if not stats:
+                break
+            (a, b), c = sorted(
+                stats.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+            )[0]
+            merges.append((a, b, a + b, c))
+            for w in seqs:
+                s = seqs[w]
+                out = []
+                i = 0
+                while i < len(s):
+                    if i < len(s) - 1 and s[i] == a and s[i + 1] == b:
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(s[i])
+                        i += 1
+                seqs[w] = out
+        return merges
+
+    expected = ref_bpe(vocab, textstats.BPE_MERGE_ROUNDS)
+    got = sorted(
+        (
+            (r.merge_rank, r.left_sym, r.right_sym, r.merged, r.pair_count)
+            for r in textstats.bpe_learn_merges(
+                spark, str(tmp_path)
+            ).collect()
+        )
+    )
+    assert got == [
+        (i + 1, a, b, m, c) for i, (a, b, m, c) in enumerate(expected)
+    ]
+    # the run word exercised overlap semantics: (z,z) counts 3 per
+    # occurrence before any merge
+    assert any(r[1] == "z" and r[2] == "z" for r in got)
