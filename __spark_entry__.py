@@ -141,6 +141,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dsir_select": textstats.dsir_select,                # DSIR importance resampling
     "mix_weights": textstats.mix_weights,                # temperature source mixing
     "bpe_learn_merges": textstats.bpe_learn_merges,      # BPE tokenizer training
+    "bpe_apply_stats": textstats.bpe_apply_stats,        # BPE compression audit
 }
 
 _ORACLES: dict[str, str] = {
@@ -218,6 +219,7 @@ _ORACLES: dict[str, str] = {
     "dsir_select": textstats.DSIR_SELECT_SQL,
     "mix_weights": textstats.MIX_WEIGHTS_SQL,
     "bpe_learn_merges": textstats.BPE_LEARN_MERGES_SQL,
+    "bpe_apply_stats": textstats.BPE_APPLY_STATS_SQL,
     "decontamination_overlap": dedup.DECONTAMINATION_OVERLAP_SQL,
     "decontaminate_apply": dedup.DECONTAMINATE_APPLY_SQL,
     "decontamination_report": dedup.DECONTAMINATION_REPORT_SQL,
@@ -294,6 +296,7 @@ _DRIVER_GATE_FIRST = [
     "mix_weights",
     "ssl_prototypes",
     "bpe_learn_merges",
+    "bpe_apply_stats",
 ]
 
 _QUERIES = {

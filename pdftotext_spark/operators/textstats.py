@@ -1262,15 +1262,17 @@ _BPE_FOLD_CASE = (
 )
 
 
-def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Learn the first BPE_MERGE_ROUNDS byte-pair-encoding merges over
-    the corpus vocabulary: per round, count adjacent symbol pairs
-    weighted by word frequency (overlapping positions count, the
-    reference get_stats behavior), take the argmax (count DESC, then
-    left/right symbol ASC — a total deterministic order), and apply
-    the merge leftmost-non-overlapping to every word's symbol
-    sequence via the shared fold. Output: one row per performed merge
-    (merge_rank, left_sym, right_sym, merged, pair_count).
+def _bpe_chain(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """The shared BPE training chain: per round, count adjacent
+    symbol pairs weighted by word frequency (overlapping positions
+    count, the reference get_stats behavior), take the argmax
+    (count DESC, then left/right symbol ASC — a total deterministic
+    order), and apply the merge leftmost-non-overlapping to every
+    word's symbol sequence via the shared fold. Returns
+    ``(merges, vocab)``: the merge table and the final
+    (word, freq, seq) vocabulary after BPE_MERGE_ROUNDS rounds.
 
     100 TB shape: everything after the one corpus token scan operates
     on the VOCABULARY table (words × frequency — orders of magnitude
@@ -1349,10 +1351,51 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("word", "freq", "seq")
             .transform(materialize)
         )
+    return merges, v
+
+
+def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn the first BPE_MERGE_ROUNDS byte-pair-encoding merges
+    (see :func:`_bpe_chain`). Output: one row per performed merge
+    (merge_rank, left_sym, right_sym, merged, pair_count)."""
+    merges, _ = _bpe_chain(spark, sf_dir)
     return merges
 
 
-def _bpe_learn_sql() -> str:
+def bpe_apply_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus tokenization accounting under the learned BPE merges —
+    the compression dashboard a tokenizer-training pipeline checks
+    before committing a merge table: occurrence-weighted token counts
+    over the final vocabulary (char-level start, so tokens_before =
+    chars_total) and the chars-per-token compression ratio.
+
+    100 TB shape: one aggregate over the (already materialized)
+    vocabulary table — see :func:`_bpe_chain`."""
+    _, v = _bpe_chain(spark, sf_dir)
+    agg = v.agg(
+        F.count("*").cast("long").alias("n_words"),
+        F.sum("freq").cast("long").alias("n_word_occurrences"),
+        F.sum(F.col("freq") * F.length("word")).cast("long").alias(
+            "chars_total"
+        ),
+        F.sum(F.col("freq") * F.size(F.split("seq", " ")))
+        .cast("long")
+        .alias("tokens_after"),
+    )
+    return agg.select(
+        "n_words",
+        "n_word_occurrences",
+        "chars_total",
+        "tokens_after",
+        F.round(F.col("chars_total") / F.col("tokens_after"), 6).alias(
+            "chars_per_token"
+        ),
+    )
+
+
+def _bpe_chain_sql() -> str:
+    """The DuckDB WITH-body replaying :func:`_bpe_chain` exactly —
+    shared by the learn and apply oracles."""
     fold = _BPE_FOLD_CASE.format(bl="bl", br="br")
     parts = [
         """words AS (
@@ -1392,6 +1435,10 @@ v{rnd} AS (
         FROM {prev})
   CROSS JOIN b{rnd}
 )""")
+    return "WITH " + ",\n".join(parts)
+
+
+def _bpe_learn_sql() -> str:
     selects = "\nUNION ALL\n".join(
         f"""SELECT CAST({rnd} AS INT) AS merge_rank, bl AS left_sym,
        br AS right_sym, bl || br AS merged,
@@ -1399,7 +1446,20 @@ v{rnd} AS (
 FROM b{rnd}"""
         for rnd in range(1, BPE_MERGE_ROUNDS + 1)
     )
-    return "WITH " + ",\n".join(parts) + "\n" + selects
+    return _bpe_chain_sql() + "\n" + selects
 
 
 BPE_LEARN_MERGES_SQL = _bpe_learn_sql()
+
+
+BPE_APPLY_STATS_SQL = f"""{_bpe_chain_sql()}
+SELECT CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(freq) AS BIGINT) AS n_word_occurrences,
+       CAST(SUM(freq * length(word)) AS BIGINT) AS chars_total,
+       CAST(SUM(freq * len(string_split(seq, ' '))) AS BIGINT)
+         AS tokens_after,
+       ROUND(SUM(freq * length(word)) * 1.0 /
+             SUM(freq * len(string_split(seq, ' '))), 6)
+         AS chars_per_token
+FROM v{BPE_MERGE_ROUNDS}
+"""

@@ -702,9 +702,9 @@ def test_bpe_learn_merges_matches_reference_python(spark, tmp_path):
                         out.append(s[i])
                         i += 1
                 seqs[w] = out
-        return merges
+        return merges, seqs
 
-    expected = ref_bpe(vocab, textstats.BPE_MERGE_ROUNDS)
+    expected, final_seqs = ref_bpe(vocab, textstats.BPE_MERGE_ROUNDS)
     got = sorted(
         (
             (r.merge_rank, r.left_sym, r.right_sym, r.merged, r.pair_count)
@@ -719,3 +719,17 @@ def test_bpe_learn_merges_matches_reference_python(spark, tmp_path):
     # the run word exercised overlap semantics: (z,z) counts 3 per
     # occurrence before any merge
     assert any(r[1] == "z" and r[2] == "z" for r in got)
+
+    # apply side: the compression stats must match the reference's
+    # final tokenized sequences exactly
+    stats = textstats.bpe_apply_stats(spark, str(tmp_path)).collect()
+    assert len(stats) == 1
+    s = stats[0]
+    assert s.n_words == len(vocab)
+    assert s.n_word_occurrences == sum(vocab.values())
+    chars_total = sum(f * len(w) for w, f in vocab.items())
+    tokens_after = sum(f * len(final_seqs[w]) for w, f in vocab.items())
+    assert s.chars_total == chars_total
+    assert s.tokens_after == tokens_after
+    assert s.chars_per_token == round(chars_total / tokens_after, 6)
+    assert s.tokens_after < s.chars_total  # the merges actually compress
