@@ -27,6 +27,7 @@ PICKS = {
     "dedup_groups_multi": "fused CC (r4): the ExistingRDD is the converged label fixed point (one CC run for all three families); candidate generation shapes are the banded plans above",
     "semdedup": "SemDeDup (r5): ExistingRDD scans are the materialized Lloyd assignment/centroid-cos frames (broadcast-centroid assignment, see kmeans_ivf_topk); within-cluster pairs are chunk-keyed equi-joins, rank joins ship ids+rank only",
     "dsir_select": "DSIR (r5): the ExistingRDD is the ONCE-materialized per-doc weight table (its upstream: ONE fused constant-key count aggregate — raw + conditional target counts — broadcast-joined back onto the token scan); both the top-N (TakeOrderedAndProject) and the final selected-flag join reuse it — no window, no SMJ, no duplicate token scan",
+    "bpe_learn_merges": "BPE training (r5): unioned 1-row argmax frames, each an ExistingRDD (the materialized per-round TakeOrdered(1) over the vocab pair counts); the fold applies are broadcast-scalar projections between rounds — the corpus is scanned once, every round operates on the vocabulary table",
 }
 
 
