@@ -1244,7 +1244,9 @@ FROM with_p CROSS JOIN ssum
 # loop as FIXED unrolled rounds, the Lloyd-KMeans treatment — each
 # round's argmax pair and fold-applied merge derive from identical
 # deterministic arithmetic in both engines, so the whole chain
-# replays in DuckDB. Rounds after pair exhaustion emit nothing.
+# replays in DuckDB. Rounds after pair exhaustion emit no merge row
+# and leave the vocabulary unchanged (LEFT JOIN on the empty argmax —
+# a cross join would destroy it).
 BPE_MERGE_ROUNDS = 8
 
 # left-to-right non-overlapping merge of (bl, br) over the
@@ -1302,15 +1304,18 @@ def _bpe_chain(
     fold = _BPE_FOLD_CASE.format(bl="bl", br="br")
     merges = None
     for rnd in range(1, BPE_MERGE_ROUNDS + 1):
+        # project the symbol array ONCE per round (Spark does not CSE
+        # inside higher-order-function lambdas — split(seq) would
+        # otherwise re-execute per reference per row)
+        vs = v.withColumn("syms", F.split("seq", " "))
         pairs = (
-            v.select(
+            vs.select(
                 "freq",
                 F.explode(
                     F.expr(
-                        "CASE WHEN size(split(seq, ' ')) >= 2 THEN "
-                        "transform(sequence(1, size(split(seq, ' ')) - 1), "
-                        "i -> struct(split(seq, ' ')[i-1] AS la, "
-                        "split(seq, ' ')[i] AS rb)) "
+                        "CASE WHEN size(syms) >= 2 THEN "
+                        "transform(sequence(1, size(syms) - 1), "
+                        "i -> struct(syms[i-1] AS la, syms[i] AS rb)) "
                         "ELSE array() END"
                     )
                 ).alias("p"),
@@ -1337,20 +1342,28 @@ def _bpe_chain(
             F.col("pair_count").cast("long").alias("pair_count"),
         )
         merges = row if merges is None else merges.unionByName(row)
+        # LEFT join on TRUE, not crossJoin: when the pairs are
+        # exhausted `best` is EMPTY and a cross join would destroy
+        # the vocabulary (review r5 — the DuckDB twin had the
+        # identical collapse, so the parity gate was blind to it);
+        # with bl NULL every word keeps its sequence
         v = (
-            v.crossJoin(F.broadcast(best.select("bl", "br")))
+            vs.join(F.broadcast(best.select("bl", "br")), F.lit(True), "left")
             .withColumn(
                 "seq",
                 F.expr(
-                    "CASE WHEN size(split(seq, ' ')) = 1 THEN seq "
-                    "ELSE aggregate(slice(split(seq, ' '), 2, "
-                    "size(split(seq, ' ')) - 1), split(seq, ' ')[0], "
-                    f"(acc, x) -> {fold}) END"
+                    "CASE WHEN bl IS NULL OR size(syms) = 1 THEN seq "
+                    "ELSE aggregate(slice(syms, 2, size(syms) - 1), "
+                    f"syms[0], (acc, x) -> {fold}) END"
                 ),
             )
             .select("word", "freq", "seq")
-            .transform(materialize)
         )
+        # materialize so the next round's pair scan doesn't re-derive
+        # the chain; the LAST round's vocab has a single consumer (the
+        # apply aggregate) or none (learn), so skip the extra job
+        if rnd < BPE_MERGE_ROUNDS:
+            v = v.transform(materialize)
     return merges, v
 
 
@@ -1429,11 +1442,11 @@ b{rnd} AS (
 ),
 v{rnd} AS (
   SELECT word, freq,
-         CASE WHEN len(syms) = 1 THEN seq
+         CASE WHEN bl IS NULL OR len(syms) = 1 THEN seq
          ELSE list_reduce(syms, (acc, x) -> {fold}) END AS seq
   FROM (SELECT word, freq, seq, string_split(seq, ' ') AS syms
         FROM {prev})
-  CROSS JOIN b{rnd}
+  LEFT JOIN b{rnd} ON TRUE
 )""")
     return "WITH " + ",\n".join(parts)
 

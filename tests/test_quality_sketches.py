@@ -560,7 +560,9 @@ def test_dsir_select_constructed_ranking(spark, tmp_path):
     # identical content -> identical weight within each group
     assert len({out[d].logweight_bits for d in tgt_ids}) == 1
     assert len({out[d].logweight_bits for d in bulk_ids}) == 1
-    # top-200: the zero-token doc (weight 0, ranks first), all 130
+    # top-200: the zero-token doc (weight 0 — ranks first HERE because
+    # every non-empty doc's weight is negative in this smoothed
+    # fixture; in general 0 sits between the sign groups), all 130
     # target-vocab docs, then the 69 smallest bulk doc_ids on the
     # tie-break
     expected_sel = {500} | tgt_ids | set(sorted(bulk_ids)[:69])
@@ -733,3 +735,50 @@ def test_bpe_learn_merges_matches_reference_python(spark, tmp_path):
     assert s.tokens_after == tokens_after
     assert s.chars_per_token == round(chars_total / tokens_after, 6)
     assert s.tokens_after < s.chars_total  # the merges actually compress
+
+
+def test_bpe_exhaustion_keeps_vocab(spark, tmp_path):
+    """Pair exhaustion before BPE_MERGE_ROUNDS must stop emitting
+    merges WITHOUT destroying the vocabulary (the empty-argmax cross
+    join bug class — review r5: the DuckDB twin collapsed identically,
+    so the parity gate was blind). Corpus of one two-char word:
+    round 1 merges (a,b), every later round finds no pairs. Both
+    engines are checked on the same fixture."""
+    import duckdb
+    import pandas as pd
+
+    from pdftotext_spark.operators import textstats
+
+    pdf = pd.DataFrame(
+        [(0, "ab ab ab", "en", "a", 8), (1, "ab", "en", "b", 2)],
+        columns=["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+
+    merges = textstats.bpe_learn_merges(spark, str(tmp_path)).collect()
+    assert [
+        (r.merge_rank, r.left_sym, r.right_sym, r.merged, r.pair_count)
+        for r in sorted(merges)
+    ] == [(1, "a", "b", "ab", 4)]
+
+    s = textstats.bpe_apply_stats(spark, str(tmp_path)).collect()[0]
+    # 4 occurrences of 'ab': 8 chars -> 4 single tokens after merge 1
+    assert (
+        s.n_words,
+        s.n_word_occurrences,
+        s.chars_total,
+        s.tokens_after,
+        s.chars_per_token,
+    ) == (1, 4, 8, 4, 2.0)
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet/*.parquet')"
+    )
+    duck_merges = con.execute(textstats.BPE_LEARN_MERGES_SQL).fetchall()
+    assert duck_merges == [(1, "a", "b", "ab", 4)]
+    duck_stats = con.execute(textstats.BPE_APPLY_STATS_SQL).fetchone()
+    assert duck_stats == (1, 4, 8, 4, 2.0)
