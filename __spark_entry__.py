@@ -142,6 +142,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mix_weights": textstats.mix_weights,                # temperature source mixing
     "bpe_learn_merges": textstats.bpe_learn_merges,      # BPE tokenizer training
     "bpe_apply_stats": textstats.bpe_apply_stats,        # BPE compression audit
+    "bpe_doc_tokens": textstats.bpe_doc_tokens,          # per-doc BPE budget
 }
 
 _ORACLES: dict[str, str] = {
@@ -220,6 +221,7 @@ _ORACLES: dict[str, str] = {
     "mix_weights": textstats.MIX_WEIGHTS_SQL,
     "bpe_learn_merges": textstats.BPE_LEARN_MERGES_SQL,
     "bpe_apply_stats": textstats.BPE_APPLY_STATS_SQL,
+    "bpe_doc_tokens": textstats.BPE_DOC_TOKENS_SQL,
     "decontamination_overlap": dedup.DECONTAMINATION_OVERLAP_SQL,
     "decontaminate_apply": dedup.DECONTAMINATE_APPLY_SQL,
     "decontamination_report": dedup.DECONTAMINATION_REPORT_SQL,
@@ -297,6 +299,7 @@ _DRIVER_GATE_FIRST = [
     "ssl_prototypes",
     "bpe_learn_merges",
     "bpe_apply_stats",
+    "bpe_doc_tokens",
 ]
 
 _QUERIES = {

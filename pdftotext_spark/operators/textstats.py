@@ -1476,3 +1476,70 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_words,
          AS chars_per_token
 FROM v{BPE_MERGE_ROUNDS}
 """
+
+
+def bpe_doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document BPE token budget under the learned merges — the
+    number a sequence packer actually consumes (whitespace words ×
+    the final vocabulary's per-word token count). Output: (doc_id,
+    n_words, bpe_tokens, n_chars_tok, chars_per_token).
+
+    100 TB shape: one corpus token scan joined (hash, by word) to the
+    vocabulary's final sequences from :func:`_bpe_chain`; per-doc
+    aggregation is map-side-partial. n_chars_tok counts the
+    characters the tokenizer saw (word chars, no separators), so
+    chars_per_token is comparable across engines and documents."""
+    _, v = _bpe_chain(spark, sf_dir)
+    vtok = v.select(
+        "word",
+        F.size(F.split("seq", " ")).cast("long").alias("word_tokens"),
+        F.length("word").cast("long").alias("word_chars"),
+    )
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    words = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr("filter(split(lower(text), ' '), x -> x <> '')")
+        ).alias("word"),
+    )
+    return (
+        words.join(vtok, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.sum("word_tokens").cast("long").alias("bpe_tokens"),
+            F.sum("word_chars").cast("long").alias("n_chars_tok"),
+        )
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "n_words",
+            "bpe_tokens",
+            "n_chars_tok",
+            F.round(
+                F.col("n_chars_tok") / F.col("bpe_tokens"), 6
+            ).alias("chars_per_token"),
+        )
+    )
+
+
+BPE_DOC_TOKENS_SQL = f"""{_bpe_chain_sql()},
+vtok AS (
+  SELECT word,
+         CAST(len(string_split(seq, ' ')) AS BIGINT) AS word_tokens,
+         CAST(length(word) AS BIGINT) AS word_chars
+  FROM v{BPE_MERGE_ROUNDS}
+),
+dwords AS (
+  SELECT doc_id, t.tok AS word
+  FROM documents, unnest(list_filter(string_split(lower(text), ' '),
+                                     x -> x <> '')) AS t(tok)
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(word_tokens) AS BIGINT) AS bpe_tokens,
+       CAST(SUM(word_chars) AS BIGINT) AS n_chars_tok,
+       ROUND(SUM(word_chars) * 1.0 / SUM(word_tokens), 6)
+         AS chars_per_token
+FROM dwords JOIN vtok USING (word)
+GROUP BY doc_id
+"""

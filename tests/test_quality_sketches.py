@@ -782,3 +782,16 @@ def test_bpe_exhaustion_keeps_vocab(spark, tmp_path):
     assert duck_merges == [(1, "a", "b", "ab", 4)]
     duck_stats = con.execute(textstats.BPE_APPLY_STATS_SQL).fetchone()
     assert duck_stats == (1, 4, 8, 4, 2.0)
+
+    # per-doc budget: doc 0 has 3 'ab' occurrences (3 tokens after the
+    # merge), doc 1 has one — both engines
+    per_doc = {
+        r.doc_id: (r.n_words, r.bpe_tokens, r.n_chars_tok, r.chars_per_token)
+        for r in textstats.bpe_doc_tokens(spark, str(tmp_path)).collect()
+    }
+    assert per_doc == {0: (3, 3, 6, 2.0), 1: (1, 1, 2, 2.0)}
+    duck_per_doc = {
+        r[0]: tuple(r[1:])
+        for r in con.execute(textstats.BPE_DOC_TOKENS_SQL).fetchall()
+    }
+    assert duck_per_doc == per_doc
