@@ -321,10 +321,15 @@ _SYMBOL_CODES: dict[int, int] = {
 # byte code).  Widths are the public Adobe Core-14 ZapfDingbats AFM
 # advances at the AFM's own encoding (codes 32–126 and 161–254; 240 is
 # unencoded) — the same numbers every open-source PDF library embeds.
-# The 14 unencoded ornaments (a85–a96, a201–a206, AFM C -1) and the
-# .notdef filler the reference pads codes 0–31/127–160/255 with
-# (746) are NOT shipped: unencoded codes fall back to the font default
-# width like any unknown character.
+# Codes 128–141 carry the 14 AFM-unencoded ornaments (C -1: a89–a96,
+# a85–a88, a205, a206) at the positions the PDF spec's ZapfDingbats
+# encoding assigns them (the same table pdf.js ships as
+# ZapfDingbatsEncoding); the reference's zapfdingbats.fm has the same
+# widths there (PdfToText.php FontMetrics parity).  The remaining
+# unencoded codes (0–31, 127, 142–160, 255) fall back to the font
+# default width like any unknown character — the reference pads them
+# with the 746 .notdef filler instead, a divergence only for codes no
+# writer emits.
 _ZAPF_CODES: dict[int, int] = {
     32: 278, 33: 974, 34: 961, 35: 974, 36: 980, 37: 719, 38: 789,
     39: 790, 40: 791, 41: 690, 42: 960, 43: 939, 44: 549, 45: 855,
@@ -341,6 +346,12 @@ _ZAPF_CODES: dict[int, int] = {
     114: 759, 115: 892, 116: 892, 117: 788, 118: 784, 119: 438,
     120: 138, 121: 277, 122: 415, 123: 392, 124: 392, 125: 668,
     126: 668,
+    # PDF-spec supplemental positions for the AFM's unencoded
+    # ornaments: 128=a89 129=a90 130=a93 131=a94 132=a91 133=a92
+    # 134=a205 135=a85 136=a206 137=a86 138=a87 139=a88 140=a95 141=a96
+    128: 390, 129: 390, 130: 317, 131: 317, 132: 276, 133: 276,
+    134: 509, 135: 509, 136: 410, 137: 410, 138: 234, 139: 234,
+    140: 334, 141: 334,
     161: 732, 162: 544, 163: 544, 164: 910, 165: 667, 166: 760,
     167: 760, 168: 776, 169: 595, 170: 694, 171: 626,
     # a100–a139: the circled/negative digits and sans serif numbers,

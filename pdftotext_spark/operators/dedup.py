@@ -210,8 +210,13 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = _lsh_pairs_from_shingles(s)
     sa = s.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     sb = s.select(F.col("doc_id").alias("sb_doc"), F.col("sh").alias("sh_b"))
+    # no forced broadcasts: `cand` is data-dependent (dup-heavy
+    # corpora explode it) and `ca`/`cb` are per-doc counts —
+    # corpus-cardinality. AQE broadcasts them when they measure small
+    # at runtime; a F.broadcast hint would bypass that size check and
+    # OOM the driver at 100 TB (same rule as source_overlap_matrix).
     common = (
-        F.broadcast(cand)
+        cand
         .join(sa, "doc_a")
         .join(sb, (F.col("doc_b") == F.col("sb_doc")) & (F.col("sh_a") == F.col("sh_b")))
         .groupBy("doc_a", "doc_b")
@@ -221,8 +226,8 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
     jac = F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common"))
     return (
-        common.join(F.broadcast(ca), "doc_a")
-        .join(F.broadcast(cb), "doc_b")
+        common.join(ca, "doc_a")
+        .join(cb, "doc_b")
         .filter(jac >= JACCARD_THRESHOLD)
         .select(
             F.col("doc_a").cast("long"),
@@ -967,9 +972,10 @@ def minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     (n_hashes, bands) configuration before trusting it at 100 TB.
 
     Shape: one shingle materialization feeds signatures, candidates
-    and exact verification (materialize); the estimate is a
-    broadcastable two-sided signature join on the (already tiny)
-    candidate list; exact counts run only over candidates."""
+    and exact verification (materialize); the estimate is a two-sided
+    signature join on the candidate list (AQE broadcasts it when it
+    measures small — no forced hint, the list is data-dependent);
+    exact counts run only over candidates."""
     docs = _read(spark, sf_dir, "documents")
     s = _shingles(docs).transform(materialize)
     # ONE signature aggregation feeds both the candidate bands and the
@@ -998,8 +1004,10 @@ def minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = s.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     sha = s.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     shb = s.select(F.col("doc_id").alias("cb_doc"), F.col("sh").alias("sh_b"))
+    # candidate list and per-doc counts are data-/corpus-cardinality —
+    # no broadcast hints, AQE decides (see ngram_jaccard_pairs)
     common = (
-        F.broadcast(cand)
+        cand
         .join(sha, "doc_a")
         .join(
             shb,
@@ -1016,8 +1024,8 @@ def minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         est.join(common, ["doc_a", "doc_b"], "left")
-        .join(F.broadcast(ca), "doc_a")
-        .join(F.broadcast(cb), "doc_b")
+        .join(ca, "doc_a")
+        .join(cb, "doc_b")
         .select(
             F.col("doc_a").cast("long"),
             F.col("doc_b").cast("long"),
@@ -1239,9 +1247,12 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     sources in a training mix (the full-matrix complement of
     :func:`decontamination_overlap`'s one-vs-rest view).
 
-    100 TB shape: the banded candidate generator (never all-pairs)
-    plus two broadcast dimension joins (doc_id → source) and a
-    grouped count over ≤ |sources|² keys."""
+    100 TB shape: the banded candidate generator (never all-pairs),
+    two doc_id → source joins whose right side is CORPUS-cardinality
+    (one row per document — NOT force-broadcast; AQE picks the
+    strategy, same rule as :func:`decontamination_report`), then two
+    genuinely-broadcastable joins against the per-source counts
+    (≤ |sources| rows) and a grouped count over ≤ |sources|² keys."""
     docs = _read(spark, sf_dir, "documents").select("doc_id", "source")
     pairs = minhash_lsh_pairs(spark, sf_dir)
     sa = docs.select(
@@ -1251,8 +1262,8 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("doc_b"), F.col("source").alias("sb")
     )
     tagged = (
-        pairs.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .select(
             F.least("sa", "sb").alias("source_a"),
             F.greatest("sa", "sb").alias("source_b"),

@@ -591,11 +591,20 @@ def unigram_logloss(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long"),
         )
     )
-    return scored.groupBy("doc_id").agg(
+    grouped = scored.groupBy("doc_id").agg(
         F.count("*").cast("long").alias("n_tokens"),
         (
             (F.sum("loss_i") / F.count("*")) / 1_000_000.0
         ).alias("logloss_bits"),
+    )
+    # ADVICE r5 (bigram twin): zero-token documents vanished from the
+    # groupBy, and the oracle dropped them identically — the
+    # parity-blind class. Left-join back onto ALL doc ids and emit
+    # (n_tokens=0, logloss_bits=0) rows, mirroring the dsir_select fix.
+    return docs.select("doc_id").join(grouped, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long").alias("n_tokens"),
+        F.coalesce(F.col("logloss_bits"), F.lit(0.0)).alias("logloss_bits"),
     )
 
 
@@ -612,11 +621,17 @@ scored AS (
          CAST(ROUND(-log2(CAST(cnt AS DOUBLE) / total) * 1000000, 0) AS BIGINT)
            AS loss_i
   FROM toks JOIN vocab USING (tok) CROSS JOIN total
+),
+grouped AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         (SUM(loss_i) * 1.0 / COUNT(*)) / 1000000.0 AS logloss_bits
+  FROM scored GROUP BY doc_id
 )
-SELECT doc_id,
-       CAST(COUNT(*) AS BIGINT) AS n_tokens,
-       (SUM(loss_i) * 1.0 / COUNT(*)) / 1000000.0 AS logloss_bits
-FROM scored GROUP BY doc_id
+SELECT d.doc_id,
+       CAST(coalesce(g.n_tokens, 0) AS BIGINT) AS n_tokens,
+       coalesce(g.logloss_bits, 0.0) AS logloss_bits
+FROM documents d LEFT JOIN grouped g USING (doc_id)
 """
 
 
@@ -680,7 +695,7 @@ def bigram_logloss(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", micro(F.col("bcnt") / F.col("prev_cnt")).alias("loss_i")
         )
     )
-    return (
+    grouped = (
         first_scored.unionByName(bi_scored)
         .groupBy("doc_id")
         .agg(
@@ -689,11 +704,15 @@ def bigram_logloss(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "logloss_bits"
             ),
         )
-        .select(
-            F.col("doc_id").cast("long").alias("doc_id"),
-            "n_tokens",
-            "logloss_bits",
-        )
+    )
+    # ADVICE r5: zero-token docs vanished from the groupBy AND from
+    # the oracle identically (parity-blind omission) — left-join back
+    # onto ALL doc ids, emitting (n_tokens=0, logloss_bits=0) rows,
+    # the same shape as the dsir_select zero-token fix.
+    return docs.select("doc_id").join(grouped, "doc_id", "left").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long").alias("n_tokens"),
+        F.coalesce(F.col("logloss_bits"), F.lit(0.0)).alias("logloss_bits"),
     )
 
 
@@ -725,11 +744,17 @@ scored AS (
   FROM bi
   JOIN bcounts bc ON bc.prev = bi.prev AND bc.tok = bi.tok
   JOIN vocab pv ON pv.tok = bi.prev
+),
+grouped AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         (SUM(loss_i) * 1.0 / COUNT(*)) / 1000000.0 AS logloss_bits
+  FROM scored GROUP BY doc_id
 )
-SELECT CAST(doc_id AS BIGINT) AS doc_id,
-       CAST(COUNT(*) AS BIGINT) AS n_tokens,
-       (SUM(loss_i) * 1.0 / COUNT(*)) / 1000000.0 AS logloss_bits
-FROM scored GROUP BY doc_id
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       CAST(coalesce(g.n_tokens, 0) AS BIGINT) AS n_tokens,
+       coalesce(g.logloss_bits, 0.0) AS logloss_bits
+FROM documents d LEFT JOIN grouped g USING (doc_id)
 """
 
 

@@ -443,7 +443,10 @@ def test_bigram_logloss_hand_checked(spark, tmp_path):
     """Constructed corpus with hand-computable probabilities: tokens
     a,b,a,b,a,c -> cnt(a)=3,b=2,c=1,total=6; bigrams (a,b)x2,(a,c)x1.
     'a b' scores (-log2(3/6) - log2(2/3))/2; 'a c' pays the rarer
-    continuation -log2(1/3) and must score strictly higher."""
+    continuation -log2(1/3) and must score strictly higher. Doc 4 is
+    all-whitespace: it must still emit a row with n_tokens=0 and
+    logloss_bits=0 (ADVICE r5 — the groupBy dropped it and the
+    oracle was identically blind)."""
     import math
 
     import pandas as pd
@@ -452,11 +455,11 @@ def test_bigram_logloss_hand_checked(spark, tmp_path):
 
     docs = pd.DataFrame(
         {
-            "doc_id": [1, 2, 3],
-            "text": ["a b", "a b", "a c"],
-            "lang": ["en"] * 3,
-            "source": ["s"] * 3,
-            "n_chars": [3, 3, 3],
+            "doc_id": [1, 2, 3, 4],
+            "text": ["a b", "a b", "a c", "   "],
+            "lang": ["en"] * 4,
+            "source": ["s"] * 4,
+            "n_chars": [3, 3, 3, 3],
         }
     )
     spark.createDataFrame(docs).write.mode("overwrite").parquet(
@@ -466,13 +469,21 @@ def test_bigram_logloss_hand_checked(spark, tmp_path):
         r.doc_id: r
         for r in textstats.bigram_logloss(spark, str(tmp_path)).collect()
     }
-    assert {r.n_tokens for r in rows.values()} == {2}
+    assert set(rows) == {1, 2, 3, 4}
+    assert {rows[d].n_tokens for d in (1, 2, 3)} == {2}
     ab = (-math.log2(3 / 6) - math.log2(2 / 3)) / 2
     ac = (-math.log2(3 / 6) - math.log2(1 / 3)) / 2
     assert rows[1].logloss_bits == pytest.approx(ab, abs=1e-5)
     assert rows[2].logloss_bits == pytest.approx(ab, abs=1e-5)
     assert rows[3].logloss_bits == pytest.approx(ac, abs=1e-5)
     assert rows[3].logloss_bits > rows[1].logloss_bits
+    assert rows[4].n_tokens == 0 and rows[4].logloss_bits == 0.0
+    # the unigram twin got the same fix — zero-token row present
+    uni = {
+        r.doc_id: r
+        for r in textstats.unigram_logloss(spark, str(tmp_path)).collect()
+    }
+    assert uni[4].n_tokens == 0 and uni[4].logloss_bits == 0.0
 
 
 def test_semdedup_oversized_cluster_routes_srp(spark, tmp_path, monkeypatch):

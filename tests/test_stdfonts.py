@@ -94,21 +94,25 @@ def test_ascii_parity_with_reference_fm_tables():
 
 def test_zapfdingbats_parity_with_reference_fm_table():
     """Every shipped ZapfDingbats code (the AFM-encoded ornament set,
-    r5) vs the reference's independently-derived zapfdingbats.fm —
-    same Adobe Core-14 source, so every overlapping code must agree.
-    Codes the repo deliberately does NOT ship (AFM-unencoded ornaments
-    and the reference's 746 .notdef filler at 0–31/127–160/240/255)
-    fall back to the font default width instead."""
+    r5, plus the 14 PDF-spec supplemental ornaments at 128–141, r6)
+    vs the reference's independently-derived zapfdingbats.fm — same
+    Adobe Core-14 source, so every overlapping code must agree.
+    Codes the repo deliberately does NOT ship (the reference's 746
+    .notdef filler at 0–31/127/142–160/240/255) fall back to the
+    font default width instead."""
     with open(os.path.join(REF_FM_DIR, "zapfdingbats.fm")) as fh:
         fm = {
             int(c): int(w)
             for c, w in re.findall(r"(\d+)\s*=>\s*(\d+)", fh.read())
         }
     mine = std_font_widths("ZapfDingbats")
-    assert len(mine) == 95 + 93  # 32..126 plus 161..254 minus 240
+    # 32..126, the supplemental 128..141, and 161..254 minus 240
+    assert len(mine) == 95 + 14 + 93
     for code, w in mine.items():
         assert int(w) == fm[code], (code, w, fm[code])
     assert 240 not in mine and 160 not in mine and 255 not in mine
+    # ADVICE r5: the supplemental ornaments are real widths, not filler
+    assert mine[134] == 509.0 and mine[138] == 234.0
 
 
 def test_zapfdingbats_run_measures_afm_widths():
