@@ -13,6 +13,9 @@
 
 from __future__ import annotations
 
+import math
+import warnings
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -115,6 +118,42 @@ EXACT_BUCKET_CAP = 4096
 NEARDUP_SRP_BANDS = 16
 NEARDUP_SRP_BAND_BITS = 8
 
+# below this pair-cosine threshold the 16×8-bit band family's recall
+# bound degrades fast (~0.80 at 0.70, ~0.23 at 0.30) — routing an
+# oversized bucket there silently keeps more than the exact gate would
+_BAND_RECALL_WARN_EPS = 0.7
+
+
+def _band_pair_recall(threshold: float) -> float:
+    """The 16×8-bit SRP band family's pair recall AT the cosine
+    threshold: 1 − (1 − p^bits)^bands with p = 1 − acos(c)/π — the
+    docstring formula, centralized so the runtime warning and the
+    documentation can't drift."""
+    p = 1.0 - math.acos(max(-1.0, min(1.0, threshold))) / math.pi
+    return 1.0 - (1.0 - p**NEARDUP_SRP_BAND_BITS) ** NEARDUP_SRP_BANDS
+
+
+def _warn_routed_low_eps(op: str, threshold: float) -> None:
+    """VERDICT r5: when a bucket routes through SRP bands below the
+    family's tuned operating range, the keep-more degradation was
+    silent at runtime — surface the computed recall bound so an
+    operator reading the logs sees it without opening the docstring.
+    Fail-safe either way: a band-missed pair can only KEEP more."""
+    if threshold >= _BAND_RECALL_WARN_EPS:
+        return
+    recall = _band_pair_recall(threshold)
+    warnings.warn(
+        f"{op}: bucket(s) above EXACT_BUCKET_CAP={EXACT_BUCKET_CAP} "
+        f"routed through {NEARDUP_SRP_BANDS}x{NEARDUP_SRP_BAND_BITS}-bit "
+        f"SRP bands at eps={threshold:g}, below the family's tuned "
+        f"range (>= {_BAND_RECALL_WARN_EPS}); threshold-level pair "
+        f"recall bound is ~{recall:.2f} (1-(1-p^bits)^bands, "
+        f"p=1-acos(eps)/pi). Missed pairs only KEEP more vectors "
+        f"(never wrong-drop); raise K / lower cluster sizes, or raise "
+        f"eps, for exact behavior.",
+        stacklevel=3,
+    )
+
 
 def cosine_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-duplicate pairs within coarse buckets (label),
@@ -152,6 +191,7 @@ def cosine_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         # no oversized label: skip the approximate branch entirely
         # (its mapInPandas/distinct jobs are not free even when empty)
         return _cosine_neardup_exact(emb, counts)
+    _warn_routed_low_eps("cosine_neardup_pairs", NEARDUP_THRESHOLD)
     # routing fans emb into up to five consumers (exact a/b sides, SRP
     # band keys, score ea/eb) — materialize so the parquet scan + norm
     # fold run once, the knn_graph_srp pattern (review r5)
@@ -1386,6 +1426,7 @@ def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     else:
         from pdftotext_spark.sources.shipping import ship_package
 
+        _warn_routed_low_eps("semdedup", SEMDEDUP_EPS)
         ship_package(spark)
         emb_pairs = emb_pairs.transform(materialize)
         pairs = _cosine_neardup_exact(

@@ -509,11 +509,21 @@ def test_semdedup_oversized_cluster_routes_srp(spark, tmp_path, monkeypatch):
     assert kept_flags == {True, False}
 
     monkeypatch.setattr(similarity, "EXACT_BUCKET_CAP", 4)
-    routed = {
-        r.vec_id: (r.cluster, r.centroid_cos, r.n_neighbors, r.is_kept)
-        for r in similarity.semdedup(spark, str(tmp_path)).collect()
-    }
+    # VERDICT r5: the low-eps routed branch must be OBSERVABLE — a
+    # warning carrying the computed band recall bound, not a silent
+    # keep-more degradation (SEMDEDUP_EPS 0.30 < the 0.7 tuned floor)
+    with pytest.warns(UserWarning, match=r"semdedup.*recall bound is ~0\.2"):
+        routed = {
+            r.vec_id: (r.cluster, r.centroid_cos, r.n_neighbors, r.is_kept)
+            for r in similarity.semdedup(spark, str(tmp_path)).collect()
+        }
     assert routed == exact
+    # and eps at/above the tuned range stays silent
+    import warnings as _w
+
+    with _w.catch_warnings():
+        _w.simplefilter("error")
+        similarity._warn_routed_low_eps("semdedup", 0.86)
 
 
 def test_dsir_select_constructed_ranking(spark, tmp_path):
