@@ -1475,7 +1475,16 @@ def _dup_span_islands(docs: DataFrame):
     the same O(total bytes) cost class as the reference ExactSubstr
     suffix array of Lee et al. 2021) → corpus-duplicated shingle set →
     gaps-and-islands interval merge. Returns (doc_id, island, s, e)
-    merged spans with 1-based [s, e) char bounds."""
+    merged spans with 1-based [s, e) char bounds.
+
+    VERDICT r5 #2: the duplicate marking is a COUNT window partitioned
+    by ``sh`` over the positional frame, not groupBy("sh") + left_semi
+    back onto it — the join form scanned and exploded the biggest
+    frame in the system TWICE (the two Exchange subtrees project
+    different columns, so ReusedExchange can never collapse them; the
+    plan test pins the single-scan property). One corpus scan, one
+    shuffle by sh, then the (much smaller) duplicated-position frame
+    shuffles by doc_id for the island merge."""
     from pyspark.sql.window import Window
 
     pos_sh = (
@@ -1491,13 +1500,12 @@ def _dup_span_islands(docs: DataFrame):
         )
         .select("doc_id", (F.col("p0") + 1).alias("pos"), "sh")
     )
-    dup_sh = (
-        pos_sh.groupBy("sh")
-        .agg(F.count("*").alias("n"))
-        .filter(F.col("n") > 1)
-        .select("sh")
+    wsh = Window.partitionBy("sh")
+    marked = (
+        pos_sh.withColumn("n_occ", F.count("*").over(wsh))
+        .filter(F.col("n_occ") > 1)
+        .select("doc_id", "pos")
     )
-    marked = pos_sh.join(dup_sh, "sh", "left_semi")
     w = Window.partitionBy("doc_id").orderBy("pos")
     wprev = w.rowsBetween(Window.unboundedPreceding, -1)
     return (
@@ -1567,8 +1575,9 @@ def duplicated_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     (single source with :func:`strip_duplicated_spans`); covered chars
     = Σ(e − s) over merged spans, over the full document length.
 
-    100 TB shape: one shingle scan, one grouped duplicate-set
-    aggregation (AQE-broadcastable join back), and a per-doc window —
+    100 TB shape: ONE shingle scan and ONE shuffle of the positional
+    frame (count window by sh — see :func:`_dup_span_islands`), then
+    a per-doc window over the surviving duplicated positions —
     partitioned by doc_id, so no global sort. Integer arithmetic
     throughout (position/island algebra), double only at the final
     division."""
@@ -1627,11 +1636,16 @@ def strip_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     100 TB shape: identical to the metric plus a per-doc collect_list
     bounded by the island count (≤ doc_len/SHINGLE_LEN, interleaved
-    islands merge)."""
+    islands merge). The merged-span frame is MATERIALIZED before its
+    two consumers (pieces join + tails agg): it is small (only
+    duplicated islands, slim scalar columns — ExistingRDD's no-prune
+    rule satisfied), while its lineage contains the corpus-sized
+    positional-shingle scan that would otherwise run twice
+    (VERDICT r5 #2; the plan test pins zero Generate nodes here)."""
     from pyspark.sql.window import Window
 
     docs = _read(spark, sf_dir, "documents")
-    spans = _dup_span_islands(docs)
+    spans = _dup_span_islands(docs).transform(materialize)
     wlag = Window.partitionBy("doc_id").orderBy("s")
     pieces = (
         spans.join(docs.select("doc_id", "text"), "doc_id")

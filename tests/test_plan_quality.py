@@ -320,3 +320,22 @@ def test_aggregations_are_partial(spark):
     plan = _plan(relational.pricing_summary(spark, SF))
     assert plan.count("HashAggregate") >= 2
     assert "partial_" in plan.lower() or "partial" in plan
+
+
+def test_exactsubstr_islands_scan_positions_once(spark):
+    """VERDICT r5 #2: the ExactSubstr positional-shingle frame is the
+    biggest frame in the system (one row per character position,
+    whole corpus, unsampled). The old groupBy("sh") + left_semi form
+    scanned and exploded it TWICE (differently-projected Exchange
+    subtrees — ReusedExchange can never collapse them); the count
+    window form must show exactly ONE posexplode Generate in the
+    metric plan; the apply side materializes the slim merged-span
+    frame before its two consumers, so its final plan has ZERO (the
+    one scan ran inside the checkpoint job)."""
+    plan = _plan(dedup.duplicated_span_fraction(spark, SF))
+    assert plan.count("Generate posexplode") == 1
+    # duplicate marking stays a window, not a re-join of the frame
+    assert "LeftSemi" not in plan
+    plan = _plan(dedup.strip_duplicated_spans(spark, SF))
+    assert plan.count("Generate posexplode") == 0
+    assert "LeftSemi" not in plan
