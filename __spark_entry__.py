@@ -143,6 +143,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_learn_merges": textstats.bpe_learn_merges,      # BPE tokenizer training
     "bpe_apply_stats": textstats.bpe_apply_stats,        # BPE compression audit
     "bpe_doc_tokens": textstats.bpe_doc_tokens,          # per-doc BPE budget
+    "bpe_merges_driver": textstats.bpe_merges_driver,    # driver-side BPE trainer
 }
 
 _ORACLES: dict[str, str] = {
@@ -222,6 +223,7 @@ _ORACLES: dict[str, str] = {
     "bpe_learn_merges": textstats.BPE_LEARN_MERGES_SQL,
     "bpe_apply_stats": textstats.BPE_APPLY_STATS_SQL,
     "bpe_doc_tokens": textstats.BPE_DOC_TOKENS_SQL,
+    "bpe_merges_driver": textstats.BPE_MERGES_DRIVER_SQL,
     "decontamination_overlap": dedup.DECONTAMINATION_OVERLAP_SQL,
     "decontaminate_apply": dedup.DECONTAMINATE_APPLY_SQL,
     "decontamination_report": dedup.DECONTAMINATION_REPORT_SQL,

@@ -1115,7 +1115,15 @@ FROM reach GROUP BY src
 """
 
 
-WINNOW_MAX_DF = 20     # drop boilerplate fingerprints seen in more docs
+# MOSS guard: drop boilerplate fingerprints seen in more docs than
+# this (an ABSOLUTE cap by design — it also caps the equi-join bucket
+# fan-out at df² — but note the corpus-growth consequence: a near-dup
+# CLUSTER larger than the cap shares only above-cap fingerprints and
+# its pairs are dropped entirely; at sf0.1 the synthetic corpus'
+# clusters outgrow the default and the operator correctly returns 0
+# pairs. Deployment lever, clamped >= 2 like the other env levers —
+# at df < 2 no fingerprint can ever be shared).
+WINNOW_MAX_DF = max(2, int(os.environ.get("SPARK_GRAFT_WINNOW_MAX_DF", "20")))
 WINNOW_MIN_SHARED = 25  # pairs must share at least this many prints
 
 
@@ -1125,21 +1133,47 @@ def winnowing_shared_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     substring overlap, the plagiarism-detection complement to the
     probabilistic MinHash/SimHash families.
 
-    100 TB shape: the classic MOSS guard drops over-common
-    fingerprints (df > WINNOW_MAX_DF — boilerplate produces the hot
-    buckets) BEFORE the fingerprint equi-join, so bucket sizes stay
-    bounded and the pair aggregation is a plain grouped count."""
+    100 TB shape (r6 rewrite, the ExactSubstr single-scan lesson):
+    the old groupBy(fp)-df + join-back + fp self-join re-ran the
+    corpus-sized position explode per differently-projected subtree
+    (no ReusedExchange, measured — 2 Generate nodes in the final
+    plan). Now ONE corpus scan and ONE shuffle by fp: a COUNT window
+    applies the MOSS over-common guard (df > WINNOW_MAX_DF —
+    boilerplate hot keys pass through as slim spillable rows, never
+    a collected list), and the surviving buckets — now ≤ WINNOW_MAX_DF
+    docs each, so ≤ C(cap,2) pairs — emit their doc pairs via a
+    bounded in-bucket explode instead of a self-join. The plan test
+    pins the single-Generate property; measured 5.07 → 4.06 s at
+    sf0.1 interleaved best-of-3, and the join stages disappear."""
+    from pyspark.sql.window import Window
+
     docs = _read(spark, sf_dir, "documents")
     selected = _winnow_selected(docs).select(
         F.col("doc_id").cast("long").alias("doc_id"), "fp"
     )
-    dfc = selected.groupBy("fp").agg(F.count("*").alias("df"))
-    rare = selected.join(dfc.filter(F.col("df") <= WINNOW_MAX_DF), "fp")
-    a = rare.select(F.col("doc_id").alias("doc_a"), "fp")
-    b = rare.select(F.col("doc_id").alias("doc_b"), F.col("fp").alias("fp_b"))
+    rare = (
+        selected.withColumn("df", F.count("*").over(Window.partitionBy("fp")))
+        .filter(F.col("df") <= WINNOW_MAX_DF)
+        .select("doc_id", "fp")
+    )
+    buckets = rare.groupBy("fp").agg(
+        F.collect_list("doc_id").alias("ds")
+    ).filter(F.size("ds") >= 2)
+    # collect_list order is nondeterministic -> normalize each pair
+    # with least/greatest instead of relying on array order
+    pairs = buckets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ds, (x, i) -> "
+                "transform(slice(ds, i + 2, greatest(size(ds) - i - 1, 0)), "
+                "y -> struct(least(x, y) AS a, greatest(x, y) AS b))))"
+            )
+        ).alias("p")
+    )
     return (
-        a.join(b, (F.col("fp") == F.col("fp_b")) & (F.col("doc_a") < F.col("doc_b")))
-        .groupBy("doc_a", "doc_b")
+        pairs.groupBy(
+            F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b")
+        )
         .agg(F.count("*").cast("long").alias("n_shared"))
         .filter(F.col("n_shared") >= WINNOW_MIN_SHARED)
     )

@@ -28,6 +28,7 @@ PICKS = {
     "semdedup": "SemDeDup (r5): ExistingRDD scans are the materialized Lloyd assignment/centroid-cos frames (broadcast-centroid assignment, see kmeans_ivf_topk); within-cluster pairs are chunk-keyed equi-joins, rank joins ship ids+rank only",
     "dsir_select": "DSIR (r5): the ExistingRDD is the ONCE-materialized per-doc weight table (its upstream: ONE fused constant-key count aggregate — raw + conditional target counts — broadcast-joined back onto the token scan); both the top-N (TakeOrderedAndProject) and the final selected-flag join reuse it — no window, no SMJ, no duplicate token scan",
     "bpe_learn_merges": "BPE training (r5): unioned 1-row argmax frames, each an ExistingRDD (the materialized per-round TakeOrdered(1) over the vocab pair counts); the fold applies are broadcast-scalar projections between rounds — the corpus is scanned once, every round operates on the vocabulary table",
+    "winnowing_shared_pairs": "MOSS pairs (r6): ONE corpus position explode (the count-window df guard) and ONE shuffle by fp; the second Generate is the bounded in-bucket pair fan-out (buckets capped at WINNOW_MAX_DF docs) — no join operator, the old self-join re-ran the corpus scan per side",
     "duplicated_span_fraction": "ExactSubstr islands (r6): the corpus-sized positional-shingle frame is generated ONCE (one Generate posexplode, one Exchange by sh); duplicate marking is a count window over that single shuffle — the old groupBy+left_semi form scanned it twice (VERDICT r5 #2, 1.8x measured)",
     "strip_duplicated_spans": "ExactSubstr apply (r6): ZERO Generate nodes in the final plan — the slim merged-span frame is materialized before its two consumers (pieces join + tails agg), so the corpus-sized shingle scan in its lineage ran exactly once, inside the checkpoint job",
 }

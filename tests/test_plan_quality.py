@@ -322,6 +322,20 @@ def test_aggregations_are_partial(spark):
     assert "partial_" in plan.lower() or "partial" in plan
 
 
+def test_winnowing_pairs_scan_positions_once(spark):
+    """r6: winnowing_shared_pairs runs ONE corpus-sized position
+    explode (count-window df guard + bounded in-bucket pair explode)
+    — the old df-groupBy + join-back + fp self-join re-ran it per
+    subtree (measured 2 Generate nodes, no ReusedExchange) and is the
+    same defect class as the ExactSubstr double scan below. The
+    'Generate explode' node is the bounded pair fan-out, not a second
+    corpus scan; no join operator appears at all."""
+    plan = _plan(dedup.winnowing_shared_pairs(spark, SF))
+    assert plan.count("Generate posexplode") == 1
+    for join in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"):
+        assert join not in plan
+
+
 def test_exactsubstr_islands_scan_positions_once(spark):
     """VERDICT r5 #2: the ExactSubstr positional-shingle frame is the
     biggest frame in the system (one row per character position,
