@@ -1435,16 +1435,20 @@ def _bpe_chain_sql(rounds: int = BPE_MERGE_ROUNDS) -> str:
     """The DuckDB WITH-body replaying :func:`_bpe_chain` exactly —
     shared by the learn and apply oracles (``rounds`` parametrized so
     the driver-side trainer's oracle can replay more rounds than the
-    unrolled-Spark demonstrator)."""
+    unrolled-Spark demonstrator). Every CTE is MATERIALIZED: DuckDB
+    inlines plain CTEs, and each round references the previous vocab
+    twice (pair count + fold apply), so un-materialized the base scan
+    inlines 2^rounds times — 8 rounds limped, 32 died on file
+    handles before it died on time."""
     fold = _BPE_FOLD_CASE.format(bl="bl", br="br")
     parts = [
-        """words AS (
+        """words AS MATERIALIZED (
   SELECT t.tok AS word, COUNT(*) AS freq
   FROM documents, unnest(list_filter(string_split(lower(text), ' '),
                                      x -> x <> '')) AS t(tok)
   GROUP BY t.tok
 ),
-v0 AS (
+v0 AS MATERIALIZED (
   SELECT word, freq,
          array_to_string(list_transform(generate_series(1, length(word)),
                                         i -> substr(word, i, 1)), ' ')
@@ -1454,7 +1458,7 @@ v0 AS (
     ]
     for rnd in range(1, rounds + 1):
         prev = f"v{rnd - 1}"
-        parts.append(f"""p{rnd} AS (
+        parts.append(f"""p{rnd} AS MATERIALIZED (
   SELECT la, rb, SUM(freq) AS cnt FROM (
     SELECT freq,
            unnest(syms[1:len(syms)-1]) AS la,
@@ -1463,11 +1467,11 @@ v0 AS (
     WHERE len(syms) >= 2
   ) GROUP BY la, rb
 ),
-b{rnd} AS (
+b{rnd} AS MATERIALIZED (
   SELECT la AS bl, rb AS br, cnt AS pair_count
   FROM p{rnd} ORDER BY cnt DESC, la ASC, rb ASC LIMIT 1
 ),
-v{rnd} AS (
+v{rnd} AS MATERIALIZED (
   SELECT word, freq,
          CASE WHEN bl IS NULL OR len(syms) = 1 THEN seq
          ELSE list_reduce(syms, (acc, x) -> {fold}) END AS seq

@@ -816,3 +816,118 @@ def test_bpe_exhaustion_keeps_vocab(spark, tmp_path):
         for r in con.execute(textstats.BPE_DOC_TOKENS_SQL).fetchall()
     }
     assert duck_per_doc == per_doc
+
+
+def _naive_bpe(vocab: dict, k: int):
+    """The independent reference Sennrich loop (full per-round recount
+    + argmax + leftmost application) — quadratic, used only as the
+    equality pin for the incremental driver-side trainer."""
+    seqs = {w: list(w) for w in vocab}
+    merges = []
+    for rank in range(1, k + 1):
+        stats = {}
+        for w, f in vocab.items():
+            s = seqs[w]
+            for i in range(len(s) - 1):
+                stats[(s[i], s[i + 1])] = stats.get((s[i], s[i + 1]), 0) + f
+        if not stats:
+            break
+        (a, b), c = sorted(
+            stats.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )[0]
+        merges.append((rank, a, b, a + b, c))
+        for w in seqs:
+            s = seqs[w]
+            out, i = [], 0
+            while i < len(s):
+                if i < len(s) - 1 and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            seqs[w] = out
+    return merges
+
+
+def test_bpe_driver_trainer_equals_naive_reference_1000_merges():
+    """VERDICT r5 #6: the production-shape driver-side trainer
+    (incremental pair counts + lazy max-heap) must be bit-for-bit the
+    naive per-round recount at n=1000 merges on a realistic-size
+    vocabulary — including the repeated-char words that pin overlap
+    counting and leftmost application, and long shared prefixes that
+    force deep merge chains. No Spark: this pins the trainer itself."""
+    import hashlib
+
+    from pdftotext_spark.operators.textstats import _train_bpe_driver
+
+    vocab: dict[str, int] = {}
+    for i in range(1200):
+        w = hashlib.md5(f"bpe:{i}".encode()).hexdigest()[:10]
+        vocab[w] = (i % 17) + 1
+    vocab["zzzzzzzz"] = 40           # overlap-counting pin
+    vocab["ababababab"] = 33         # alternating leftmost pin
+    expected = _naive_bpe(vocab, 1000)
+    got = _train_bpe_driver(sorted(vocab.items()), 1000)
+    assert len(got) == 1000          # vocabulary big enough to sustain
+    assert got == expected
+    assert any(m[1] == "z" and m[2] == "z" for m in got)
+
+
+def test_bpe_driver_trainer_exhaustion_and_empty():
+    from pdftotext_spark.operators.textstats import _train_bpe_driver
+
+    # exhaustion: 'ab' merges once, then no pairs remain
+    assert _train_bpe_driver([("ab", 4)], 10) == [(1, "a", "b", "ab", 4)]
+    # single-char words have no pairs at all
+    assert _train_bpe_driver([("a", 9), ("b", 3)], 5) == []
+    assert _train_bpe_driver([], 5) == []
+
+
+def test_bpe_merges_driver_prefix_equals_unrolled_spark(spark):
+    """The registered driver trainer's first BPE_MERGE_ROUNDS rows
+    equal the unrolled-Spark demonstrator exactly (same argmax order,
+    same corpus word table) — the two implementations cross-check each
+    other on the real fixture, and the 32-round oracle replay is
+    exercised by the parity mirror."""
+    sf = "/root/testdata/sf0.001"
+    driver = sorted(
+        (r.merge_rank, r.left_sym, r.right_sym, r.merged, r.pair_count)
+        for r in textstats.bpe_merges_driver(spark, sf).collect()
+        if r.merge_rank <= textstats.BPE_MERGE_ROUNDS
+    )
+    unrolled = sorted(
+        (r.merge_rank, r.left_sym, r.right_sym, r.merged, r.pair_count)
+        for r in textstats.bpe_learn_merges(spark, sf).collect()
+    )
+    assert driver == unrolled and len(driver) == textstats.BPE_MERGE_ROUNDS
+
+
+def test_bpe_driver_max_words_cap_is_deterministic(spark, tmp_path):
+    """max_words keeps the TOP-frequency words with a word-ASC
+    tie-break: training on the capped vocab equals training on the
+    same cap computed by hand."""
+    import pandas as pd
+
+    from pdftotext_spark.operators.textstats import (
+        _train_bpe_driver,
+        bpe_learn_merges_driver,
+    )
+
+    vocab = {"aaxx": 9, "bbxx": 9, "ccxx": 5, "ddyy": 3, "eeyy": 1}
+    rows = [
+        (i, " ".join([w] * f), "s")
+        for i, (w, f) in enumerate(vocab.items())
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "source"])
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    got = [
+        (r.merge_rank, r.left_sym, r.right_sym, r.merged, r.pair_count)
+        for r in bpe_learn_merges_driver(
+            spark, str(tmp_path), n_merges=50, max_words=3
+        ).collect()
+    ]
+    capped = {w: f for w, f in vocab.items() if w in ("aaxx", "bbxx", "ccxx")}
+    assert sorted(got) == _train_bpe_driver(sorted(capped.items()), 50)
