@@ -248,60 +248,65 @@ _ORACLES: dict[str, str] = {
 # in CORRECTNESS_r04.json.  COVERAGE.md records which round checked
 # what.
 _DRIVER_GATE_FIRST = [
-    # r5 rotation: the 24 queries whose newest driver row is r3 — which
-    # are exactly the dedup + similarity families modified THIS round
-    # (whole-document md5-sampled shingling; cosine_neardup bucket
-    # bounding) — plus knn_graph_srp (r4-green but cost-retuned in r5).
-    "dedup_exact",
-    "ngram_jaccard_pairs",
-    "minhash_signatures",
-    "minhash_lsh_pairs",
-    "minhash_jaccard_estimate",
-    "simhash",
-    "simhash_neardup_pairs",
-    "winnowing_fingerprints",
+    # r6 rotation: the 41 queries with no r5 driver row (the
+    # relational / textstats / sketch tail that fell past the ~50-row
+    # cap in r5, plus the new bpe_merges_driver), then the 9 queries
+    # MODIFIED in r6 (winnowing single-scan rewrite, ExactSubstr
+    # count-window rewrite, BPE materialized-CTE oracles, semdedup
+    # low-eps warning, source_overlap_matrix AQE joins,
+    # bigram_logloss zero-token rows). 41 + 9 = 50 = the observed
+    # driver cap; everything left out is r5-green and untouched.
+    "containment_capture",
+    "search_offsets",
+    "regex_normalize",
+    "topn_per_key",
+    "fragment_sort_topk",
+    "cumulative_chars",
+    "json_props_stats",
+    "regional_revenue",
+    "parts_by_brand",
+    "rolling_value_7d",
+    "vocab_richness",
+    "pricing_summary",
+    "segment_revenue",
+    "daily_activity",
+    "distinct_users_by_type",
+    "retention_cohorts",
+    "cube_activity",
+    "pivot_daily_by_type",
+    "funnel_conversion",
+    "asof_join_events",
+    "range_join_tiers",
+    "median_value_by_type",
+    "lang_id",
+    "lang_id_confusion",
+    "quality_score",
+    "quality_filter_by_source",
+    "token_count_by_source",
+    "doc_length_profile",
+    "token_cms",
+    "heavy_hitters_exact",
+    "value_quantile_sketch",
+    "doc_fingerprint",
+    "tfidf_top_terms",
+    "repetition_signals",
+    "chunk_documents",
+    "unigram_logloss",
+    "bpe_token_profile",
+    "stratified_sample",
+    "pack_sequences",
+    "kmeans_ivf_topk",
+    "bpe_merges_driver",
+    # modified in r6 — refresh their rows
     "winnowing_shared_pairs",
-    "decontamination_overlap",
     "duplicated_span_fraction",
-    "dedup_group_sizes",
-    "dedup_groups_minhash",
-    "dedup_groups_simhash",
-    "dedup_apply_minhash",
-    "cosine_topk",
-    "cosine_neardup_pairs",
-    "embedding_bucket_stats",
-    "srp_buckets",
-    "srp_neardup_pairs",
-    "dedup_groups_srp",
-    "embedding_health",
-    "ann_topk_srp",
-    "ivf_topk",
-    # modified / retuned this round (refresh their r4 rows) — incl.
-    # the sketch-family consumers of the sampled-shingle rewrite
-    # (review r5: their r4 rows were recorded under prefix semantics)
-    "knn_graph_srp",
-    "dedup_groups_multi",
     "strip_duplicated_spans",
-    "dedup_keep_best",
-    "hll_distinct",
-    "bloom_novelty",
-    # new in r5
-    "containment_pairs",
-    "pii_redact",
-    "vocab_coverage",
-    "decontaminate_apply",
-    "decontamination_report",
-    "source_overlap_matrix",
-    "curation_pipeline",
-    "bigram_logloss",
-    "dedup_apply_srp",
-    "semdedup",
-    "dsir_select",
-    "mix_weights",
-    "ssl_prototypes",
     "bpe_learn_merges",
     "bpe_apply_stats",
     "bpe_doc_tokens",
+    "semdedup",
+    "source_overlap_matrix",
+    "bigram_logloss",
 ]
 
 _QUERIES = {
