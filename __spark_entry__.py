@@ -85,6 +85,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "curation_pipeline": curation.curation_pipeline,  # composed detect->apply chain
     "duplicated_span_fraction": dedup.duplicated_span_fraction,  # ExactSubstr metric
     "strip_duplicated_spans": dedup.strip_duplicated_spans,  # ExactSubstr APPLY
+    "paragraph_dedup": dedup.paragraph_dedup,  # CCNet sub-doc dedup verdicts
+    "paragraph_dedup_apply": dedup.paragraph_dedup_apply,  # CCNet rebuild
     "dedup_keep_best": dedup.dedup_keep_best,  # quality-argmax cluster survivor
     "dedup_group_sizes": dedup.dedup_group_sizes,            # cluster histogram
     "containment_pairs": dedup.containment_pairs,  # asymmetric short-in-long dup
@@ -229,6 +231,8 @@ _ORACLES: dict[str, str] = {
     "decontamination_report": dedup.DECONTAMINATION_REPORT_SQL,
     "source_overlap_matrix": dedup.SOURCE_OVERLAP_MATRIX_SQL,
     "curation_pipeline": curation.CURATION_PIPELINE_SQL,
+    "paragraph_dedup": dedup.PARAGRAPH_DEDUP_SQL,
+    "paragraph_dedup_apply": dedup.PARAGRAPH_DEDUP_APPLY_SQL,
     "duplicated_span_fraction": dedup.DUPLICATED_SPAN_FRACTION_SQL,
     "strip_duplicated_spans": dedup.STRIP_DUPLICATED_SPANS_SQL,
     "dedup_keep_best": dedup.DEDUP_KEEP_BEST_SQL,
@@ -304,9 +308,12 @@ _DRIVER_GATE_FIRST = [
     "bpe_learn_merges",
     "bpe_apply_stats",
     "bpe_doc_tokens",
-    "semdedup",
-    "source_overlap_matrix",
     "bigram_logloss",
+    # new in r6 (first-ever rows) — semdedup (warning-only change) and
+    # source_overlap_matrix (join-hint-only change) rotate out to make
+    # room; both r5-green with values untouched
+    "paragraph_dedup",
+    "paragraph_dedup_apply",
 ]
 
 _QUERIES = {

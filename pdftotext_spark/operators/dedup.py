@@ -188,6 +188,213 @@ FROM documents GROUP BY md5(text)
 """
 
 
+# ------------------------------------------- paragraph-level exact dedup
+# CCNet's (Wenzek et al. 2020) sub-document dedup: drop every repeat of
+# a PARAGRAPH across the corpus, keeping the first occurrence — the
+# boilerplate killer (headers, footers, license blocks) that whole-doc
+# dedup cannot see. Real web corpora split paragraphs on newlines; the
+# synthetic tables are newline-free, so the deterministic proxy is
+# fixed non-overlapping PARA_W-token segments (the segmenting rule is
+# the lever; the dedup algebra below is segmentation-agnostic).
+PARA_W = max(4, int(os.environ.get("SPARK_GRAFT_PARA_W", "40")))
+
+
+def _doc_segments(docs: DataFrame) -> DataFrame:
+    """(doc_id, seg_idx, seg_text, n_seg_tokens): consecutive
+    non-overlapping PARA_W-token segments, zero-token docs emit no
+    segment. Narrow map — zero shuffle."""
+    toks = docs.select(
+        "doc_id",
+        F.expr("filter(split(lower(text), ' '), t -> t <> '')").alias(
+            "toks"
+        ),
+    ).select("doc_id", "toks", F.size("toks").alias("n_tok"))
+    segd = toks.filter(F.col("n_tok") > 0).select(
+        "doc_id",
+        "toks",
+        "n_tok",
+        F.explode(
+            F.expr(f"sequence(0, CAST(ceil(n_tok / {PARA_W}.0) AS INT) - 1)")
+        ).alias("seg_idx"),
+    )
+    return segd.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("seg_idx").cast("long").alias("seg_idx"),
+        F.expr(
+            f"array_join(slice(toks, seg_idx * {PARA_W} + 1, {PARA_W}), ' ')"
+        ).alias("seg_text"),
+        F.expr(f"least({PARA_W}, n_tok - seg_idx * {PARA_W})")
+        .cast("long")
+        .alias("n_seg_tokens"),
+    )
+
+
+def paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment dedup verdicts: ``kept`` = this (doc_id, seg_idx)
+    is the corpus-first occurrence of the segment's text (min by
+    (doc_id, seg_idx) — CCNet keeps one copy, position-deterministic).
+
+    100 TB shape: narrow segment explode, then ONE shuffle — a min
+    window over md5(seg_text) (slim rows even under boilerplate hot
+    keys, the winnowing-guard lesson; no groupBy + join back). Exact
+    string equality via the digest: 32-byte shuffle key instead of
+    the segment text."""
+    from pyspark.sql.window import Window
+
+    segs = _doc_segments(_read(spark, sf_dir, "documents"))
+    w = Window.partitionBy(F.md5("seg_text"))
+    first = F.min(F.struct("doc_id", "seg_idx")).over(w)
+    return segs.select(
+        "doc_id",
+        "seg_idx",
+        "n_seg_tokens",
+        (
+            (F.col("doc_id") == first.getField("doc_id"))
+            & (F.col("seg_idx") == first.getField("seg_idx"))
+        ).alias("kept"),
+        first.getField("doc_id").cast("long").alias("first_doc_id"),
+    )
+
+
+_PARA_SEGMENTS_SQL = f"""
+  SELECT doc_id, seg_idx,
+         array_to_string(list_slice(toks, seg_idx * {PARA_W} + 1,
+                                    seg_idx * {PARA_W} + {PARA_W}), ' ')
+           AS seg_text,
+         least({PARA_W}, n_tok - seg_idx * {PARA_W}) AS n_seg_tokens
+  FROM (
+    SELECT doc_id, toks, n_tok,
+           unnest(range(0, CAST(ceil(n_tok / {PARA_W}.0) AS INT)))
+             AS seg_idx
+    FROM (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), t -> t <> '')
+               AS toks,
+             len(list_filter(string_split(lower(text), ' '), t -> t <> ''))
+               AS n_tok
+      FROM documents
+    ) WHERE n_tok > 0
+  )
+"""
+
+PARAGRAPH_DEDUP_SQL = f"""
+WITH segs AS ({_PARA_SEGMENTS_SQL}),
+m AS (
+  SELECT doc_id, seg_idx, n_seg_tokens,
+         MIN(doc_id * 1000000000 + seg_idx)
+           OVER (PARTITION BY md5(seg_text)) AS first_key
+  FROM segs
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(seg_idx AS BIGINT) AS seg_idx,
+       CAST(n_seg_tokens AS BIGINT) AS n_seg_tokens,
+       (doc_id * 1000000000 + seg_idx = first_key) AS kept,
+       CAST(first_key // 1000000000 AS BIGINT) AS first_doc_id
+FROM m
+"""
+
+
+def paragraph_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The apply side: rebuild every document from its KEPT segments
+    (seg order), reporting removed counts — CCNet's actual output.
+    Documents whose every segment is a repeat collapse to ''.
+
+    100 TB shape: the verdict window (one shuffle by digest) plus one
+    doc_id-partitioned aggregation; the rebuild is a sorted
+    collect_list bounded by the doc's own segment count. Zero-token
+    documents emit a (doc_id, '', 0, 0) row via the left join back
+    onto the corpus — the dsir_select/bigram_logloss lesson: both
+    engines dropping them identically is exactly what the parity gate
+    cannot see."""
+    from pyspark.sql.window import Window
+
+    docs = _read(spark, sf_dir, "documents")
+    segs = _doc_segments(docs)
+    w = Window.partitionBy(F.md5("seg_text"))
+    first = F.min(F.struct("doc_id", "seg_idx")).over(w)
+    flagged = segs.select(
+        "doc_id",
+        "seg_idx",
+        "seg_text",
+        "n_seg_tokens",
+        (
+            (F.col("doc_id") == first.getField("doc_id"))
+            & (F.col("seg_idx") == first.getField("seg_idx"))
+        ).alias("kept"),
+    )
+    rebuilt = flagged.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("kept"),
+                            F.struct("seg_idx", "seg_text"),
+                        )
+                    )
+                ),
+                lambda s: s.getField("seg_text"),
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.sum(F.when(~F.col("kept"), 1).otherwise(0))
+        .cast("long")
+        .alias("removed_segments"),
+        F.sum(F.when(~F.col("kept"), F.col("n_seg_tokens")).otherwise(0))
+        .cast("long")
+        .alias("removed_tokens"),
+    )
+    return (
+        docs.select(F.col("doc_id").cast("long").alias("doc_id"))
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("removed_segments", F.lit(0))
+            .cast("long")
+            .alias("removed_segments"),
+            F.coalesce("removed_tokens", F.lit(0))
+            .cast("long")
+            .alias("removed_tokens"),
+        )
+    )
+
+
+# DuckDB notes: list() keeps NULL elements (Spark collect_list drops
+# them) -> FILTER (WHERE kept) instead of CASE; the sort key must be
+# the NUMERIC seg_idx (a struct field), not a stringified index —
+# '10' < '2' lexicographically, so a string sort diverges for any doc
+# with ten or more kept segments.
+PARAGRAPH_DEDUP_APPLY_SQL = f"""
+WITH segs AS ({_PARA_SEGMENTS_SQL}),
+m AS (
+  SELECT doc_id, seg_idx, seg_text, n_seg_tokens,
+         (doc_id * 1000000000 + seg_idx =
+          MIN(doc_id * 1000000000 + seg_idx)
+            OVER (PARTITION BY md5(seg_text))) AS kept
+  FROM segs
+),
+rebuilt AS (
+  SELECT doc_id,
+         array_to_string(
+           list_transform(
+             list_sort(list({{'i': seg_idx, 't': seg_text}})
+                         FILTER (WHERE kept)),
+             s -> s.t),
+           ' ') AS clean_text,
+         SUM(CASE WHEN kept THEN 0 ELSE 1 END) AS removed_segments,
+         SUM(CASE WHEN kept THEN 0 ELSE n_seg_tokens END)
+           AS removed_tokens
+  FROM m GROUP BY doc_id
+)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       COALESCE(clean_text, '') AS clean_text,
+       CAST(COALESCE(removed_segments, 0) AS BIGINT) AS removed_segments,
+       CAST(COALESCE(removed_tokens, 0) AS BIGINT) AS removed_tokens
+FROM documents d LEFT JOIN rebuilt USING (doc_id)
+"""
+
+
 # --------------------------------------------------- n-gram Jaccard pairs
 
 

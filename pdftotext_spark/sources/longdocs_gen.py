@@ -213,14 +213,21 @@ def make_longdocs(
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    table = pa.table(
-        {
-            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
-            "text": pa.array([r[1] for r in rows], pa.string()),
-            "source": pa.array([r[2] for r in rows], pa.string()),
-        }
-    )
     d = os.path.join(out_dir, "documents.parquet")
     os.makedirs(d, exist_ok=True)
-    pq.write_table(table, os.path.join(d, "part-0.parquet"))
+    # shard into multiple part files: Spark parallelizes parquet scans
+    # per file (below maxPartitionBytes a single file = ONE task, and
+    # the whole downstream explode/window chain would run serially —
+    # measured: the r6 rate-curve bench sat on one core for 40 min)
+    n_shards = min(16, max(1, len(rows) // 16))
+    for shard in range(n_shards):
+        part = rows[shard::n_shards]
+        table = pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in part], pa.int64()),
+                "text": pa.array([r[1] for r in part], pa.string()),
+                "source": pa.array([r[2] for r in part], pa.string()),
+            }
+        )
+        pq.write_table(table, os.path.join(d, f"part-{shard}.parquet"))
     return truth

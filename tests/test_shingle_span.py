@@ -518,3 +518,75 @@ def test_dedup_apply_srp_constructed(spark, tmp_path):
     }
     assert 10 in kept and 20 not in kept  # min-id survivor policy
     assert 30 in kept                     # unrelated vector untouched
+
+
+def test_paragraph_dedup_constructed(spark, tmp_path):
+    """Hand-checked CCNet-style segment dedup (PARA_W=40 fixed
+    windows): a later doc repeating an EARLIER doc's aligned segment
+    loses it (kept=False, first_doc_id points back); within-doc
+    repeats keep only the first; the apply rebuild preserves NUMERIC
+    segment order (>= 10 segments — the '10' < '2' string-sort trap
+    the oracle comment documents) and zero-token docs still emit an
+    apply row."""
+    from pdftotext_spark.operators import dedup
+
+    assert dedup.PARA_W == 40
+    seg = lambda tag: " ".join(f"{tag}{i:02d}" for i in range(40))
+    p1, p2 = seg("pa"), seg("pb")
+    doc_a = p1 + " " + p2                     # segments: [p1, p2]
+    doc_b = p2 + " " + seg("ub")              # [p2 (dup of A#1), unique]
+    # 12 segments, #3 and #7 duplicate A's p1, rest distinct
+    c_segs = [seg(f"c{k}") for k in range(12)]
+    c_segs[3] = p1
+    c_segs[7] = p1
+    doc_c = " ".join(c_segs)
+    rows = [(1, doc_a, "s"), (2, doc_b, "s"), (3, doc_c, "s"), (4, "", "s")]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    sf = str(tmp_path)
+
+    v = {
+        (r.doc_id, r.seg_idx): r
+        for r in dedup.paragraph_dedup(spark, sf).collect()
+    }
+    assert v[(1, 0)].kept and v[(1, 1)].kept
+    assert not v[(2, 0)].kept and v[(2, 0)].first_doc_id == 1
+    assert v[(2, 1)].kept
+    assert not v[(3, 3)].kept and not v[(3, 7)].kept
+    assert v[(3, 3)].first_doc_id == 1
+    assert all(v[(3, k)].kept for k in range(12) if k not in (3, 7))
+    assert (4, 0) not in v  # zero-token docs emit no segment
+
+    a = {r.doc_id: r for r in dedup.paragraph_dedup_apply(spark, sf).collect()}
+    assert a[1].clean_text == doc_a and a[1].removed_segments == 0
+    assert a[2].clean_text == seg("ub")
+    assert a[2].removed_segments == 1 and a[2].removed_tokens == 40
+    expect_c = " ".join(s for k, s in enumerate(c_segs) if k not in (3, 7))
+    assert a[3].clean_text == expect_c       # numeric order past idx 9
+    assert a[3].removed_segments == 2 and a[3].removed_tokens == 80
+    assert a[4].clean_text == "" and a[4].removed_segments == 0
+
+    # the DuckDB twins replay the identical verdicts and rebuilds
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet/*.parquet')"
+    )
+    orc_v = {
+        (r[0], r[1]): r
+        for r in con.execute(dedup.PARAGRAPH_DEDUP_SQL).fetchall()
+    }
+    assert {k: (r.n_seg_tokens, r.kept, r.first_doc_id) for k, r in v.items()} == {
+        k: (r[2], r[3], r[4]) for k, r in orc_v.items()
+    }
+    orc_a = {
+        r[0]: tuple(r[1:])
+        for r in con.execute(dedup.PARAGRAPH_DEDUP_APPLY_SQL).fetchall()
+    }
+    assert orc_a == {
+        d: (r.clean_text, r.removed_segments, r.removed_tokens)
+        for d, r in a.items()
+    }
