@@ -53,8 +53,15 @@ SHINGLE_LEN = 8
 # most 2 elements per pair).  Deployment lever: set
 # SPARK_GRAFT_SHINGLE_KEEP16 before import — every Spark operator AND
 # its DuckDB oracle string derive from this one constant, so the
-# correctness gate follows the override (at 100 TB with multi-KB web
-# documents, drop to 1-2/16). Clamped to [1, 16]: values above 16 mean
+# correctness gate follows the override. MEASURED rate curve (r6,
+# BENCH/BASELINE.md "Long-document KEEP16 rate curve", planted-truth
+# corpus at 300-char/3KB/20KB): recall is band-geometry-dominated at
+# every rate — run 1/16 on multi-KB corpora (4x less shuffle volume,
+# no recall cost at operating J), keep 4/16 for ~300-char docs
+# (signature variance at ~18 sampled shingles/doc is the binding
+# constraint there). The lever is global and content-only BY DESIGN:
+# a per-doc adaptive rate would sample the two sides of a pair
+# differently and bias sampled Jaccard. Clamped to [1, 16]: values above 16 mean
 # keep-everything, 0/negative would keep only position-1 shingles
 # (review r5: an out-of-range lever must not throw at import).
 SHINGLE_KEEP16 = max(
