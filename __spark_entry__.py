@@ -99,6 +99,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # the three standalone runs, outputs identical per family
     "dedup_groups_multi": dedup.dedup_groups_multi,
     "dedup_apply_minhash": dedup.dedup_apply_minhash,
+    # incremental dedup: new batch vs persisted corpus index (the
+    # production shape at 100 TB — never re-dedup the whole corpus)
+    "dedup_incremental_exact": dedup.dedup_incremental_exact,
+    "dedup_incremental_minhash": dedup.dedup_incremental_minhash,
     # similarity search
     "cosine_topk": similarity.cosine_topk,
     "cosine_neardup_pairs": similarity.cosine_neardup_pairs,
@@ -186,6 +190,8 @@ _ORACLES: dict[str, str] = {
     "dedup_groups_simhash": dedup.DEDUP_GROUPS_SIMHASH_SQL,
     "dedup_groups_multi": dedup._dedup_groups_multi_sql(),
     "dedup_apply_minhash": dedup.DEDUP_APPLY_MINHASH_SQL,
+    "dedup_incremental_exact": dedup.DEDUP_INCREMENTAL_EXACT_SQL,
+    "dedup_incremental_minhash": dedup.DEDUP_INCREMENTAL_MINHASH_SQL,
     "cosine_topk": similarity.COSINE_TOPK_SQL,
     "cosine_neardup_pairs": similarity.COSINE_NEARDUP_PAIRS_SQL,
     "embedding_bucket_stats": similarity.EMBEDDING_BUCKET_STATS_SQL,

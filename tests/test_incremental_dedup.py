@@ -1,0 +1,143 @@
+"""Semantic tests for the incremental dedup family on CONSTRUCTED
+inputs — the oracle gate is blind to a bug implemented identically in
+both engines (CLAUDE.md), so every verdict class is pinned here on
+planted duplicates where the correct answer is known by construction."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pdftotext_spark.operators import dedup
+
+pytestmark = pytest.mark.spark
+
+SF_DIR = "/root/testdata/sf0.001"
+
+CORPUS = [
+    (1, "old", "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+    (2, "old", "completely different corpus content nothing shared here at all"),
+]
+INCOMING = [
+    # exact copy of corpus doc 1 → corpus_dup in both operators
+    (10, "new", "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+    # twins 11/12: absent from the corpus → first-seen keeps, second drops
+    (11, "new", "unique incoming text with its own words entirely fresh snow"),
+    (12, "new", "unique incoming text with its own words entirely fresh snow"),
+    # singleton → keep
+    (13, "new", "another singleton nothing like anything else in any batch xyzzy"),
+]
+
+
+def _frames(spark):
+    schema = "doc_id long, source string, text string"
+    return (
+        spark.createDataFrame(CORPUS, schema),
+        spark.createDataFrame(INCOMING, schema),
+    )
+
+
+def test_incremental_exact_verdict_classes(spark):
+    corpus, incoming = _frames(spark)
+    got = {
+        r.doc_id: r.verdict
+        for r in dedup.incremental_exact_verdicts(corpus, incoming).collect()
+    }
+    assert got == {
+        10: "corpus_dup",
+        11: "keep",
+        12: "batch_dup",
+        13: "keep",
+    }
+
+
+def test_incremental_exact_emits_index_row(spark):
+    """content_hash is the persisted index row for the next increment:
+    it must be md5(text), identical for identical texts."""
+    corpus, incoming = _frames(spark)
+    rows = {
+        r.doc_id: r.content_hash
+        for r in dedup.incremental_exact_verdicts(corpus, incoming).collect()
+    }
+    assert rows[11] == rows[12]
+    assert len(set(rows.values())) == 3  # 10, {11,12}, 13
+
+
+def test_incremental_minhash_verdict_classes(spark):
+    corpus, incoming = _frames(spark)
+    got = {
+        r.doc_id: (r.verdict, r.n_corpus_dups, r.n_batch_prior)
+        for r in dedup.incremental_minhash_verdicts(
+            corpus, incoming
+        ).collect()
+    }
+    # identical text ⇒ identical signature ⇒ all 4 bands collide, so
+    # these verdicts are deterministic, not probabilistic
+    assert got[10] == ("corpus_dup", 1, 0)
+    assert got[12] == ("batch_dup", 0, 1)
+    assert got[11][0] == "keep"
+    assert got[13][0] == "keep"
+
+
+def test_incremental_minhash_greedy_rule_is_prior_id_only(spark):
+    """The within-batch rule is greedy by lower doc_id: in a twin pair
+    the LOWER id keeps even though it collides with the higher id —
+    collisions only count against prior (smaller) ids."""
+    corpus, incoming = _frames(spark)
+    got = {
+        r.doc_id: r.n_batch_prior
+        for r in dedup.incremental_minhash_verdicts(
+            corpus, incoming
+        ).collect()
+    }
+    assert got[11] == 0  # twin 12 is NOT prior to 11
+    assert got[12] == 1
+
+
+def test_incremental_minhash_corpus_dup_wins_over_batch_dup(spark):
+    """A doc colliding with both the corpus and a prior batch doc is
+    classified corpus_dup (the corpus check is authoritative — the doc
+    exists in the curated set regardless of batch ordering)."""
+    schema = "doc_id long, source string, text string"
+    text = "shared everywhere alpha beta gamma delta epsilon zeta eta"
+    corpus = spark.createDataFrame([(1, "old", text)], schema)
+    incoming = spark.createDataFrame(
+        [(10, "new", text), (11, "new", text)], schema
+    )
+    got = {
+        r.doc_id: r.verdict
+        for r in dedup.incremental_minhash_verdicts(
+            corpus, incoming
+        ).collect()
+    }
+    assert got == {10: "corpus_dup", 11: "corpus_dup"}
+
+
+def test_incremental_every_incoming_doc_emits_a_row(spark):
+    """Empty-text docs still get a verdict row (the bigram_logloss
+    zero-row lesson): the base frame left-joins the collision counts."""
+    schema = "doc_id long, source string, text string"
+    corpus = spark.createDataFrame([(1, "old", "corpus words here")], schema)
+    incoming = spark.createDataFrame(
+        [(10, "new", ""), (11, "new", "real text")], schema
+    )
+    ex = dedup.incremental_exact_verdicts(corpus, incoming)
+    mh = dedup.incremental_minhash_verdicts(corpus, incoming)
+    assert {r.doc_id for r in ex.collect()} == {10, 11}
+    assert {r.doc_id for r in mh.collect()} == {10, 11}
+
+
+def test_registered_queries_nonzero_and_split_consistent(spark):
+    """The registered sf-dir wrappers: every incoming doc appears
+    exactly once, no corpus doc leaks in, and the minhash gate is not
+    trivially all-'keep' at the driver's scale."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    inc_ids = {
+        r.doc_id
+        for r in docs.filter(
+            F.col("source") >= dedup.INCREMENTAL_SPLIT
+        ).collect()
+    }
+    ex = dedup.dedup_incremental_exact(spark, SF_DIR).collect()
+    mh = dedup.dedup_incremental_minhash(spark, SF_DIR).collect()
+    assert {r.doc_id for r in ex} == inc_ids
+    assert {r.doc_id for r in mh} == inc_ids
+    assert any(r.verdict != "keep" for r in mh)
