@@ -113,6 +113,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_apply_srp": similarity.dedup_apply_srp,  # semantic-dedup apply
     "embedding_health": similarity.embedding_health,
     "ann_topk_srp": similarity.ann_topk_srp,
+    # int8-quantized brute-force top-k + observable quantization error
+    "ann_topk_quantized": similarity.ann_topk_quantized,
     # IVF ANN: iterative (KMeans) → no SQL oracle; driver records the
     # rows-only check. cosine_topk is its exact-recall baseline.
     "ivf_topk": similarity.ivf_topk,
@@ -201,6 +203,7 @@ _ORACLES: dict[str, str] = {
     "dedup_apply_srp": similarity.DEDUP_APPLY_SRP_SQL,
     "embedding_health": similarity.EMBEDDING_HEALTH_SQL,
     "ann_topk_srp": similarity.ANN_TOPK_SRP_SQL,
+    "ann_topk_quantized": similarity.ANN_TOPK_QUANTIZED_SQL,
     "lang_id": textstats.LANG_ID_SQL,
     "lang_id_confusion": textstats.LANG_ID_CONFUSION_SQL,
     "quality_score": textstats.QUALITY_SCORE_SQL,

