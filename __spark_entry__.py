@@ -140,6 +140,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_token_profile": textstats.bpe_token_profile,    # BPE-vs-ws token budget
     "stratified_sample": textstats.stratified_sample,    # deterministic eval split
     "pack_sequences": textstats.pack_sequences,          # token-budget packing
+    "training_order": textstats.training_order,          # deterministic global shuffle + shards
     "pii_redact": textstats.pii_redact,                  # typed-mask PII scrub
     "vocab_coverage": textstats.vocab_coverage,          # tokenizer sizing curve
     "knn_graph_srp": similarity.knn_graph_srp,           # all-corpus ANN graph
@@ -246,6 +247,7 @@ _ORACLES: dict[str, str] = {
     "strip_duplicated_spans": dedup.STRIP_DUPLICATED_SPANS_SQL,
     "dedup_keep_best": dedup.DEDUP_KEEP_BEST_SQL,
     "pack_sequences": textstats.PACK_SEQUENCES_SQL,
+    "training_order": textstats.TRAINING_ORDER_SQL,
     "dedup_group_sizes": dedup.DEDUP_GROUP_SIZES_SQL,
     "containment_pairs": dedup.CONTAINMENT_PAIRS_SQL,
     "pii_redact": textstats.PII_REDACT_SQL,
@@ -261,14 +263,22 @@ _ORACLES: dict[str, str] = {
 # in CORRECTNESS_r04.json.  COVERAGE.md records which round checked
 # what.
 _DRIVER_GATE_FIRST = [
-    # r6 rotation: the 41 queries with no r5 driver row (the
-    # relational / textstats / sketch tail that fell past the ~50-row
-    # cap in r5, plus the new bpe_merges_driver), then the 9 queries
-    # MODIFIED in r6 (winnowing single-scan rewrite, ExactSubstr
-    # count-window rewrite, BPE materialized-CTE oracles, semdedup
-    # low-eps warning, source_overlap_matrix AQE joins,
-    # bigram_logloss zero-token rows). 41 + 9 = 50 = the observed
-    # driver cap; everything left out is r5-green and untouched.
+    # r6 rotation: first the 4 queries NEW this round (first-ever
+    # rows: incremental dedup pair, quantized ANN, training order),
+    # then the queries with no r5 driver row (the relational /
+    # textstats / sketch tail that fell past the ~50-row cap in r5,
+    # plus the new bpe_merges_driver), then the 9 queries MODIFIED in
+    # r6 (winnowing single-scan rewrite, ExactSubstr count-window
+    # rewrite, BPE materialized-CTE oracles, semdedup low-eps warning,
+    # source_overlap_matrix AQE joins, bigram_logloss zero-token
+    # rows). 4 + 37 + 9 = 50 = the observed driver cap; to make room,
+    # cube_activity / pivot_daily_by_type / retention_cohorts /
+    # funnel_conversion (r4-green, untouched since) cycle to r7 with
+    # everything else left out (r5-green and untouched).
+    "dedup_incremental_exact",
+    "dedup_incremental_minhash",
+    "ann_topk_quantized",
+    "training_order",
     "containment_capture",
     "search_offsets",
     "regex_normalize",
@@ -284,10 +294,6 @@ _DRIVER_GATE_FIRST = [
     "segment_revenue",
     "daily_activity",
     "distinct_users_by_type",
-    "retention_cohorts",
-    "cube_activity",
-    "pivot_daily_by_type",
-    "funnel_conversion",
     "asof_join_events",
     "range_join_tiers",
     "median_value_by_type",

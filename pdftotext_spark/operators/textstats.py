@@ -1708,3 +1708,87 @@ def bpe_merges_driver(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 BPE_MERGES_DRIVER_SQL = _bpe_learn_sql(BPE_DRIVER_ROUNDS)
+
+
+# --------------------------------------------------------- training order
+
+# Global shuffle of the corpus into a deterministic training order:
+# sort key = md5('o:' || doc_id) — reproducible across engines and
+# runs, uncorrelated with ingestion order, so every shard sees an
+# unbiased source mix without an RNG.
+N_ORDER_SHARDS = 8
+
+
+def training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training order + shard assignment for the
+    corpus: ``pos`` is the 1-based rank under the md5 sort key,
+    ``shard`` the round-robin shard (pos-1) % N_ORDER_SHARDS — the
+    "shuffle the corpus once, then stream shards in order" step every
+    training run needs (cf. T5 / GPT-3 data pipelines).
+
+    100 TB shape: a single global ``row_number`` window is a
+    one-partition sort — a scale-killer — so the ordinal is assigned
+    in TWO phases: rank within 256 hash-prefix buckets (distributed
+    window, each bucket ~1/256 of the corpus), then add each bucket's
+    exclusive prefix-sum offset (a 256-row aggregate, broadcast
+    back).  Because the bucket is a PREFIX of the sort key, bucket-
+    then-key order equals global key order — the oracle replays with
+    a flat row_number over the same key and must agree exactly (the
+    equivalence is the test)."""
+    docs = _read(spark, sf_dir, "documents")
+    return training_order_for(docs)
+
+
+def training_order_for(docs: DataFrame) -> DataFrame:
+    """Two-phase ordinal assignment core (constructed-input surface).
+    Input needs (doc_id, source); output (pos, doc_id, source, shard)."""
+    from pyspark.sql.window import Window
+
+    keyed = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "source",
+        F.md5(F.concat(F.lit("o:"), F.col("doc_id").cast("string"))).alias(
+            "ord_key"
+        ),
+    ).withColumn("bucket", F.substring("ord_key", 1, 2))
+    within = F.row_number().over(
+        Window.partitionBy("bucket").orderBy("ord_key", "doc_id")
+    )
+    counts = keyed.groupBy("bucket").agg(F.count("*").alias("n"))
+    # 256-row frame: the single-partition window is over the BUCKET
+    # COUNTS, never the corpus
+    offsets = counts.select(
+        "bucket",
+        F.coalesce(
+            F.sum("n").over(
+                Window.orderBy("bucket").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ).alias("off"),
+    )
+    ranked = keyed.withColumn("within", within).join(
+        F.broadcast(offsets), "bucket"
+    )
+    pos = (F.col("off") + F.col("within")).cast("long")
+    return ranked.select(
+        pos.alias("pos"),
+        "doc_id",
+        "source",
+        ((pos - 1) % N_ORDER_SHARDS).cast("int").alias("shard"),
+    )
+
+
+TRAINING_ORDER_SQL = f"""
+WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+         md5('o:' || CAST(doc_id AS VARCHAR)) AS ord_key
+  FROM documents
+)
+SELECT CAST(row_number() OVER (ORDER BY ord_key, doc_id) AS BIGINT) AS pos,
+       doc_id, source,
+       CAST((row_number() OVER (ORDER BY ord_key, doc_id) - 1)
+            % {N_ORDER_SHARDS} AS INT) AS shard
+FROM d
+"""
