@@ -353,3 +353,55 @@ def test_exactsubstr_islands_scan_positions_once(spark):
     plan = _plan(dedup.strip_duplicated_spans(spark, SF))
     assert plan.count("Generate posexplode") == 0
     assert "LeftSemi" not in plan
+
+
+def test_incremental_exact_is_one_corpus_shuffle(spark):
+    """dedup_incremental_exact: the incoming frame is shuffled ONCE on
+    the digest (the window after the index join); the only other
+    exchanges are the corpus index's distinct and its broadcast. The
+    source-split predicates must reach the parquet scan."""
+    plan = _plan(dedup.dedup_incremental_exact(spark, SF))
+    assert "GreaterThanOrEqual(source,src5)" in plan.replace(" ", "")
+    assert "LessThan(source,src5)" in plan.replace(" ", "")
+    # the window's min(doc_id) keys on the same digest the join used
+    assert plan.count("Exchange hashpartitioning(content_hash") <= 2
+    assert "SinglePartition" not in plan
+
+
+def test_incremental_minhash_is_banded_equi_join(spark):
+    """dedup_incremental_minhash: every join is an equi-join keyed on
+    the band bucket (the LSH candidate shape) — never a cartesian or
+    an all-pairs theta join."""
+    plan = _plan(dedup.dedup_incremental_minhash(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "band_hash" in plan
+
+
+def test_quantized_topk_plan_matches_cosine_topk(spark):
+    """ann_topk_quantized keeps cosine_topk's plan shape: broadcast
+    single-row query join + TakeOrderedAndProject (quantization is a
+    projection, not a shuffle)."""
+    plan = _plan(similarity.ann_topk_quantized(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert (
+        "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    )
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_training_order_window_is_distributed(spark):
+    """training_order: the corpus-sized row_number window must be
+    PARTITIONED (by the hash-prefix bucket); the only SinglePartition
+    exchange sits above the 256-row bucket-count aggregate, and the
+    offsets join back broadcast."""
+    from pdftotext_spark.operators import textstats
+
+    plan = _plan(textstats.training_order(spark, SF))
+    assert "windowspecdefinition(bucket" in plan
+    agg_then_single = plan.index("Exchange SinglePartition") < plan.index(
+        "HashAggregate(keys=[bucket"
+    )
+    assert agg_then_single, "SinglePartition exchange must feed off the tiny aggregate"
+    assert plan.count("Exchange SinglePartition") == 1
+    assert "BroadcastHashJoin" in plan
