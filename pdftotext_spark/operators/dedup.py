@@ -2233,7 +2233,10 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     production simplification: deterministic and join-shaped, at the
     cost of occasionally dropping a doc whose only collision partner
     was itself dropped, where the CC-survivor rule of
-    :func:`dedup_apply_minhash` would keep it); else ``keep``.
+    :func:`dedup_apply_minhash` would keep it); else ``keep``.  This
+    is the BATCH twin of the streaming store-probe filter
+    (``streaming/dedup.py:neardup_filter_batch``), which applies the
+    same band-index + greedy lower-key policy per micro-batch.
     ``n_corpus_dups`` / ``n_batch_prior`` make the collision pressure
     observable, and every incoming doc emits a row (left joins from
     the base frame — the bigram_logloss zero-row lesson).
