@@ -1741,7 +1741,12 @@ def training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def training_order_for(docs: DataFrame) -> DataFrame:
     """Two-phase ordinal assignment core (constructed-input surface).
-    Input needs (doc_id, source); output (pos, doc_id, source, shard)."""
+    Input needs (doc_id, source); output (pos, doc_id, source, shard).
+
+    The input lineage runs twice (ranking branch + bucket-count
+    branch) — deliberate: both scans are column-pruned to ≤2 columns,
+    which is cheaper at corpus scale than materializing a
+    corpus-sized keyed frame just to count 256 buckets."""
     from pyspark.sql.window import Window
 
     keyed = docs.select(
