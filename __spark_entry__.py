@@ -85,6 +85,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "curation_pipeline": curation.curation_pipeline,  # composed detect->apply chain
     "duplicated_span_fraction": dedup.duplicated_span_fraction,  # ExactSubstr metric
     "strip_duplicated_spans": dedup.strip_duplicated_spans,  # ExactSubstr APPLY
+    "top_duplicated_spans": dedup.top_duplicated_spans,  # boilerplate report
     "paragraph_dedup": dedup.paragraph_dedup,  # CCNet sub-doc dedup verdicts
     "paragraph_dedup_apply": dedup.paragraph_dedup_apply,  # CCNet rebuild
     "dedup_keep_best": dedup.dedup_keep_best,  # quality-argmax cluster survivor
@@ -245,6 +246,7 @@ _ORACLES: dict[str, str] = {
     "paragraph_dedup_apply": dedup.PARAGRAPH_DEDUP_APPLY_SQL,
     "duplicated_span_fraction": dedup.DUPLICATED_SPAN_FRACTION_SQL,
     "strip_duplicated_spans": dedup.STRIP_DUPLICATED_SPANS_SQL,
+    "top_duplicated_spans": dedup.TOP_DUPLICATED_SPANS_SQL,
     "dedup_keep_best": dedup.DEDUP_KEEP_BEST_SQL,
     "pack_sequences": textstats.PACK_SEQUENCES_SQL,
     "training_order": textstats.TRAINING_ORDER_SQL,
@@ -271,14 +273,16 @@ _DRIVER_GATE_FIRST = [
     # r6 (winnowing single-scan rewrite, ExactSubstr count-window
     # rewrite, BPE materialized-CTE oracles, semdedup low-eps warning,
     # source_overlap_matrix AQE joins, bigram_logloss zero-token
-    # rows). 4 + 37 + 9 = 50 = the observed driver cap; to make room,
+    # rows). 5 + 36 + 9 = 50 = the observed driver cap; to make room,
     # cube_activity / pivot_daily_by_type / retention_cohorts /
-    # funnel_conversion (r4-green, untouched since) cycle to r7 with
-    # everything else left out (r5-green and untouched).
+    # funnel_conversion / daily_activity (r4-green, untouched since)
+    # cycle to r7 with everything else left out (r5-green and
+    # untouched).
     "dedup_incremental_exact",
     "dedup_incremental_minhash",
     "ann_topk_quantized",
     "training_order",
+    "top_duplicated_spans",
     "containment_capture",
     "search_offsets",
     "regex_normalize",
@@ -292,7 +296,6 @@ _DRIVER_GATE_FIRST = [
     "vocab_richness",
     "pricing_summary",
     "segment_revenue",
-    "daily_activity",
     "distinct_users_by_type",
     "asof_join_events",
     "range_join_tiers",

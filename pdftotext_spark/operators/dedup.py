@@ -2363,3 +2363,88 @@ FROM (SELECT CAST(doc_id AS BIGINT) AS doc_id, source FROM documents
 LEFT JOIN corpus_hits ch ON d.doc_id = ch.doc_id
 LEFT JOIN batch_hits bh ON d.doc_id = bh.doc_id
 """
+
+
+# ------------------------------------------------- boilerplate report
+
+TOP_DUP_SPANS = 20
+_SPAN_EXCERPT_LEN = 60
+
+
+def top_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate dashboard: the TOP_DUP_SPANS corpus-duplicated
+    ExactSubstr islands ranked by total duplicated characters — the
+    "what IS the duplication" report a pipeline reads before choosing
+    span-level vs doc-level dedup (Lee et al. 2021 report exactly this
+    table for C4: the top spans are license boilerplate and
+    navigation chrome).
+
+    Islands come from the shared :func:`_dup_span_islands` algebra
+    (single source with the metric and the apply operator), joined
+    back to the text to materialize each island's content, grouped by
+    the exact island text: ``n_docs`` distinct documents, ``n_occ``
+    island instances, ``total_dup_chars = n_occ × span_len`` the
+    ranking key. ``span_md5`` keys a drill-down; ``excerpt`` is the
+    first 60 chars.
+
+    100 TB shape: the metric's single positional scan + one shuffle
+    by island text (cardinality = distinct islands, far below
+    positions), and the top-k plans as TakeOrderedAndProject — no
+    global sort (verified: the AQE FINAL plan keeps one posexplode;
+    the join-back build side is AQE's choice)."""
+    return top_duplicated_spans_for(
+        _read(spark, sf_dir, "documents")
+    )
+
+
+def top_duplicated_spans_for(docs: DataFrame) -> DataFrame:
+    """Core of :func:`top_duplicated_spans` over an arbitrary
+    ``(doc_id, text)`` frame (constructed-input surface)."""
+    docs = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    spans = _dup_span_islands(docs)
+    texts = spans.join(docs, "doc_id").select(
+        "doc_id", F.expr("substring(text, s, e - s)").alias("span_text")
+    )
+    grouped = texts.groupBy("span_text").agg(
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        F.count("*").cast("long").alias("n_occ"),
+    )
+    return (
+        grouped.select(
+            F.md5("span_text").alias("span_md5"),
+            F.length("span_text").cast("long").alias("span_len"),
+            "n_docs",
+            "n_occ",
+            (F.length("span_text") * F.col("n_occ"))
+            .cast("long")
+            .alias("total_dup_chars"),
+            F.substring("span_text", 1, _SPAN_EXCERPT_LEN).alias("excerpt"),
+        )
+        .orderBy(
+            F.desc("total_dup_chars"), F.desc("span_len"), F.asc("span_md5")
+        )
+        .limit(TOP_DUP_SPANS)
+    )
+
+
+TOP_DUPLICATED_SPANS_SQL = f"""{_DUP_SPAN_ISLANDS_SQL},
+texts AS (
+  SELECT sp.doc_id, substr(d.text, CAST(sp.s AS INT), CAST(sp.e - sp.s AS INT)) AS span_text
+  FROM spans sp JOIN documents d USING (doc_id)
+),
+grouped AS (
+  SELECT span_text, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_occ
+  FROM texts GROUP BY span_text
+)
+SELECT md5(span_text) AS span_md5,
+       CAST(length(span_text) AS BIGINT) AS span_len,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_occ AS BIGINT) AS n_occ,
+       CAST(length(span_text) * n_occ AS BIGINT) AS total_dup_chars,
+       substr(span_text, 1, {_SPAN_EXCERPT_LEN}) AS excerpt
+FROM grouped
+ORDER BY total_dup_chars DESC, span_len DESC, span_md5 ASC
+LIMIT {TOP_DUP_SPANS}
+"""

@@ -405,3 +405,16 @@ def test_training_order_window_is_distributed(spark):
     assert agg_then_single, "SinglePartition exchange must feed off the tiny aggregate"
     assert plan.count("Exchange SinglePartition") == 1
     assert "BroadcastHashJoin" in plan
+
+
+def test_top_dup_spans_single_scan_and_topk(spark):
+    """top_duplicated_spans reuses the ExactSubstr single-scan island
+    algebra (one posexplode in the pre-AQE executed plan; the final
+    adaptive plan was verified to keep one — the toString after
+    collect prints initial+final and double-counts) and the report
+    itself is a TakeOrderedAndProject, not a global sort."""
+    df = dedup.top_duplicated_spans(spark, SF)
+    plan = _plan(df)
+    assert plan.count("Generate posexplode") == 1
+    assert "TakeOrderedAndProject" in plan
+    assert "LeftSemi" not in plan
