@@ -141,3 +141,57 @@ def test_registered_queries_nonzero_and_split_consistent(spark):
     assert {r.doc_id for r in ex} == inc_ids
     assert {r.doc_id for r in mh} == inc_ids
     assert any(r.verdict != "keep" for r in mh)
+
+
+def test_batch_twin_matches_streaming_store_probe(spark, tmp_path):
+    """Coherence pin: dedup_incremental_minhash's 'keep' set equals
+    the streaming store-probe filter's survivors when the corpus is
+    fed as micro-batch 0 and the increment as micro-batch 1 — the two
+    implementations share signatures_for/bands_for and the greedy
+    lower-key policy, and this test keeps them from drifting apart.
+    (The corpus must be internally collision-free: the streaming store
+    holds only batch-0 SURVIVOR bands, while the batch operator
+    indexes every corpus doc — the documented semantic difference.)"""
+    from pdftotext_spark.streaming.dedup import neardup_filter_batch
+
+    corpus_rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (2, "completely different corpus content nothing shared here at all"),
+    ]
+    incoming_rows = [
+        (10, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (11, "unique incoming text with its own words entirely fresh snow"),
+        (12, "unique incoming text with its own words entirely fresh snow"),
+        (13, "another singleton nothing like anything else in any batch xyzzy"),
+    ]
+
+    def as_stream_frame(rows):
+        return spark.createDataFrame(
+            [(f"{d:06d}", 0, t) for d, t in rows],
+            "conv_id string, turn_idx int, text string",
+        )
+
+    out, store = str(tmp_path / "out"), str(tmp_path / "store")
+    fn = neardup_filter_batch(out, store)
+    fn(as_stream_frame(corpus_rows), 0)
+    fn(as_stream_frame(incoming_rows), 1)
+    survivors = {
+        int(r.conv_id)
+        for r in spark.read.parquet(f"{out}/batch_id=1").collect()
+    }
+
+    schema = "doc_id long, source string, text string"
+    corpus = spark.createDataFrame(
+        [(d, "old", t) for d, t in corpus_rows], schema
+    )
+    incoming = spark.createDataFrame(
+        [(d, "new", t) for d, t in incoming_rows], schema
+    )
+    import pdftotext_spark.operators.dedup as dd
+
+    keeps = {
+        r.doc_id
+        for r in dd.incremental_minhash_verdicts(corpus, incoming).collect()
+        if r.verdict == "keep"
+    }
+    assert survivors == keeps == {11, 13}
