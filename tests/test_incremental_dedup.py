@@ -195,3 +195,86 @@ def test_batch_twin_matches_streaming_store_probe(spark, tmp_path):
         if r.verdict == "keep"
     }
     assert survivors == keeps == {11, 13}
+
+
+def _py_bands(text: str) -> set:
+    """Independent pure-Python replay of the sampled-shingle MinHash
+    band scheme (md5 slices — engine-free), for randomized
+    differential testing of the Spark implementation."""
+    import hashlib
+
+    L = dedup.SHINGLE_LEN
+    n = max(len(text) - L + 1, 1)
+    shingles = [text[i : i + L] for i in range(n)]
+    kept = [
+        sh
+        for j, sh in enumerate(shingles)
+        if j == 0
+        or dedup.SHINGLE_KEEP16 >= 16
+        or hashlib.md5(b"s:" + sh.encode()).hexdigest()[0] < dedup._KEEP_THR
+    ]
+    hs = [
+        min(
+            hashlib.md5(f"{'a' if k < 4 else 'b'}:{sh}".encode()).hexdigest()[
+                8 * (k % 4) : 8 * (k % 4) + 8
+            ]
+            for sh in kept
+        )
+        for k in range(8)
+    ]
+    return {
+        (i, hashlib.md5((hs[i] + hs[i + 4]).encode()).hexdigest())
+        for i in range(4)
+    }
+
+
+def test_incremental_minhash_matches_python_replay_randomized(spark):
+    """Randomized differential: full verdict + count frames equal an
+    independent pure-Python implementation of the same scheme on
+    seeded random corpora with planted near-dups (catches bugs the
+    DuckDB oracle shares — a third, structurally different engine)."""
+    import random
+
+    vocab = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+    for seed in (11, 22, 33):
+        rng = random.Random(seed)
+
+        def doc():
+            return " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 14)))
+
+        corpus_rows = [(i, "old", doc()) for i in range(1, 21)]
+        incoming_rows = []
+        for i in range(50, 70):
+            if rng.random() < 0.3:  # copy (possibly mutated) from corpus
+                base = rng.choice(corpus_rows)[2]
+                if rng.random() < 0.5:
+                    base = base + " " + rng.choice(vocab)
+                incoming_rows.append((i, "new", base))
+            else:
+                incoming_rows.append((i, "new", doc()))
+
+        # pure-Python reference
+        corpus_bands = {d: _py_bands(t) for d, _, t in corpus_rows}
+        inc_bands = {d: _py_bands(t) for d, _, t in incoming_rows}
+        expected = {}
+        for d, _, _ in incoming_rows:
+            nc = sum(1 for cb in corpus_bands.values() if inc_bands[d] & cb)
+            nb = sum(
+                1
+                for d2, _, _ in incoming_rows
+                if d2 < d and inc_bands[d] & inc_bands[d2]
+            )
+            verdict = (
+                "corpus_dup" if nc else "batch_dup" if nb else "keep"
+            )
+            expected[d] = (nc, nb, verdict)
+
+        schema = "doc_id long, source string, text string"
+        got = {
+            r.doc_id: (r.n_corpus_dups, r.n_batch_prior, r.verdict)
+            for r in dedup.incremental_minhash_verdicts(
+                spark.createDataFrame(corpus_rows, schema),
+                spark.createDataFrame(incoming_rows, schema),
+            ).collect()
+        }
+        assert got == expected, f"seed {seed}"
