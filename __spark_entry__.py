@@ -112,6 +112,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "srp_neardup_pairs": similarity.srp_neardup_pairs,
     "dedup_groups_srp": similarity.dedup_groups_srp,
     "dedup_apply_srp": similarity.dedup_apply_srp,  # semantic-dedup apply
+    "dedup_incremental_srp": similarity.dedup_incremental_srp,  # increment vs band index
     "embedding_health": similarity.embedding_health,
     "ann_topk_srp": similarity.ann_topk_srp,
     # int8-quantized brute-force top-k + observable quantization error
@@ -203,6 +204,7 @@ _ORACLES: dict[str, str] = {
     "srp_neardup_pairs": similarity.SRP_NEARDUP_PAIRS_SQL,
     "dedup_groups_srp": similarity.DEDUP_GROUPS_SRP_SQL,
     "dedup_apply_srp": similarity.DEDUP_APPLY_SRP_SQL,
+    "dedup_incremental_srp": similarity.DEDUP_INCREMENTAL_SRP_SQL,
     "embedding_health": similarity.EMBEDDING_HEALTH_SQL,
     "ann_topk_srp": similarity.ANN_TOPK_SRP_SQL,
     "ann_topk_quantized": similarity.ANN_TOPK_QUANTIZED_SQL,
@@ -273,16 +275,17 @@ _DRIVER_GATE_FIRST = [
     # r6 (winnowing single-scan rewrite, ExactSubstr count-window
     # rewrite, BPE materialized-CTE oracles, semdedup low-eps warning,
     # source_overlap_matrix AQE joins, bigram_logloss zero-token
-    # rows). 5 + 36 + 9 = 50 = the observed driver cap; to make room,
+    # rows). 6 + 35 + 9 = 50 = the observed driver cap; to make room,
     # cube_activity / pivot_daily_by_type / retention_cohorts /
-    # funnel_conversion / daily_activity (r4-green, untouched since)
-    # cycle to r7 with everything else left out (r5-green and
-    # untouched).
+    # funnel_conversion / daily_activity / distinct_users_by_type
+    # (r4-green, untouched since) cycle to r7 with everything else
+    # left out (r5-green and untouched).
     "dedup_incremental_exact",
     "dedup_incremental_minhash",
     "ann_topk_quantized",
     "training_order",
     "top_duplicated_spans",
+    "dedup_incremental_srp",
     "containment_capture",
     "search_offsets",
     "regex_normalize",
@@ -296,7 +299,6 @@ _DRIVER_GATE_FIRST = [
     "vocab_richness",
     "pricing_summary",
     "segment_revenue",
-    "distinct_users_by_type",
     "asof_join_events",
     "range_join_tiers",
     "median_value_by_type",

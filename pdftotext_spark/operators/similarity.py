@@ -1737,3 +1737,191 @@ FROM scored
 ORDER BY qc DESC, vec_id ASC
 LIMIT {TOP_K}
 """
+
+
+# ------------------------------------------------ incremental semantic dedup
+
+# Embeddings carry no source column, so the corpus/increment split is
+# a deterministic id predicate both engines share: incoming =
+# vec_id % 4 == 3 (25% of any scale factor; at sf0.01 the split sees
+# 160 cross-split and 26 in-batch SRP near-dup pairs, so the gate is
+# not trivially all-'keep').
+INCREMENTAL_VEC_MOD = 4
+INCREMENTAL_VEC_REM = 3
+
+
+def dedup_incremental_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic (embedding) incremental dedup — the SRP member of the
+    incremental family (exact and MinHash live in ``operators/
+    dedup.py``): verdict per INCOMING vector from banded SRP
+    candidates VERIFIED by exact cosine ≥ SRP_COSINE_THRESHOLD
+    against the corpus, plus the greedy lower-id rule within the
+    batch (same policy as ``dedup_incremental_minhash``; unlike the
+    MinHash twin the candidates are verified — one dot product per
+    banded candidate is cheap for embeddings and keeps this member
+    consistent with :func:`srp_neardup_pairs`'s semantics).
+
+    100 TB shape: the corpus side is the persisted ``(band_idx,
+    band_bits, vec_id, embedding, nrm)`` band index; both probes are
+    equi-joins on the band key; only banded candidates pay a dot
+    product."""
+    emb = _read(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").cast("long").alias("vec_id"), "embedding"
+    )
+    return incremental_srp_verdicts(
+        emb.filter(
+            F.col("vec_id") % INCREMENTAL_VEC_MOD != INCREMENTAL_VEC_REM
+        ),
+        emb.filter(
+            F.col("vec_id") % INCREMENTAL_VEC_MOD == INCREMENTAL_VEC_REM
+        ),
+    )
+
+
+def _srp_banded(emb: DataFrame, prefix: str) -> DataFrame:
+    """(vec_id, embedding, nrm) → exploded band rows with renamed
+    payload columns for an asymmetric probe join."""
+    sig = emb.select(
+        "vec_id", "embedding", _norm(F.col("embedding")).alias("nrm"),
+        _srp_bucket_col().alias("srp"),
+    )
+    return sig.select(
+        F.col("vec_id").alias(f"{prefix}_id"),
+        F.col("embedding").alias(f"{prefix}_emb"),
+        F.col("nrm").alias(f"{prefix}_nrm"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        F.shiftright("srp", i * _SRP_BAND_BITS)
+                        .bitwiseAND(F.lit((1 << _SRP_BAND_BITS) - 1))
+                        .alias("band_bits"),
+                    )
+                    for i in range(SRP_BANDS)
+                ]
+            )
+        ).alias("b"),
+    ).select(
+        f"{prefix}_id", f"{prefix}_emb", f"{prefix}_nrm",
+        "b.band_idx", "b.band_bits",
+    )
+
+
+def incremental_srp_verdicts(
+    corpus: DataFrame, incoming: DataFrame
+) -> DataFrame:
+    """Core of :func:`dedup_incremental_srp` over arbitrary
+    ``(vec_id, embedding)`` frames (constructed-input surface)."""
+
+    def hits(inc_b: DataFrame, other_b: DataFrame, pred, out: str):
+        cand = (
+            inc_b.join(other_b, ["band_idx", "band_bits"])
+            .filter(pred)
+            .select("inc_id", "oth_id", "inc_emb", "inc_nrm",
+                    "oth_emb", "oth_nrm")
+            .distinct()
+        )
+        cos = _dot(F.col("inc_emb"), F.col("oth_emb")) / (
+            F.col("inc_nrm") * F.col("oth_nrm")
+        )
+        return (
+            cand.withColumn("cosine", F.round(cos, 4))
+            .filter(F.col("cosine") >= SRP_COSINE_THRESHOLD)
+            .groupBy(F.col("inc_id").alias("vec_id"))
+            .agg(F.countDistinct("oth_id").cast("long").alias(out))
+        )
+
+    inc_b = _srp_banded(incoming, "inc").transform(materialize_lazy)
+    corpus_b = _srp_banded(corpus, "oth")
+    prior_b = inc_b.select(
+        F.col("inc_id").alias("oth_id"),
+        F.col("inc_emb").alias("oth_emb"),
+        F.col("inc_nrm").alias("oth_nrm"),
+        "band_idx", "band_bits",
+    )
+    corpus_hits = hits(inc_b, corpus_b, F.lit(True), "n_corpus_dups")
+    batch_hits = hits(
+        inc_b, prior_b, F.col("oth_id") < F.col("inc_id"), "n_batch_prior"
+    )
+    base = incoming.select(F.col("vec_id").cast("long").alias("vec_id"))
+    return (
+        base.join(corpus_hits, "vec_id", "left")
+        .join(batch_hits, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce("n_corpus_dups", F.lit(0))
+            .cast("long")
+            .alias("n_corpus_dups"),
+            F.coalesce("n_batch_prior", F.lit(0))
+            .cast("long")
+            .alias("n_batch_prior"),
+        )
+        .select(
+            "vec_id",
+            "n_corpus_dups",
+            "n_batch_prior",
+            F.when(F.col("n_corpus_dups") > 0, F.lit("corpus_dup"))
+            .when(F.col("n_batch_prior") > 0, F.lit("batch_dup"))
+            .otherwise(F.lit("keep"))
+            .alias("verdict"),
+        )
+    )
+
+
+_COS_PAIR_SQL = (
+    "ROUND(list_sum(list_transform(list_zip({a}, {b}), "
+    "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) "
+    "/ (sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) "
+    "* sqrt(list_sum(list_transform({b}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4)"
+)
+
+DEDUP_INCREMENTAL_SRP_SQL = f"""
+WITH sig AS (
+  SELECT CAST(vec_id AS BIGINT) AS vec_id, embedding,
+         CAST({_SRP_BUCKET_SQL} AS BIGINT) AS srp
+  FROM embeddings
+),
+bands AS ({_SRP_BANDS_SQL}),
+inc AS (SELECT * FROM bands
+        WHERE vec_id % {INCREMENTAL_VEC_MOD} = {INCREMENTAL_VEC_REM}),
+corpus AS (SELECT * FROM bands
+           WHERE vec_id % {INCREMENTAL_VEC_MOD} <> {INCREMENTAL_VEC_REM}),
+corpus_cand AS (
+  SELECT DISTINCT i.vec_id AS inc_id, c.vec_id AS oth_id,
+         i.embedding AS inc_emb, c.embedding AS oth_emb
+  FROM inc i JOIN corpus c USING (band_idx, band_bits)
+),
+corpus_hits AS (
+  SELECT inc_id AS vec_id, COUNT(DISTINCT oth_id) AS n
+  FROM corpus_cand
+  WHERE {_COS_PAIR_SQL.format(a="inc_emb", b="oth_emb")} >= {SRP_COSINE_THRESHOLD}
+  GROUP BY inc_id
+),
+batch_cand AS (
+  SELECT DISTINCT a.vec_id AS inc_id, b.vec_id AS oth_id,
+         a.embedding AS inc_emb, b.embedding AS oth_emb
+  FROM inc a JOIN inc b
+    ON a.band_idx = b.band_idx AND a.band_bits = b.band_bits
+   AND b.vec_id < a.vec_id
+),
+batch_hits AS (
+  SELECT inc_id AS vec_id, COUNT(DISTINCT oth_id) AS n
+  FROM batch_cand
+  WHERE {_COS_PAIR_SQL.format(a="inc_emb", b="oth_emb")} >= {SRP_COSINE_THRESHOLD}
+  GROUP BY inc_id
+),
+base AS (
+  SELECT CAST(vec_id AS BIGINT) AS vec_id FROM embeddings
+  WHERE vec_id % {INCREMENTAL_VEC_MOD} = {INCREMENTAL_VEC_REM}
+)
+SELECT base.vec_id,
+       CAST(coalesce(ch.n, 0) AS BIGINT) AS n_corpus_dups,
+       CAST(coalesce(bh.n, 0) AS BIGINT) AS n_batch_prior,
+       CASE WHEN coalesce(ch.n, 0) > 0 THEN 'corpus_dup'
+            WHEN coalesce(bh.n, 0) > 0 THEN 'batch_dup'
+            ELSE 'keep' END AS verdict
+FROM base
+LEFT JOIN corpus_hits ch ON base.vec_id = ch.vec_id
+LEFT JOIN batch_hits bh ON base.vec_id = bh.vec_id
+"""

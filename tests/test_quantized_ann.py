@@ -61,3 +61,56 @@ def test_quantized_topk_tracks_exact_topk(spark):
     # reported quantization error stays inside the int8 error budget
     assert all(r.abs_err <= 0.01 for r in approx)
     assert all(-1.0 <= r.qcos <= 1.0 for r in approx)
+
+
+def _unit(i, dim=8):
+    v = [0.0] * dim
+    v[i] = 1.0
+    return v
+
+
+def test_incremental_srp_verdict_classes(spark):
+    """Constructed embeddings: identical vector in the corpus →
+    corpus_dup (all SRP bands collide, cosine 1.0); batch twins →
+    first keeps, second drops; near-orthogonal singleton → keep (the
+    exact-cosine verify rejects any accidental band collision)."""
+    schema = "vec_id long, embedding array<float>"
+    base = [0.5, -0.25, 0.125, 1.0, -0.7, 0.3, 0.9, -0.1]
+    corpus = spark.createDataFrame(
+        [(1, base), (2, _unit(1))], schema
+    )
+    incoming = spark.createDataFrame(
+        [
+            (10, base),          # == corpus 1
+            (11, _unit(2)),      # orthogonal to everything
+            (13, _unit(7)),      # twin pair 13/15 (both new;
+            (15, _unit(7)),      #  cos vs base = -0.06, vs unit(1) = 0)
+        ],
+        schema,
+    )
+    from pdftotext_spark.operators import similarity
+
+    got = {
+        r.vec_id: (r.verdict, r.n_corpus_dups, r.n_batch_prior)
+        for r in similarity.incremental_srp_verdicts(
+            corpus, incoming
+        ).collect()
+    }
+    assert got[10] == ("corpus_dup", 1, 0)
+    assert got[11] == ("keep", 0, 0)
+    assert got[13][0] == "keep"
+    assert got[15] == ("batch_dup", 0, 1)
+
+
+def test_incremental_srp_registered_nonzero(spark):
+    from pdftotext_spark.operators import similarity
+
+    rows = similarity.dedup_incremental_srp(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows and any(r.verdict != "keep" for r in rows)
+    assert all(
+        r.vec_id % similarity.INCREMENTAL_VEC_MOD
+        == similarity.INCREMENTAL_VEC_REM
+        for r in rows
+    )
