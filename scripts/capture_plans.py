@@ -31,6 +31,11 @@ PICKS = {
     "winnowing_shared_pairs": "MOSS pairs (r6): ONE corpus position explode (the count-window df guard) and ONE shuffle by fp; the second Generate is the bounded in-bucket pair fan-out (buckets capped at WINNOW_MAX_DF docs) — no join operator, the old self-join re-ran the corpus scan per side",
     "duplicated_span_fraction": "ExactSubstr islands (r6): the corpus-sized positional-shingle frame is generated ONCE (one Generate posexplode, one Exchange by sh); duplicate marking is a count window over that single shuffle — the old groupBy+left_semi form scanned it twice (VERDICT r5 #2, 1.8x measured)",
     "strip_duplicated_spans": "ExactSubstr apply (r6): ZERO Generate nodes in the final plan — the slim merged-span frame is materialized before its two consumers (pieces join + tails agg), so the corpus-sized shingle scan in its lineage ran exactly once, inside the checkpoint job",
+    "dedup_incremental_exact": "Incremental exact (r6): ONE corpus-sized shuffle on the digest — the window reuses the partitioning the index join needs; corpus index arrives as a distinct projection (broadcast at test scale, AQE decides at 100 TB); source split predicates pushed to both scans",
+    "dedup_incremental_minhash": "Incremental near-dup (r6): corpus band index and increment bands are separate scans (production reads the index, not the corpus); both collision checks are equi-joins on (band_idx, band_hash); increment bands materialized once for their three consumers",
+    "ann_topk_quantized": "Quantized ANN (r6): cosine_topk's shape + one quantization projection — broadcast single-row query join, TakeOrderedAndProject, zero exchanges",
+    "training_order": "Training order (r6): corpus row_number window PARTITIONED by the 256-value hash-prefix bucket; the only SinglePartition exchange is above the 256-row count aggregate; offsets join back broadcast",
+    "top_duplicated_spans": "Boilerplate report (r6): the ExactSubstr single-scan island subtree (one Generate) + join back to text + TakeOrderedAndProject on total_dup_chars",
 }
 
 
