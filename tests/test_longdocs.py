@@ -189,3 +189,29 @@ def test_keep16_1_preserves_signal_at_length(corpus, spark):
         del os.environ["SPARK_GRAFT_SHINGLE_KEEP16"]
         restored = importlib.reload(dedup)
         assert restored.SHINGLE_KEEP16 == 4
+
+
+def test_top_duplicated_spans_recovers_planted_spans(corpus, spark):
+    """The boilerplate report at realistic lengths: restricted to the
+    planted SPAN pairs + background, the only duplicated islands are
+    the planted shared spans — each must surface as one report row
+    with n_docs = n_occ = 2 and span_len = shared_chars + 2 (the
+    flanking spaces are part of the island, the generator's own
+    accounting)."""
+    sf, truth = corpus
+    from pdftotext_spark.operators import dedup
+
+    span_pairs = truth.pairs_of("span")
+    keep = {d for p in span_pairs for d in p} | set(truth.background)
+    docs = (
+        spark.read.parquet(f"{sf}/documents.parquet")
+        .filter(F.col("doc_id").isin([int(d) for d in keep]))
+        .select("doc_id", "text")
+    )
+    rows = dedup.top_duplicated_spans_for(docs).collect()
+    expected = sorted(
+        (truth.pairs[p]["shared_chars"] + 2, 2, 2) for p in span_pairs
+    )
+    got = sorted((r.span_len, r.n_docs, r.n_occ) for r in rows)
+    assert got == expected
+    assert all(r.total_dup_chars == r.span_len * r.n_occ for r in rows)
