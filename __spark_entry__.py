@@ -83,6 +83,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontamination_report": dedup.decontamination_report,  # per-source rollup
     "source_overlap_matrix": dedup.source_overlap_matrix,  # mix audit matrix
     "curation_pipeline": curation.curation_pipeline,  # composed detect->apply chain
+    "incremental_pipeline": curation.incremental_pipeline,  # per-increment admission gate
     "duplicated_span_fraction": dedup.duplicated_span_fraction,  # ExactSubstr metric
     "strip_duplicated_spans": dedup.strip_duplicated_spans,  # ExactSubstr APPLY
     "top_duplicated_spans": dedup.top_duplicated_spans,  # boilerplate report
@@ -244,6 +245,7 @@ _ORACLES: dict[str, str] = {
     "decontamination_report": dedup.DECONTAMINATION_REPORT_SQL,
     "source_overlap_matrix": dedup.SOURCE_OVERLAP_MATRIX_SQL,
     "curation_pipeline": curation.CURATION_PIPELINE_SQL,
+    "incremental_pipeline": curation.INCREMENTAL_PIPELINE_SQL,
     "paragraph_dedup": dedup.PARAGRAPH_DEDUP_SQL,
     "paragraph_dedup_apply": dedup.PARAGRAPH_DEDUP_APPLY_SQL,
     "duplicated_span_fraction": dedup.DUPLICATED_SPAN_FRACTION_SQL,
@@ -275,24 +277,24 @@ _DRIVER_GATE_FIRST = [
     # r6 (winnowing single-scan rewrite, ExactSubstr count-window
     # rewrite, BPE materialized-CTE oracles, semdedup low-eps warning,
     # source_overlap_matrix AQE joins, bigram_logloss zero-token
-    # rows). 6 + 35 + 9 = 50 = the observed driver cap; to make room,
+    # rows). 7 + 34 + 9 = 50 = the observed driver cap; to make room,
     # cube_activity / pivot_daily_by_type / retention_cohorts /
-    # funnel_conversion / daily_activity / distinct_users_by_type
-    # (r4-green, untouched since) cycle to r7 with everything else
-    # left out (r5-green and untouched).
+    # funnel_conversion / daily_activity / distinct_users_by_type /
+    # json_props_stats (r4-green, untouched since) cycle to r7 with
+    # everything else left out (r5-green and untouched).
     "dedup_incremental_exact",
     "dedup_incremental_minhash",
     "ann_topk_quantized",
     "training_order",
     "top_duplicated_spans",
     "dedup_incremental_srp",
+    "incremental_pipeline",
     "containment_capture",
     "search_offsets",
     "regex_normalize",
     "topn_per_key",
     "fragment_sort_topk",
     "cumulative_chars",
-    "json_props_stats",
     "regional_revenue",
     "parts_by_brand",
     "rolling_value_7d",

@@ -102,3 +102,69 @@ WHERE d.source <> 'src0'
   AND d.doc_id NOT IN (SELECT doc_id FROM lsh_losers)
   AND d.doc_id IN (SELECT doc_id FROM decon_keep)
 """
+
+
+def incremental_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-increment admission gate: the composed policy a production
+    pipeline runs on EACH new crawl batch before it joins the corpus —
+    shallow quality gates (the same Gopher/C4 windows as
+    :func:`curation_pipeline`), exact incremental dedup vs the corpus
+    digest index, and near-dup incremental dedup vs the corpus band
+    index (:func:`dedup.dedup_incremental_exact` /
+    :func:`dedup.dedup_incremental_minhash` semantics, greedy
+    within-batch policy included).
+
+    Stage verdicts are computed independently on the RAW increment
+    (never on each other's survivors — the curation_pipeline
+    order-independence rule), and admission composes as set
+    intersection, so the output is exactly the intersection of the
+    standalone stage survivor sets (pinned by test).
+
+    100 TB shape: both index probes are the incremental operators'
+    own plans (equi-joins against persisted indexes, one digest
+    shuffle + banded band joins); the composition adds two semi joins
+    on narrow doc_id keys that AQE broadcasts."""
+    docs = dedup._read(spark, sf_dir, "documents")
+    inc = docs.filter(F.col("source") >= dedup.INCREMENTAL_SPLIT)
+    n_words = (textstats._count_occ(F.col("text"), " ") + 1).cast("long")
+    ex_keep = (
+        dedup.dedup_incremental_exact(spark, sf_dir)
+        .filter(F.col("verdict") == "keep")
+        .select("doc_id")
+    )
+    mh_keep = (
+        dedup.dedup_incremental_minhash(spark, sf_dir)
+        .filter(F.col("verdict") == "keep")
+        .select("doc_id")
+    )
+    return (
+        inc.filter(textstats.qf_keep_predicate())
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "source",
+            n_words.alias("n_tokens"),
+        )
+        .join(ex_keep, "doc_id", "left_semi")
+        .join(mh_keep, "doc_id", "left_semi")
+    )
+
+
+INCREMENTAL_PIPELINE_SQL = f"""
+WITH ex_keep AS (
+  SELECT doc_id FROM ({dedup.DEDUP_INCREMENTAL_EXACT_SQL})
+  WHERE verdict = 'keep'
+),
+mh_keep AS (
+  SELECT doc_id FROM ({dedup.DEDUP_INCREMENTAL_MINHASH_SQL})
+  WHERE verdict = 'keep'
+)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       d.source,
+       CAST({textstats._count_occ_sql('d.text', ' ')} + 1 AS BIGINT)
+         AS n_tokens
+FROM documents d
+WHERE d.source >= '{dedup.INCREMENTAL_SPLIT}'
+  AND {textstats._QF_KEEP_SQL}
+  AND d.doc_id IN (SELECT doc_id FROM ex_keep)
+  AND d.doc_id IN (SELECT doc_id FROM mh_keep)
+"""

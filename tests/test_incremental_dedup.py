@@ -278,3 +278,38 @@ def test_incremental_minhash_matches_python_replay_randomized(spark):
             ).collect()
         }
         assert got == expected, f"seed {seed}"
+
+
+def test_incremental_pipeline_is_intersection_of_standalone_stages(spark):
+    """The composed per-increment gate's admitted set must be EXACTLY
+    the intersection of the standalone stage survivor sets (quality
+    window ∩ exact-keep ∩ minhash-keep over the incoming split)."""
+    from pdftotext_spark.operators import curation, textstats
+
+    sf = SF_DIR
+    got = {
+        r.doc_id for r in curation.incremental_pipeline(spark, sf).collect()
+    }
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    incoming = {
+        r.doc_id
+        for r in docs.filter(
+            F.col("source") >= dedup.INCREMENTAL_SPLIT
+        ).collect()
+    }
+    quality = {
+        r.doc_id
+        for r in docs.filter(textstats.qf_keep_predicate()).collect()
+    }
+    ex_keep = {
+        r.doc_id
+        for r in dedup.dedup_incremental_exact(spark, sf).collect()
+        if r.verdict == "keep"
+    }
+    mh_keep = {
+        r.doc_id
+        for r in dedup.dedup_incremental_minhash(spark, sf).collect()
+        if r.verdict == "keep"
+    }
+    assert got == (incoming & quality & ex_keep & mh_keep)
+    assert got  # non-trivial at this scale
