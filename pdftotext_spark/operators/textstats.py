@@ -1746,7 +1746,12 @@ def training_order_for(docs: DataFrame) -> DataFrame:
     The input lineage runs twice (ranking branch + bucket-count
     branch) — deliberate: both scans are column-pruned to ≤2 columns,
     which is cheaper at corpus scale than materializing a
-    corpus-sized keyed frame just to count 256 buckets."""
+    corpus-sized keyed frame just to count 256 buckets.
+
+    Requires ``doc_id`` to be unique (the table's key): a duplicated
+    id shares its md5 sort key AND the doc_id tie-break, so the
+    relative order of its copies — and therefore their pos values —
+    would be engine-arbitrary."""
     from pyspark.sql.window import Window
 
     keyed = docs.select(
