@@ -105,6 +105,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # production shape at 100 TB — never re-dedup the whole corpus)
     "dedup_incremental_exact": dedup.dedup_incremental_exact,
     "dedup_incremental_minhash": dedup.dedup_incremental_minhash,
+    # signature-verified tier: band candidates re-checked against the
+    # persisted MinHash signatures before a verdict flips
+    "dedup_incremental_minhash_verified": dedup.dedup_incremental_minhash_verified,
     # similarity search
     "cosine_topk": similarity.cosine_topk,
     "cosine_neardup_pairs": similarity.cosine_neardup_pairs,
@@ -126,6 +129,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lang_id_confusion": textstats.lang_id_confusion,
     "quality_score": textstats.quality_score,
     "quality_filter_by_source": textstats.quality_filter_by_source,
+    "gopher_quality": textstats.gopher_quality,  # full Gopher rule panel
     "token_count_by_source": textstats.token_count_by_source,
     "doc_length_profile": textstats.doc_length_profile,
     # frequency sketches (constant-key-space vocabulary accounting)
@@ -140,6 +144,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "chunk_documents": textstats.chunk_documents,        # token-window chunking
     "unigram_logloss": textstats.unigram_logloss,        # LM cross-entropy score
     "bigram_logloss": textstats.bigram_logloss,          # CCNet-style bigram LM filter
+    "trigram_logloss": textstats.trigram_logloss,        # Jelinek-Mercer trigram LM filter
     "bpe_token_profile": textstats.bpe_token_profile,    # BPE-vs-ws token budget
     "stratified_sample": textstats.stratified_sample,    # deterministic eval split
     "pack_sequences": textstats.pack_sequences,          # token-budget packing
@@ -198,6 +203,7 @@ _ORACLES: dict[str, str] = {
     "dedup_apply_minhash": dedup.DEDUP_APPLY_MINHASH_SQL,
     "dedup_incremental_exact": dedup.DEDUP_INCREMENTAL_EXACT_SQL,
     "dedup_incremental_minhash": dedup.DEDUP_INCREMENTAL_MINHASH_SQL,
+    "dedup_incremental_minhash_verified": dedup.DEDUP_INCREMENTAL_MINHASH_VERIFIED_SQL,
     "cosine_topk": similarity.COSINE_TOPK_SQL,
     "cosine_neardup_pairs": similarity.COSINE_NEARDUP_PAIRS_SQL,
     "embedding_bucket_stats": similarity.EMBEDDING_BUCKET_STATS_SQL,
@@ -213,6 +219,7 @@ _ORACLES: dict[str, str] = {
     "lang_id_confusion": textstats.LANG_ID_CONFUSION_SQL,
     "quality_score": textstats.QUALITY_SCORE_SQL,
     "quality_filter_by_source": textstats.QUALITY_FILTER_BY_SOURCE_SQL,
+    "gopher_quality": textstats.GOPHER_QUALITY_SQL,
     "token_count_by_source": textstats.TOKEN_COUNT_BY_SOURCE_SQL,
     "doc_length_profile": textstats.DOC_LENGTH_PROFILE_SQL,
     "token_cms": sketches.TOKEN_CMS_SQL,
@@ -226,6 +233,7 @@ _ORACLES: dict[str, str] = {
     "chunk_documents": textstats.CHUNK_DOCUMENTS_SQL,
     "unigram_logloss": textstats.UNIGRAM_LOGLOSS_SQL,
     "bigram_logloss": textstats.BIGRAM_LOGLOSS_SQL,
+    "trigram_logloss": textstats.TRIGRAM_LOGLOSS_SQL,
     "bpe_token_profile": textstats.BPE_TOKEN_PROFILE_SQL,
     "stratified_sample": textstats.STRATIFIED_SAMPLE_SQL,
     "cube_activity": relational.CUBE_ACTIVITY_SQL,
@@ -277,13 +285,17 @@ _DRIVER_GATE_FIRST = [
     # r6 (winnowing single-scan rewrite, ExactSubstr count-window
     # rewrite, BPE materialized-CTE oracles, semdedup low-eps warning,
     # source_overlap_matrix AQE joins, bigram_logloss zero-token
-    # rows). 7 + 34 + 9 = 50 = the observed driver cap; to make room,
+    # rows). 10 + 31 + 9 = 50 = the observed driver cap; to make room,
     # cube_activity / pivot_daily_by_type / retention_cohorts /
     # funnel_conversion / daily_activity / distinct_users_by_type /
-    # json_props_stats (r4-green, untouched since) cycle to r7 with
+    # json_props_stats / kmeans_ivf_topk / pack_sequences /
+    # stratified_sample (r4-green, untouched since) cycle to r7 with
     # everything else left out (r5-green and untouched).
     "dedup_incremental_exact",
     "dedup_incremental_minhash",
+    "dedup_incremental_minhash_verified",
+    "gopher_quality",
+    "trigram_logloss",
     "ann_topk_quantized",
     "training_order",
     "top_duplicated_spans",
@@ -319,9 +331,6 @@ _DRIVER_GATE_FIRST = [
     "chunk_documents",
     "unigram_logloss",
     "bpe_token_profile",
-    "stratified_sample",
-    "pack_sequences",
-    "kmeans_ivf_topk",
     "bpe_merges_driver",
     # modified in r6 — refresh their rows
     "winnowing_shared_pairs",

@@ -2365,6 +2365,232 @@ LEFT JOIN batch_hits bh ON d.doc_id = bh.doc_id
 """
 
 
+# Verified-variant threshold: a band-collision candidate counts as a
+# duplicate only if >= INCR_VERIFY_AGREE of the N_MINHASH signature
+# components agree (estimated Jaccard >= AGREE/N). An INTEGER compare
+# on the agreement count — no float threshold to drift cross-engine.
+INCR_VERIFY_AGREE = 4
+
+
+def dedup_incremental_minhash_verified(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Signature-verified incremental near-dup dedup: same split and
+    band-probe candidate generation as
+    :func:`dedup_incremental_minhash`, but every candidate is VERIFIED
+    against the persisted MinHash signatures before it can flip a
+    verdict — a band collision whose full signatures agree on fewer
+    than ``INCR_VERIFY_AGREE`` of ``N_MINHASH`` components (estimated
+    Jaccard < AGREE/N) is a rejected candidate, not a duplicate.
+
+    This is the NEXT.md #8 exact-verify variant: the candidate-level
+    operator is the streaming store-probe twin (drop on any
+    collision); this one is the batch-quality tier that trades one
+    extra signature join for band-collision false positives.  Both
+    the raw candidate counts and the verified counts are emitted so
+    the verification's rejection rate is observable per document, and
+    ``best_corpus_agree`` (max agreeing components over ALL corpus
+    candidates, 0 when none) makes near-misses visible.
+
+    100 TB shape: the persisted increment store gains one small table
+    — signatures (corpus_id, h0..h7), one row per corpus doc —
+    alongside the band index; candidate generation stays the bucketed
+    band equi-join (never all-pairs), and verification joins the
+    (small, collision-bounded) candidate list back to the signature
+    store by id on both sides. Verdict rule stays greedy
+    lower-doc_id, coherent with the unverified family."""
+    docs = _read(spark, sf_dir, "documents")
+    return incremental_minhash_verified_verdicts(
+        docs.filter(F.col("source") < INCREMENTAL_SPLIT),
+        docs.filter(F.col("source") >= INCREMENTAL_SPLIT),
+    )
+
+
+def incremental_minhash_verified_verdicts(
+    corpus: DataFrame, incoming: DataFrame
+) -> DataFrame:
+    """Core of :func:`dedup_incremental_minhash_verified` over
+    arbitrary ``(doc_id, source, text)`` frames (constructed-input
+    surface for the semantic tests)."""
+
+    def keyed(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col("doc_id").cast("long").alias("doc_id"), "source", "text"
+        )
+
+    # signatures feed BOTH bands and the verification join — two
+    # differently-projected consumers, so materialize (the ExactSubstr
+    # lesson: ReusedExchange does NOT collapse differently-projected
+    # subtrees of a shared lineage)
+    corpus_sig = signatures_for(keyed(corpus), ["doc_id"]).transform(
+        materialize_lazy
+    )
+    inc_docs = keyed(incoming)
+    inc_sig = signatures_for(inc_docs, ["doc_id"]).transform(materialize_lazy)
+    corpus_b = bands_for(corpus_sig, ["doc_id"]).select(
+        F.col("doc_id").alias("corpus_id"), "band_idx", "band_hash"
+    )
+    inc_b = bands_for(inc_sig, ["doc_id"]).transform(materialize_lazy)
+
+    agree = sum(
+        (
+            F.when(F.col(f"a{k}") == F.col(f"c{k}"), 1).otherwise(0)
+            for k in range(N_MINHASH)
+        ),
+        F.lit(0),
+    )
+    sig_a = inc_sig.select(
+        "doc_id", *[F.col(f"h{k}").alias(f"a{k}") for k in range(N_MINHASH)]
+    )
+
+    def verified_stats(cand: DataFrame, other_sig: DataFrame, other_key: str):
+        """(doc_id, n_cands, n_verified, best_agree) for a distinct
+        candidate-pair frame; joins both signature stores by id."""
+        sig_c = other_sig.select(
+            F.col("doc_id").alias(other_key),
+            *[F.col(f"h{k}").alias(f"c{k}") for k in range(N_MINHASH)],
+        )
+        scored = (
+            cand.join(sig_a, "doc_id")
+            .join(sig_c, other_key)
+            .select("doc_id", agree.alias("agree"))
+        )
+        return scored.groupBy("doc_id").agg(
+            F.count("*").alias("n_cands"),
+            F.sum(
+                F.when(F.col("agree") >= INCR_VERIFY_AGREE, 1).otherwise(0)
+            ).alias("n_verified"),
+            F.max("agree").alias("best_agree"),
+        )
+
+    corpus_cand = (
+        inc_b.join(corpus_b, ["band_idx", "band_hash"])
+        .select("doc_id", "corpus_id")
+        .distinct()
+    )
+    corpus_stats = verified_stats(corpus_cand, corpus_sig, "corpus_id")
+
+    a = inc_b.alias("a")
+    p = inc_b.select(
+        F.col("doc_id").alias("prior_id"), "band_idx", "band_hash"
+    ).alias("p")
+    batch_cand = (
+        a.join(
+            p,
+            (F.col("a.band_idx") == F.col("p.band_idx"))
+            & (F.col("a.band_hash") == F.col("p.band_hash"))
+            & (F.col("p.prior_id") < F.col("a.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_id"), "p.prior_id")
+        .distinct()
+    )
+    batch_stats = verified_stats(
+        batch_cand, inc_sig, "prior_id"
+    ).withColumnsRenamed(
+        {
+            "n_cands": "nb_cands",
+            "n_verified": "nb_verified",
+            "best_agree": "nb_best",
+        }
+    )
+
+    z = F.lit(0)
+    out = (
+        inc_docs.select("doc_id", "source")
+        .join(corpus_stats, "doc_id", "left")
+        .join(batch_stats, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            F.coalesce("n_cands", z).cast("long").alias("n_corpus_cands"),
+            F.coalesce("n_verified", z).cast("long").alias("n_corpus_dups"),
+            F.coalesce("nb_cands", z).cast("long").alias("n_batch_cands"),
+            F.coalesce("nb_verified", z).cast("long").alias("n_batch_prior"),
+            F.coalesce("best_agree", z).cast("long").alias("best_corpus_agree"),
+        )
+    )
+    return out.select(
+        "doc_id",
+        "source",
+        "n_corpus_cands",
+        "n_corpus_dups",
+        "n_batch_cands",
+        "n_batch_prior",
+        "best_corpus_agree",
+        F.when(F.col("n_corpus_dups") > 0, F.lit("corpus_dup"))
+        .when(F.col("n_batch_prior") > 0, F.lit("batch_dup"))
+        .otherwise(F.lit("keep"))
+        .alias("verdict"),
+    )
+
+
+_INCR_AGREE_SQL = " + ".join(
+    f"CASE WHEN a.h{k} = c.h{k} THEN 1 ELSE 0 END" for k in range(N_MINHASH)
+)
+
+DEDUP_INCREMENTAL_MINHASH_VERIFIED_SQL = f"""
+WITH s AS ({sampled_shingle_scan_sql("doc_id, source, sh", distinct=False)}),
+sig AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, source, {_SIG_EXPRS_SQL}
+  FROM s GROUP BY doc_id, source
+),
+bands AS (
+  {" UNION ALL ".join(
+    f"SELECT doc_id, source, {i} AS band_idx, md5(h{i} || h{i + 4}) AS band_hash FROM sig"
+    for i in range(N_MINHASH // BAND_SIZE)
+  )}
+),
+corpus_b AS (
+  SELECT doc_id AS corpus_id, band_idx, band_hash FROM bands
+  WHERE source < '{INCREMENTAL_SPLIT}'
+),
+inc_b AS (
+  SELECT doc_id, band_idx, band_hash FROM bands
+  WHERE source >= '{INCREMENTAL_SPLIT}'
+),
+corpus_cand AS (
+  SELECT DISTINCT i.doc_id, c.corpus_id
+  FROM inc_b i JOIN corpus_b c USING (band_idx, band_hash)
+),
+corpus_stats AS (
+  SELECT k.doc_id, COUNT(*) AS n_cands,
+         SUM(CASE WHEN {_INCR_AGREE_SQL} >= {INCR_VERIFY_AGREE} THEN 1 ELSE 0 END) AS n_verified,
+         MAX({_INCR_AGREE_SQL}) AS best_agree
+  FROM corpus_cand k
+  JOIN sig a ON a.doc_id = k.doc_id
+  JOIN sig c ON c.doc_id = k.corpus_id
+  GROUP BY k.doc_id
+),
+batch_cand AS (
+  SELECT DISTINCT x.doc_id, y.doc_id AS prior_id
+  FROM inc_b x JOIN inc_b y
+    ON x.band_idx = y.band_idx AND x.band_hash = y.band_hash
+   AND y.doc_id < x.doc_id
+),
+batch_stats AS (
+  SELECT k.doc_id, COUNT(*) AS nb_cands,
+         SUM(CASE WHEN {_INCR_AGREE_SQL} >= {INCR_VERIFY_AGREE} THEN 1 ELSE 0 END) AS nb_verified
+  FROM batch_cand k
+  JOIN sig a ON a.doc_id = k.doc_id
+  JOIN sig c ON c.doc_id = k.prior_id
+  GROUP BY k.doc_id
+)
+SELECT d.doc_id, d.source,
+       CAST(coalesce(cs.n_cands, 0) AS BIGINT) AS n_corpus_cands,
+       CAST(coalesce(cs.n_verified, 0) AS BIGINT) AS n_corpus_dups,
+       CAST(coalesce(bs.nb_cands, 0) AS BIGINT) AS n_batch_cands,
+       CAST(coalesce(bs.nb_verified, 0) AS BIGINT) AS n_batch_prior,
+       CAST(coalesce(cs.best_agree, 0) AS BIGINT) AS best_corpus_agree,
+       CASE WHEN coalesce(cs.n_verified, 0) > 0 THEN 'corpus_dup'
+            WHEN coalesce(bs.nb_verified, 0) > 0 THEN 'batch_dup'
+            ELSE 'keep' END AS verdict
+FROM (SELECT CAST(doc_id AS BIGINT) AS doc_id, source FROM documents
+      WHERE source >= '{INCREMENTAL_SPLIT}') d
+LEFT JOIN corpus_stats cs ON d.doc_id = cs.doc_id
+LEFT JOIN batch_stats bs ON d.doc_id = bs.doc_id
+"""
+
+
 # ------------------------------------------------- boilerplate report
 
 TOP_DUP_SPANS = 20

@@ -214,6 +214,205 @@ FROM documents GROUP BY source
 """
 
 
+# Gopher quality-rule thresholds (Rae et al. 2021, appendix A1.1 —
+# public). The stopword rule counts OCCURRENCES of the published
+# 8-word set and requires >= 2 (the datatrove GopherQualityFilter
+# reading of "contain at least two of the following English words";
+# the distinct-word reading is stricter and makes the rule
+# all-reject on single-stopword corpora). alpha-word test is ASCII
+# [a-z] on lowercased text (the corpus contract here; extend the
+# class for non-Latin scripts).
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_WORD_LEN = 3.0
+GOPHER_MAX_WORD_LEN = 10.0
+GOPHER_MAX_HASH_RATIO = 0.1
+GOPHER_MAX_ELLIPSIS_RATIO = 0.1
+GOPHER_MAX_BULLET_FRAC = 0.9
+GOPHER_MAX_ELLIPSIS_LINE_FRAC = 0.3
+GOPHER_MIN_ALPHA_FRAC = 0.8
+GOPHER_MIN_STOPWORDS = 2
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full Gopher quality-rule panel per document — every rule a
+    separate observable flag plus the conjunction ``keep`` (a pipeline
+    tunes rules individually; a single opaque boolean hides WHICH rule
+    fires).  Rules: word count in [50, 100k]; mean word length in
+    [3, 10]; '#' and ellipsis symbol-to-word ratios <= 0.1; <= 90% of
+    lines bullet-started and <= 30% ellipsis-ended; >= 80% of words
+    contain an alphabetic character; >= 2 distinct stopwords.
+
+    100 TB shape: one narrow projection scan, all per-row array
+    built-ins (split/filter/aggregate) inside whole-stage codegen —
+    no shuffle, no UDF, trivially partition-parallel.  Flags compare
+    UNROUNDED integer-ratio doubles (identical expressions both
+    engines); the displayed ratios round once at the end."""
+    return gopher_quality_for(_read(spark, sf_dir, "documents"))
+
+
+def gopher_quality_for(docs: DataFrame) -> DataFrame:
+    """Core of :func:`gopher_quality` over an arbitrary
+    ``(doc_id, text)`` frame (constructed-input surface for the
+    semantic tests — every rule is pinned on documents built to
+    trip exactly that rule)."""
+    nl = "replace(lower(text), chr(10), ' ')"
+    base = docs.select(
+        "doc_id",
+        F.expr(f"filter(split({nl}, ' '), x -> x <> '')").alias("a"),
+        F.expr("split(text, chr(10))").alias("lines"),
+        _count_occ(F.col("text"), "#").alias("n_hash"),
+        (_count_occ(F.col("text"), "...") + _count_occ(F.col("text"), "…"))
+        .alias("n_ell"),
+    )
+    stop_list = ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS)
+    stop_hits = F.size(F.expr(f"filter(a, x -> x IN ({stop_list}))"))
+    m = base.select(
+        "doc_id",
+        "n_hash",
+        "n_ell",
+        F.size("a").cast("long").alias("n_words"),
+        F.expr("aggregate(a, 0, (acc, x) -> acc + length(x))").alias(
+            "sum_wlen"
+        ),
+        F.size(F.expr("filter(a, x -> x rlike '[a-z]')"))
+        .cast("long")
+        .alias("n_alpha"),
+        stop_hits.cast("long").alias("n_stopwords"),
+        F.size("lines").cast("long").alias("n_lines"),
+        F.size(
+            F.expr(
+                "filter(lines, x -> substring(ltrim(x), 1, 1) "
+                "IN ('-', '*', '•'))"
+            )
+        ).cast("long").alias("n_bullet"),
+        F.size(
+            F.expr(
+                "filter(lines, x -> rtrim(x) LIKE '%...' "
+                "OR rtrim(x) LIKE '%…')"
+            )
+        ).cast("long").alias("n_ell_line"),
+    )
+    # divisor floored at 1: a 0-word doc has all-zero numerators, so
+    # every ratio is 0 and the nz-guarded flags stay false — and ANSI
+    # mode never sees a /0 (AND does not short-circuit in codegen)
+    nz = F.col("n_words") > 0
+    nw = F.greatest(F.col("n_words"), F.lit(1))
+    mwl = F.col("sum_wlen") / nw
+    hashr = F.col("n_hash") / nw
+    ellr = F.col("n_ell") / nw
+    bulletf = F.col("n_bullet") / F.col("n_lines")
+    ellf = F.col("n_ell_line") / F.col("n_lines")
+    alphaf = F.col("n_alpha") / nw
+    ok_wc = (F.col("n_words") >= GOPHER_MIN_WORDS) & (
+        F.col("n_words") <= GOPHER_MAX_WORDS
+    )
+    ok_wl = nz & (mwl >= GOPHER_MIN_WORD_LEN) & (mwl <= GOPHER_MAX_WORD_LEN)
+    ok_sym = nz & (hashr <= GOPHER_MAX_HASH_RATIO) & (
+        ellr <= GOPHER_MAX_ELLIPSIS_RATIO
+    )
+    ok_line = (bulletf <= GOPHER_MAX_BULLET_FRAC) & (
+        ellf <= GOPHER_MAX_ELLIPSIS_LINE_FRAC
+    )
+    ok_alpha = nz & (alphaf >= GOPHER_MIN_ALPHA_FRAC)
+    ok_stop = F.col("n_stopwords") >= GOPHER_MIN_STOPWORDS
+    zero = F.lit(0.0)
+    return m.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "n_words",
+        F.round(F.when(nz, mwl).otherwise(zero), 3).alias("mean_word_len"),
+        F.round(F.when(nz, hashr).otherwise(zero), 4).alias("hash_ratio"),
+        F.round(F.when(nz, ellr).otherwise(zero), 4).alias("ellipsis_ratio"),
+        F.round(bulletf, 4).alias("bullet_line_frac"),
+        F.round(ellf, 4).alias("ellipsis_line_frac"),
+        F.round(F.when(nz, alphaf).otherwise(zero), 4).alias(
+            "alpha_word_frac"
+        ),
+        "n_stopwords",
+        ok_wc.alias("ok_word_count"),
+        ok_wl.alias("ok_word_len"),
+        ok_sym.alias("ok_symbol_ratio"),
+        ok_line.alias("ok_line_shape"),
+        ok_alpha.alias("ok_alpha_words"),
+        ok_stop.alias("ok_stopwords"),
+        (ok_wc & ok_wl & ok_sym & ok_line & ok_alpha & ok_stop).alias("keep"),
+    )
+
+
+_GOPHER_STOP_SQL = (
+    "len(list_filter(a, x -> x IN ("
+    + ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS)
+    + ")))"
+)
+
+GOPHER_QUALITY_SQL = f"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split(replace(lower(text), chr(10), ' '), ' '),
+                     x -> x <> '') AS a,
+         string_split(text, chr(10)) AS lines,
+         {_count_occ_sql('text', '#')} AS n_hash,
+         {_count_occ_sql('text', '...')} + {_count_occ_sql('text', '…')}
+           AS n_ell
+  FROM documents
+),
+m AS (
+  SELECT doc_id, n_hash, n_ell,
+         CAST(len(a) AS BIGINT) AS n_words,
+         COALESCE(list_sum(list_transform(a, x -> length(x))), 0)
+           AS sum_wlen,
+         CAST(len(list_filter(a, x -> regexp_matches(x, '[a-z]')))
+              AS BIGINT) AS n_alpha,
+         CAST({_GOPHER_STOP_SQL} AS BIGINT) AS n_stopwords,
+         CAST(len(lines) AS BIGINT) AS n_lines,
+         CAST(len(list_filter(lines,
+              x -> substr(ltrim(x), 1, 1) IN ('-', '*', '•')))
+              AS BIGINT) AS n_bullet,
+         CAST(len(list_filter(lines,
+              x -> rtrim(x) LIKE '%...' OR rtrim(x) LIKE '%…'))
+              AS BIGINT) AS n_ell_line
+  FROM base
+),
+f AS (
+  SELECT *,
+         (n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS})
+           AS ok_word_count,
+         (n_words > 0 AND sum_wlen * 1.0 / greatest(n_words, 1) >= {GOPHER_MIN_WORD_LEN}
+          AND sum_wlen * 1.0 / greatest(n_words, 1) <= {GOPHER_MAX_WORD_LEN})
+           AS ok_word_len,
+         (n_words > 0 AND n_hash * 1.0 / greatest(n_words, 1) <= {GOPHER_MAX_HASH_RATIO}
+          AND n_ell * 1.0 / greatest(n_words, 1) <= {GOPHER_MAX_ELLIPSIS_RATIO})
+           AS ok_symbol_ratio,
+         (n_bullet * 1.0 / n_lines <= {GOPHER_MAX_BULLET_FRAC}
+          AND n_ell_line * 1.0 / n_lines <= {GOPHER_MAX_ELLIPSIS_LINE_FRAC})
+           AS ok_line_shape,
+         (n_words > 0 AND n_alpha * 1.0 / greatest(n_words, 1) >= {GOPHER_MIN_ALPHA_FRAC})
+           AS ok_alpha_words,
+         (n_stopwords >= {GOPHER_MIN_STOPWORDS}) AS ok_stopwords
+  FROM m
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       n_words,
+       ROUND(CASE WHEN n_words > 0 THEN sum_wlen * 1.0 / greatest(n_words, 1)
+                  ELSE 0.0 END, 3) AS mean_word_len,
+       ROUND(CASE WHEN n_words > 0 THEN n_hash * 1.0 / greatest(n_words, 1)
+                  ELSE 0.0 END, 4) AS hash_ratio,
+       ROUND(CASE WHEN n_words > 0 THEN n_ell * 1.0 / greatest(n_words, 1)
+                  ELSE 0.0 END, 4) AS ellipsis_ratio,
+       ROUND(n_bullet * 1.0 / n_lines, 4) AS bullet_line_frac,
+       ROUND(n_ell_line * 1.0 / n_lines, 4) AS ellipsis_line_frac,
+       ROUND(CASE WHEN n_words > 0 THEN n_alpha * 1.0 / greatest(n_words, 1)
+                  ELSE 0.0 END, 4) AS alpha_word_frac,
+       n_stopwords,
+       ok_word_count, ok_word_len, ok_symbol_ratio, ok_line_shape,
+       ok_alpha_words, ok_stopwords,
+       (ok_word_count AND ok_word_len AND ok_symbol_ratio AND ok_line_shape
+        AND ok_alpha_words AND ok_stopwords) AS keep
+FROM f
+"""
+
+
 def doc_length_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source document-length percentiles (p50/p90/p99 of chars)
     — the distribution profile that sizes chunking/windowing decisions
@@ -744,6 +943,225 @@ scored AS (
   FROM bi
   JOIN bcounts bc ON bc.prev = bi.prev AND bc.tok = bi.tok
   JOIN vocab pv ON pv.tok = bi.prev
+),
+grouped AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         (SUM(loss_i) * 1.0 / COUNT(*)) / 1000000.0 AS logloss_bits
+  FROM scored GROUP BY doc_id
+)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       CAST(coalesce(g.n_tokens, 0) AS BIGINT) AS n_tokens,
+       coalesce(g.logloss_bits, 0.0) AS logloss_bits
+FROM documents d LEFT JOIN grouped g USING (doc_id)
+"""
+
+
+# Jelinek-Mercer interpolation weights for the trigram LM (deleted
+# interpolation, Jelinek & Mercer 1980): fixed lambdas, renormalized
+# at position 2 where no trigram context exists (0.3/0.2 -> 0.6/0.4).
+TRIGRAM_L3 = 0.5
+TRIGRAM_L2 = 0.3
+TRIGRAM_L1 = 0.2
+
+
+def trigram_logloss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document cross-entropy under a Jelinek-Mercer INTERPOLATED
+    corpus trigram LM — the next order up from :func:`bigram_logloss`
+    and the closest SQL-expressible stand-in for the KenLM-style
+    perplexity filters of CCNet/RedPajama: score = -mean(log2 p) with
+    p = L3*p3 + L2*p2 + L1*p1 for positions >= 3, the L2/L1
+    renormalization (0.6/0.4) at position 2, and the raw unigram at
+    position 1.  Interpolation (unlike backoff) keeps p > 0 from the
+    unigram term alone, and every scored n-gram occurs in the corpus
+    that includes the doc, so all count joins are inner.
+
+    100 TB shape: uni/bi/tri-gram positions come from per-doc ARRAY
+    slice-zips (no LAG window — the token stream never shuffles by
+    doc_id before the count aggregations); the three count tables are
+    materialized once and join back AQE-broadcast-style.
+    Portability: the interpolated p is ONE fixed-shape expression
+    (left-to-right adds of integer-ratio doubles — identical IEEE
+    result both engines) and per-position losses are integer
+    micro-bit rounded before the per-doc mean (order-proof sums, the
+    unigram_logloss convention). Zero-token docs emit
+    (n_tokens=0, logloss_bits=0) rows — the bigram_logloss lesson."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.select(
+        "doc_id",
+        F.expr("filter(split(lower(text), ' '), x -> x <> '')").alias("a"),
+    )
+    uni = base.select("doc_id", F.explode("a").alias("tok"))
+    vocab = (
+        uni.groupBy("tok").agg(F.count("*").alias("cnt")).transform(materialize)
+    )
+    total = vocab.agg(F.sum("cnt").alias("total"))
+    bi = base.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(a) >= 2 THEN "
+                "transform(sequence(1, size(a) - 1), "
+                "i -> struct(a[i-1] AS prev, a[i] AS tok)) "
+                "ELSE array() END"
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.prev", "b.tok")
+    bcounts = (
+        bi.groupBy("prev", "tok")
+        .agg(F.count("*").alias("bcnt"))
+        .transform(materialize)
+    )
+    tri = base.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(a) >= 3 THEN "
+                "transform(sequence(2, size(a) - 1), "
+                "i -> struct(a[i-2] AS p2, a[i-1] AS p1, a[i] AS tok)) "
+                "ELSE array() END"
+            )
+        ).alias("t"),
+    ).select("doc_id", "t.p2", "t.p1", "t.tok")
+    tcounts = (
+        tri.groupBy("p2", "p1", "tok")
+        .agg(F.count("*").alias("tcnt"))
+        .transform(materialize)
+    )
+    micro = lambda c: F.round(-F.log2(c) * 1_000_000, 0).cast("long")  # noqa: E731
+
+    # position 1: pure unigram
+    firsts = base.filter(F.expr("size(a) > 0")).select(
+        "doc_id", F.expr("a[0]").alias("tok")
+    )
+    p1_scored = (
+        firsts.join(vocab, "tok")
+        .crossJoin(F.broadcast(total))
+        .select("doc_id", micro(F.col("cnt") / F.col("total")).alias("loss_i"))
+    )
+    # position 2: renormalized bigram+unigram interpolation
+    seconds = base.filter(F.expr("size(a) >= 2")).select(
+        "doc_id", F.expr("a[0]").alias("prev"), F.expr("a[1]").alias("tok")
+    )
+    prev_vocab = vocab.select(
+        F.col("tok").alias("prev"), F.col("cnt").alias("prev_cnt")
+    )
+    l2n = TRIGRAM_L2 / (TRIGRAM_L2 + TRIGRAM_L1)
+    l1n = TRIGRAM_L1 / (TRIGRAM_L2 + TRIGRAM_L1)
+    p2_scored = (
+        seconds.join(bcounts, ["prev", "tok"])
+        .join(prev_vocab, "prev")
+        .join(vocab, "tok")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            micro(
+                F.lit(l2n) * (F.col("bcnt") / F.col("prev_cnt"))
+                + F.lit(l1n) * (F.col("cnt") / F.col("total"))
+            ).alias("loss_i"),
+        )
+    )
+    # positions >= 3: full trigram interpolation
+    ctx = bcounts.select(
+        F.col("prev").alias("p2"),
+        F.col("tok").alias("p1"),
+        F.col("bcnt").alias("ctx_cnt"),
+    )
+    bi2 = bcounts.select(
+        F.col("prev").alias("p1"),
+        "tok",
+        F.col("bcnt").alias("bcnt2"),
+    )
+    p1_vocab = vocab.select(
+        F.col("tok").alias("p1"), F.col("cnt").alias("p1_cnt")
+    )
+    p3_scored = (
+        tri.join(tcounts, ["p2", "p1", "tok"])
+        .join(ctx, ["p2", "p1"])
+        .join(bi2, ["p1", "tok"])
+        .join(p1_vocab, "p1")
+        .join(vocab, "tok")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            micro(
+                F.lit(TRIGRAM_L3) * (F.col("tcnt") / F.col("ctx_cnt"))
+                + F.lit(TRIGRAM_L2) * (F.col("bcnt2") / F.col("p1_cnt"))
+                + F.lit(TRIGRAM_L1) * (F.col("cnt") / F.col("total"))
+            ).alias("loss_i"),
+        )
+    )
+    grouped = (
+        p1_scored.unionByName(p2_scored)
+        .unionByName(p3_scored)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            ((F.sum("loss_i") / F.count("*")) / 1_000_000.0).alias(
+                "logloss_bits"
+            ),
+        )
+    )
+    return docs.select("doc_id").join(grouped, "doc_id", "left").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long").alias("n_tokens"),
+        F.coalesce(F.col("logloss_bits"), F.lit(0.0)).alias("logloss_bits"),
+    )
+
+
+TRIGRAM_LOGLOSS_SQL = f"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS a
+  FROM documents
+),
+uni AS (SELECT doc_id, unnest(a) AS tok FROM base),
+vocab AS (SELECT tok, COUNT(*) AS cnt FROM uni GROUP BY tok),
+total AS (SELECT SUM(cnt) AS total FROM vocab),
+bi AS (
+  SELECT doc_id, unnest(a[1:len(a)-1]) AS prev, unnest(a[2:len(a)]) AS tok
+  FROM base WHERE len(a) >= 2
+),
+bcounts AS (SELECT prev, tok, COUNT(*) AS bcnt FROM bi GROUP BY prev, tok),
+tri AS (
+  SELECT doc_id, unnest(a[1:len(a)-2]) AS p2, unnest(a[2:len(a)-1]) AS p1,
+         unnest(a[3:len(a)]) AS tok
+  FROM base WHERE len(a) >= 3
+),
+tcounts AS (
+  SELECT p2, p1, tok, COUNT(*) AS tcnt FROM tri GROUP BY p2, p1, tok
+),
+scored AS (
+  SELECT doc_id,
+         CAST(ROUND(-log2(CAST(v.cnt AS DOUBLE) / t.total) * 1000000, 0)
+              AS BIGINT) AS loss_i
+  FROM (SELECT doc_id, a[1] AS tok FROM base WHERE len(a) > 0) f
+  JOIN vocab v USING (tok) CROSS JOIN total t
+  UNION ALL
+  SELECT s.doc_id,
+         CAST(ROUND(-log2(
+           {TRIGRAM_L2 / (TRIGRAM_L2 + TRIGRAM_L1)} * (CAST(bc.bcnt AS DOUBLE) / pv.cnt)
+           + {TRIGRAM_L1 / (TRIGRAM_L2 + TRIGRAM_L1)} * (CAST(v.cnt AS DOUBLE) / t.total)
+         ) * 1000000, 0) AS BIGINT) AS loss_i
+  FROM (SELECT doc_id, a[1] AS prev, a[2] AS tok FROM base WHERE len(a) >= 2) s
+  JOIN bcounts bc ON bc.prev = s.prev AND bc.tok = s.tok
+  JOIN vocab pv ON pv.tok = s.prev
+  JOIN vocab v ON v.tok = s.tok
+  CROSS JOIN total t
+  UNION ALL
+  SELECT tri.doc_id,
+         CAST(ROUND(-log2(
+           {TRIGRAM_L3} * (CAST(tc.tcnt AS DOUBLE) / ctx.bcnt)
+           + {TRIGRAM_L2} * (CAST(b2.bcnt AS DOUBLE) / pv.cnt)
+           + {TRIGRAM_L1} * (CAST(v.cnt AS DOUBLE) / t.total)
+         ) * 1000000, 0) AS BIGINT) AS loss_i
+  FROM tri
+  JOIN tcounts tc ON tc.p2 = tri.p2 AND tc.p1 = tri.p1 AND tc.tok = tri.tok
+  JOIN bcounts ctx ON ctx.prev = tri.p2 AND ctx.tok = tri.p1
+  JOIN bcounts b2 ON b2.prev = tri.p1 AND b2.tok = tri.tok
+  JOIN vocab pv ON pv.tok = tri.p1
+  JOIN vocab v ON v.tok = tri.tok
+  CROSS JOIN total t
 ),
 grouped AS (
   SELECT doc_id,

@@ -1,0 +1,147 @@
+"""Semantic tests for the Gopher quality-rule panel on CONSTRUCTED
+documents — each rule is tripped by a document built to violate
+exactly that rule (the oracle gate is blind to a bug implemented
+identically in both engines, CLAUDE.md), with the expected flag
+values computed by hand from the published thresholds."""
+
+import pytest
+
+from pdftotext_spark.operators import textstats as ts
+
+pytestmark = pytest.mark.spark
+
+
+GOOD = (
+    "the quick brown fox jumps over the lazy dog and then runs back "
+    "home with great speed that nobody could have expected to see "
+    "because the fox was very fast and the dog was very slow and the "
+    "race was over before it began with the fox far ahead of the dog "
+    "and that was that for the day with everyone happy"
+)  # 62 words, all alphabetic, plenty of stopwords, mean len in range
+
+
+def _rows(spark, rows):
+    return {
+        r.doc_id: r
+        for r in ts.gopher_quality_for(
+            spark.createDataFrame(rows, "doc_id long, text string")
+        ).collect()
+    }
+
+
+def test_good_document_passes_all_rules(spark):
+    r = _rows(spark, [(1, GOOD)])[1]
+    assert r.keep
+    assert (
+        r.ok_word_count
+        and r.ok_word_len
+        and r.ok_symbol_ratio
+        and r.ok_line_shape
+        and r.ok_alpha_words
+        and r.ok_stopwords
+    )
+    assert r.n_words == 62
+
+
+def test_word_count_bounds(spark):
+    short = "the dog and the fox with that have be to of"  # 11 words < 50
+    got = _rows(spark, [(1, short), (2, GOOD)])
+    assert not got[1].ok_word_count and not got[1].keep
+    assert got[2].ok_word_count
+
+
+def test_mean_word_length_bounds(spark):
+    # 50+ words of length 1 -> mean 1 < 3; stopword-rich base keeps
+    # the other rules out of the way
+    tiny = " ".join(["a"] * 60) + " the the"
+    long_w = " ".join(["extraordinarily"] * 60) + " the the"  # mean ~14.9
+    got = _rows(spark, [(1, tiny), (2, long_w), (3, GOOD)])
+    assert not got[1].ok_word_len
+    assert not got[2].ok_word_len
+    assert got[3].ok_word_len
+    assert got[2].mean_word_len > ts.GOPHER_MAX_WORD_LEN
+
+
+def test_symbol_ratio_rules(spark):
+    hashy = GOOD + " " + " ".join(["#"] * 10)  # 10 '#' / 72 words > 0.1
+    elly = GOOD + " " + " ".join(["..."] * 10)
+    got = _rows(spark, [(1, hashy), (2, elly), (3, GOOD)])
+    assert not got[1].ok_symbol_ratio and not got[1].keep
+    assert not got[2].ok_symbol_ratio
+    assert got[3].ok_symbol_ratio
+    assert got[1].hash_ratio > ts.GOPHER_MAX_HASH_RATIO
+
+
+def test_line_shape_rules(spark):
+    bullets = "\n".join(f"- {GOOD}" for _ in range(10))  # 100% bullet lines
+    ells = "\n".join(
+        [f"{GOOD} ..."] * 4 + [GOOD] * 6
+    )  # 40% ellipsis-ended > 30%
+    mixed = "\n".join([f"- {GOOD}"] * 8 + [GOOD] * 2)  # 80% <= 90% -> ok
+    got = _rows(spark, [(1, bullets), (2, ells), (3, mixed), (4, GOOD)])
+    assert not got[1].ok_line_shape and got[1].bullet_line_frac == 1.0
+    assert not got[2].ok_line_shape and got[2].ellipsis_line_frac == 0.4
+    assert got[3].ok_line_shape
+    assert got[4].ok_line_shape
+    # unicode ellipsis and '*' bullets count too
+    uni = "\n".join([f"* {GOOD}"] * 10)
+    ue = "\n".join([f"{GOOD} …"] * 5 + [GOOD] * 5)
+    got2 = _rows(spark, [(5, uni), (6, ue)])
+    assert got2[5].bullet_line_frac == 1.0
+    assert got2[6].ellipsis_line_frac == 0.5
+
+
+def test_alpha_word_fraction(spark):
+    # 62 alpha words + 40 numeric -> 62/102 < 0.8
+    nums = GOOD + " " + " ".join(str(i) for i in range(100, 140))
+    got = _rows(spark, [(1, nums), (2, GOOD)])
+    assert not got[1].ok_alpha_words and not got[1].keep
+    assert got[2].ok_alpha_words and got[2].alpha_word_frac == 1.0
+
+
+def test_stopword_occurrence_rule(spark):
+    # >= 2 OCCURRENCES of the 8-word set (datatrove reading): one
+    # 'the' fails, two pass — even when it is the same word twice
+    base = " ".join(["fox"] * 60)
+    got = _rows(
+        spark,
+        [(1, base), (2, base + " the"), (3, base + " the the"),
+         (4, base + " the with")],
+    )
+    assert got[1].n_stopwords == 0 and not got[1].ok_stopwords
+    assert got[2].n_stopwords == 1 and not got[2].ok_stopwords
+    assert got[3].n_stopwords == 2 and got[3].ok_stopwords
+    assert got[4].n_stopwords == 2 and got[4].ok_stopwords
+
+
+def test_empty_and_zero_word_documents_emit_rows(spark):
+    got = _rows(spark, [(1, ""), (2, "   ")])
+    for d in (1, 2):
+        r = got[d]
+        assert r.n_words == 0 and not r.keep
+        assert r.mean_word_len == 0.0 and r.alpha_word_frac == 0.0
+
+
+def test_stopwords_match_whole_tokens_only(spark):
+    # 'theme'/'andante' must not count as 'the'/'and'
+    base = " ".join(["theme andante"] * 30)
+    got = _rows(spark, [(1, base)])
+    assert got[1].n_stopwords == 0
+
+
+def test_registered_query_parity_shape(spark):
+    """Registered wrapper: one row per document, keep is the exact
+    conjunction of the six flags."""
+    sf = "/root/testdata/sf0.001"
+    rows = ts.gopher_quality(spark, sf).collect()
+    n_docs = spark.read.parquet(f"{sf}/documents.parquet").count()
+    assert len(rows) == n_docs
+    for r in rows:
+        assert r.keep == (
+            r.ok_word_count
+            and r.ok_word_len
+            and r.ok_symbol_ratio
+            and r.ok_line_shape
+            and r.ok_alpha_words
+            and r.ok_stopwords
+        )

@@ -197,10 +197,10 @@ def test_batch_twin_matches_streaming_store_probe(spark, tmp_path):
     assert survivors == keeps == {11, 13}
 
 
-def _py_bands(text: str) -> set:
+def _py_sig(text: str) -> list:
     """Independent pure-Python replay of the sampled-shingle MinHash
-    band scheme (md5 slices — engine-free), for randomized
-    differential testing of the Spark implementation."""
+    signature (md5 slices — engine-free), for randomized differential
+    testing of the Spark implementation."""
     import hashlib
 
     L = dedup.SHINGLE_LEN
@@ -213,7 +213,7 @@ def _py_bands(text: str) -> set:
         or dedup.SHINGLE_KEEP16 >= 16
         or hashlib.md5(b"s:" + sh.encode()).hexdigest()[0] < dedup._KEEP_THR
     ]
-    hs = [
+    return [
         min(
             hashlib.md5(f"{'a' if k < 4 else 'b'}:{sh}".encode()).hexdigest()[
                 8 * (k % 4) : 8 * (k % 4) + 8
@@ -222,10 +222,22 @@ def _py_bands(text: str) -> set:
         )
         for k in range(8)
     ]
+
+
+def _py_bands(text: str) -> set:
+    """Band rows derived from :func:`_py_sig` (band i = md5 of slice i
+    of digest a concatenated with slice i of digest b)."""
+    import hashlib
+
+    hs = _py_sig(text)
     return {
         (i, hashlib.md5((hs[i] + hs[i + 4]).encode()).hexdigest())
         for i in range(4)
     }
+
+
+def _py_agree(sig_a: list, sig_b: list) -> int:
+    return sum(1 for x, y in zip(sig_a, sig_b) if x == y)
 
 
 def test_incremental_minhash_matches_python_replay_randomized(spark):
@@ -313,3 +325,156 @@ def test_incremental_pipeline_is_intersection_of_standalone_stages(spark):
     }
     assert got == (incoming & quality & ex_keep & mh_keep)
     assert got  # non-trivial at this scale
+
+
+# ----------------------------------------- signature-verified variant
+
+
+def _find_rejectable_pair(seed: int = 7):
+    """Deterministic pure-Python search for a document pair that BAND-
+    COLLIDES yet agrees on fewer than INCR_VERIFY_AGREE signature
+    components — the false-positive class the verified variant exists
+    to reject. Seeded → stable across runs; the scheme is md5-based so
+    the search needs no engine."""
+    import random
+
+    vocab = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    ).split()
+    rng = random.Random(seed)
+    docs = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randint(6, 20)))
+        for _ in range(300)
+    ]
+    sigs = [_py_sig(t) for t in docs]
+    bands = [_py_bands(t) for t in docs]
+    for i in range(len(docs)):
+        for j in range(i + 1, len(docs)):
+            if docs[i] != docs[j] and (bands[i] & bands[j]):
+                if _py_agree(sigs[i], sigs[j]) < dedup.INCR_VERIFY_AGREE:
+                    return docs[i], docs[j]
+    raise AssertionError("no rejectable pair found — widen the search")
+
+
+def test_verified_rejects_band_collision_false_positive(spark):
+    """A band collision whose signatures agree on < INCR_VERIFY_AGREE
+    components must be a rejected candidate: the unverified operator
+    calls it a dup, the verified one keeps it — with the rejection
+    observable in (n_corpus_cands > 0, n_corpus_dups = 0)."""
+    ta, tb = _find_rejectable_pair()
+    schema = "doc_id long, source string, text string"
+    corpus = spark.createDataFrame([(1, "old", ta)], schema)
+    incoming = spark.createDataFrame([(10, "new", tb)], schema)
+    unver = dedup.incremental_minhash_verdicts(corpus, incoming).collect()[0]
+    ver = dedup.incremental_minhash_verified_verdicts(
+        corpus, incoming
+    ).collect()[0]
+    assert unver.verdict == "corpus_dup"  # candidate-level FP
+    assert ver.verdict == "keep"
+    assert ver.n_corpus_cands == 1 and ver.n_corpus_dups == 0
+    assert 0 < ver.best_corpus_agree < dedup.INCR_VERIFY_AGREE
+
+
+def test_verified_exact_copy_has_full_agreement(spark):
+    corpus, incoming = _frames(spark)
+    got = {
+        r.doc_id: r
+        for r in dedup.incremental_minhash_verified_verdicts(
+            corpus, incoming
+        ).collect()
+    }
+    assert got[10].verdict == "corpus_dup"
+    assert got[10].best_corpus_agree == dedup.N_MINHASH
+    assert got[12].verdict == "batch_dup"
+    assert got[11].verdict == "keep" and got[13].verdict == "keep"
+
+
+def test_verified_candidates_equal_unverified_dups(spark):
+    """Candidate generation is IDENTICAL to the unverified operator:
+    per doc, verified.n_corpus_cands == unverified.n_corpus_dups and
+    verified counts never exceed the candidate counts (verification
+    only moves verdicts toward keep)."""
+    sf = SF_DIR
+    unver = {
+        r.doc_id: r
+        for r in dedup.dedup_incremental_minhash(spark, sf).collect()
+    }
+    ver = {
+        r.doc_id: r
+        for r in dedup.dedup_incremental_minhash_verified(
+            spark, sf
+        ).collect()
+    }
+    assert set(ver) == set(unver)
+    for d, v in ver.items():
+        u = unver[d]
+        assert v.n_corpus_cands == u.n_corpus_dups
+        assert v.n_batch_cands == u.n_batch_prior
+        assert v.n_corpus_dups <= v.n_corpus_cands
+        assert v.n_batch_prior <= v.n_batch_cands
+        if u.verdict == "keep":
+            assert v.verdict == "keep"
+
+
+def test_verified_matches_python_replay_randomized(spark):
+    """Randomized differential for the VERIFIED variant: full output
+    frame equals an independent pure-Python replay (third engine —
+    catches bugs the DuckDB oracle would share)."""
+    import random
+
+    vocab = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+    for seed in (5, 17):
+        rng = random.Random(seed)
+
+        def doc():
+            return " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 14)))
+
+        corpus_rows = [(i, "old", doc()) for i in range(1, 21)]
+        incoming_rows = []
+        for i in range(50, 70):
+            if rng.random() < 0.3:
+                base = rng.choice(corpus_rows)[2]
+                if rng.random() < 0.5:
+                    base = base + " " + rng.choice(vocab)
+                incoming_rows.append((i, "new", base))
+            else:
+                incoming_rows.append((i, "new", doc()))
+
+        c_sig = {d: _py_sig(t) for d, _, t in corpus_rows}
+        c_bands = {d: _py_bands(t) for d, _, t in corpus_rows}
+        i_sig = {d: _py_sig(t) for d, _, t in incoming_rows}
+        i_bands = {d: _py_bands(t) for d, _, t in incoming_rows}
+        A = dedup.INCR_VERIFY_AGREE
+        expected = {}
+        for d, _, _ in incoming_rows:
+            cc = [c for c in c_bands if i_bands[d] & c_bands[c]]
+            bc = [
+                d2
+                for d2, _, _ in incoming_rows
+                if d2 < d and i_bands[d] & i_bands[d2]
+            ]
+            ncd = sum(1 for c in cc if _py_agree(i_sig[d], c_sig[c]) >= A)
+            nbp = sum(1 for p in bc if _py_agree(i_sig[d], i_sig[p]) >= A)
+            best = max(
+                (_py_agree(i_sig[d], c_sig[c]) for c in cc), default=0
+            )
+            verdict = "corpus_dup" if ncd else "batch_dup" if nbp else "keep"
+            expected[d] = (len(cc), ncd, len(bc), nbp, best, verdict)
+
+        schema = "doc_id long, source string, text string"
+        got = {
+            r.doc_id: (
+                r.n_corpus_cands,
+                r.n_corpus_dups,
+                r.n_batch_cands,
+                r.n_batch_prior,
+                r.best_corpus_agree,
+                r.verdict,
+            )
+            for r in dedup.incremental_minhash_verified_verdicts(
+                spark.createDataFrame(corpus_rows, schema),
+                spark.createDataFrame(incoming_rows, schema),
+            ).collect()
+        }
+        assert got == expected, f"seed {seed}"

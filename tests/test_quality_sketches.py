@@ -931,3 +931,96 @@ def test_bpe_driver_max_words_cap_is_deterministic(spark, tmp_path):
     ]
     capped = {w: f for w, f in vocab.items() if w in ("aaxx", "bbxx", "ccxx")}
     assert sorted(got) == _train_bpe_driver(sorted(capped.items()), 50)
+
+
+def test_trigram_logloss_python_replay(spark, tmp_path):
+    """Independent pure-Python replay of the Jelinek-Mercer trigram
+    interpolation (third engine — the DuckDB oracle shares the SQL
+    shape, so a formula bug could pass parity): exact equality on the
+    micro-bit-rounded per-doc means, zero-token rows present, and the
+    semantic direction pin — a doc whose trigram continuation is the
+    corpus-majority one scores strictly lower than its rare-branch
+    sibling."""
+    import math
+    from collections import Counter
+
+    import pandas as pd
+
+    from pdftotext_spark.operators import textstats
+
+    texts = {
+        1: "a b c d",
+        2: "a b c d",
+        3: "a b c e",  # rare trigram branch (b,c)->e vs majority ->d
+        4: "b c d a b",
+        5: "   ",  # zero tokens — must still emit a row
+        6: "c",  # single token — unigram-only position
+    }
+    docs = pd.DataFrame(
+        {
+            "doc_id": list(texts),
+            "text": list(texts.values()),
+            "lang": ["en"] * len(texts),
+            "source": ["s"] * len(texts),
+            "n_chars": [len(t) for t in texts.values()],
+        }
+    )
+    spark.createDataFrame(docs).write.mode("overwrite").parquet(
+        f"{tmp_path}/documents.parquet"
+    )
+
+    toks = {d: [w for w in t.lower().split(" ") if w] for d, t in texts.items()}
+    uni = Counter(w for a in toks.values() for w in a)
+    total = sum(uni.values())
+    bi = Counter(
+        (a[i - 1], a[i]) for a in toks.values() for i in range(1, len(a))
+    )
+    tri = Counter(
+        (a[i - 2], a[i - 1], a[i])
+        for a in toks.values()
+        for i in range(2, len(a))
+    )
+
+    def micro(p: float) -> int:
+        # HALF_UP like Spark's F.round / DuckDB ROUND (p <= 1 so the
+        # scaled loss is non-negative)
+        return int(math.floor(-math.log2(p) * 1_000_000 + 0.5))
+
+    L3, L2, L1 = (
+        textstats.TRIGRAM_L3,
+        textstats.TRIGRAM_L2,
+        textstats.TRIGRAM_L1,
+    )
+    l2n, l1n = L2 / (L2 + L1), L1 / (L2 + L1)
+    expected = {}
+    for d, a in toks.items():
+        losses = []
+        for i, w in enumerate(a):
+            if i == 0:
+                p = uni[w] / total
+            elif i == 1:
+                p = l2n * (bi[(a[0], w)] / uni[a[0]]) + l1n * (uni[w] / total)
+            else:
+                p = (
+                    L3 * (tri[(a[i - 2], a[i - 1], w)] / bi[(a[i - 2], a[i - 1])])
+                    + L2 * (bi[(a[i - 1], w)] / uni[a[i - 1]])
+                    + L1 * (uni[w] / total)
+                )
+            losses.append(micro(p))
+        expected[d] = (
+            len(a),
+            (sum(losses) / len(losses)) / 1_000_000.0 if losses else 0.0,
+        )
+
+    rows = {
+        r.doc_id: (r.n_tokens, r.logloss_bits)
+        for r in textstats.trigram_logloss(spark, str(tmp_path)).collect()
+    }
+    assert set(rows) == set(expected)
+    for d in expected:
+        assert rows[d][0] == expected[d][0], d
+        assert rows[d][1] == pytest.approx(expected[d][1], abs=1e-12), d
+    assert rows[5] == (0, 0.0)
+    # majority continuation (docs 1/2) beats the rare branch (doc 3)
+    assert rows[1][1] < rows[3][1]
+    assert rows[1] == rows[2]
