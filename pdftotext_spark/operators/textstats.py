@@ -638,6 +638,208 @@ FROM big
 """
 
 
+# Gopher repetition thresholds (Rae et al. 2021, Table A1 — public):
+# top-n-gram character fraction caps for n=2..4, duplicate-n-gram
+# character fraction caps for n=5..10, and the duplicate-line rules.
+GOPHER_REP_TOP = {2: 0.20, 3: 0.18, 4: 0.16}
+GOPHER_REP_DUP = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10}
+GOPHER_MAX_DUP_LINE_FRAC = 0.30
+GOPHER_MAX_DUP_LINE_CHAR_FRAC = 0.20
+
+
+def gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full Gopher REPETITION panel per document (Rae et al. 2021
+    Table A1), completing :func:`gopher_quality`'s rule set: top-n-gram
+    character fraction for n=2..4 (chars covered by the single most
+    repeated n-gram), duplicate-n-gram character fraction for n=5..10
+    (chars in occurrences beyond the first of any repeated n-gram),
+    and duplicate-line count/character fractions.  Deterministic
+    definitional choices (documented, identical in both engines): the
+    top-n-gram statistic is ``max over distinct n-grams WITH count >=
+    2 of count*len(gram)`` (a deterministic tie-break the threshold
+    compare is insensitive to; the count>=2 guard keeps an unrepeated
+    n-gram from "covering" a short document — zero repetition must
+    score 0 on a repetition panel); the duplicate-n-gram statistic counts every
+    occurrence beyond the first (the ``find_duplicates`` convention),
+    not the greedy non-overlapping skip; n-grams are space-joined and
+    the denominator is ``length(text)``.  Paragraph rules share the
+    line mechanism with a '\\n\\n' segmenter — not emitted because the
+    corpus contract here is single-block text.  Empty/short docs pass
+    (their word-count rejection belongs to gopher_quality).
+
+    100 TB shape: ONE posexplode-free explode emitting <= 9 n-gram
+    rows per token position, then two hash aggregations with map-side
+    partial combine (linear in corpus tokens — NO per-row
+    O(distinct*n) lambdas for the n-gram families, unlike the
+    bounded-width line rules), and a per-doc join back.  The explode
+    fan-out is bounded (9x tokens) and shuffles compress well
+    (repeated grams)."""
+    return gopher_repetition_for(_read(spark, sf_dir, "documents"))
+
+
+def gopher_repetition_for(docs: DataFrame) -> DataFrame:
+    """Core of :func:`gopher_repetition` over an arbitrary
+    ``(doc_id, text)`` frame (constructed-input test surface)."""
+    ns = sorted(GOPHER_REP_TOP) + sorted(GOPHER_REP_DUP)
+    base = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.length("text").cast("long").alias("tchars"),
+        F.expr("filter(split(lower(text), ' '), x -> x <> '')").alias("a"),
+        F.expr("split(text, chr(10))").alias("lines"),
+    )
+    grams = base.select(
+        "doc_id",
+        F.explode(
+            F.flatten(
+                F.expr(
+                    f"transform(array({', '.join(map(str, ns))}), n -> "
+                    "CASE WHEN size(a) >= n THEN "
+                    "transform(sequence(1, size(a) - n + 1), "
+                    "i -> named_struct('n', n, 'g', "
+                    "concat_ws(' ', slice(a, i, n)))) "
+                    "ELSE array() END)"
+                )
+            )
+        ).alias("s"),
+    ).select("doc_id", F.col("s.n").alias("n"), F.col("s.g").alias("g"))
+    per_n = (
+        grams.groupBy("doc_id", "n", "g")
+        .agg(F.count("*").alias("cnt"))
+        .groupBy("doc_id", "n")
+        .agg(
+            F.max(
+                F.when(F.col("cnt") >= 2, F.col("cnt") * F.length("g"))
+            ).alias("top_chars"),
+            F.sum((F.col("cnt") - 1) * F.length("g")).alias("dup_chars"),
+        )
+    )
+    sig = per_n.groupBy("doc_id").agg(
+        *[
+            F.max(F.when(F.col("n") == k, F.col("top_chars"))).alias(f"t{k}")
+            for k in GOPHER_REP_TOP
+        ],
+        *[
+            F.max(F.when(F.col("n") == k, F.col("dup_chars"))).alias(f"d{k}")
+            for k in GOPHER_REP_DUP
+        ],
+    )
+    # line rules: per-row lambdas bounded by line count (small)
+    lineside = base.select(
+        "doc_id",
+        "tchars",
+        F.size("lines").cast("long").alias("n_lines"),
+        (F.size("lines") - F.size(F.array_distinct("lines")))
+        .cast("long")
+        .alias("dup_line_cnt"),
+        F.expr(
+            "aggregate(array_distinct(lines), 0L, (acc, d) -> acc + "
+            "(size(filter(lines, x -> x = d)) - 1) * length(d))"
+        ).alias("dup_line_chars"),
+    )
+    m = lineside.join(sig, "doc_id", "left")
+    tc = F.greatest(F.col("tchars"), F.lit(1))
+    fr = {f"t{k}": F.coalesce(F.col(f"t{k}"), F.lit(0)) / tc for k in GOPHER_REP_TOP}
+    fr.update(
+        {f"d{k}": F.coalesce(F.col(f"d{k}"), F.lit(0)) / tc for k in GOPHER_REP_DUP}
+    )
+    line_frac = F.col("dup_line_cnt") / F.col("n_lines")
+    line_char_frac = F.col("dup_line_chars") / tc
+    ok_lines = (line_frac <= GOPHER_MAX_DUP_LINE_FRAC) & (
+        line_char_frac <= GOPHER_MAX_DUP_LINE_CHAR_FRAC
+    )
+    ok_top = None
+    for k, thr in GOPHER_REP_TOP.items():
+        c = fr[f"t{k}"] <= thr
+        ok_top = c if ok_top is None else (ok_top & c)
+    ok_dup = None
+    for k, thr in GOPHER_REP_DUP.items():
+        c = fr[f"d{k}"] <= thr
+        ok_dup = c if ok_dup is None else (ok_dup & c)
+    return m.select(
+        "doc_id",
+        F.round(line_frac, 4).alias("dup_line_frac"),
+        F.round(line_char_frac, 4).alias("dup_line_char_frac"),
+        *[
+            F.round(fr[f"t{k}"], 4).alias(f"top_{k}gram_char_frac")
+            for k in GOPHER_REP_TOP
+        ],
+        *[
+            F.round(fr[f"d{k}"], 4).alias(f"dup_{k}gram_char_frac")
+            for k in GOPHER_REP_DUP
+        ],
+        ok_lines.alias("ok_dup_lines"),
+        ok_top.alias("ok_top_ngram"),
+        ok_dup.alias("ok_dup_ngram"),
+        (ok_lines & ok_top & ok_dup).alias("keep"),
+    )
+
+
+_GREP_NS = ", ".join(str(n) for n in sorted({*GOPHER_REP_TOP, *GOPHER_REP_DUP}))
+
+GOPHER_REPETITION_SQL = f"""
+WITH base AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CAST(length(text) AS BIGINT) AS tchars,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS a,
+         string_split(text, chr(10)) AS lines
+  FROM documents
+),
+gram_lists AS (
+  SELECT doc_id, ns.n,
+         list_transform(generate_series(1, len(a) - ns.n + 1),
+                        i -> array_to_string(a[i : i + ns.n - 1], ' ')) AS gs
+  FROM base, (SELECT unnest([{_GREP_NS}]) AS n) ns
+  WHERE len(a) >= ns.n
+),
+grams AS (SELECT doc_id, n, unnest(gs) AS g FROM gram_lists),
+counts AS (SELECT doc_id, n, g, COUNT(*) AS cnt FROM grams GROUP BY doc_id, n, g),
+per_n AS (
+  SELECT doc_id, n,
+         MAX(CASE WHEN cnt >= 2 THEN cnt * length(g) END) AS top_chars,
+         SUM((cnt - 1) * length(g)) AS dup_chars
+  FROM counts GROUP BY doc_id, n
+),
+sig AS (
+  SELECT doc_id,
+         {', '.join(f"MAX(CASE WHEN n = {k} THEN top_chars END) AS t{k}" for k in GOPHER_REP_TOP)},
+         {', '.join(f"MAX(CASE WHEN n = {k} THEN dup_chars END) AS d{k}" for k in GOPHER_REP_DUP)}
+  FROM per_n GROUP BY doc_id
+),
+lineside AS (
+  SELECT doc_id, tchars,
+         CAST(len(lines) AS BIGINT) AS n_lines,
+         CAST(len(lines) - len(list_distinct(lines)) AS BIGINT)
+           AS dup_line_cnt,
+         COALESCE(list_sum(list_transform(list_distinct(lines),
+           d -> (len(list_filter(lines, x -> x = d)) - 1) * length(d))), 0)
+           AS dup_line_chars
+  FROM base
+),
+f AS (
+  SELECT l.doc_id,
+         dup_line_cnt * 1.0 / n_lines AS line_frac,
+         dup_line_chars * 1.0 / greatest(tchars, 1) AS line_char_frac,
+         {', '.join(f"COALESCE(t{k}, 0) * 1.0 / greatest(tchars, 1) AS tf{k}" for k in GOPHER_REP_TOP)},
+         {', '.join(f"COALESCE(d{k}, 0) * 1.0 / greatest(tchars, 1) AS df{k}" for k in GOPHER_REP_DUP)}
+  FROM lineside l LEFT JOIN sig s ON l.doc_id = s.doc_id
+)
+SELECT doc_id,
+       ROUND(line_frac, 4) AS dup_line_frac,
+       ROUND(line_char_frac, 4) AS dup_line_char_frac,
+       {', '.join(f"ROUND(tf{k}, 4) AS top_{k}gram_char_frac" for k in GOPHER_REP_TOP)},
+       {', '.join(f"ROUND(df{k}, 4) AS dup_{k}gram_char_frac" for k in GOPHER_REP_DUP)},
+       (line_frac <= {GOPHER_MAX_DUP_LINE_FRAC}
+        AND line_char_frac <= {GOPHER_MAX_DUP_LINE_CHAR_FRAC}) AS ok_dup_lines,
+       ({' AND '.join(f"tf{k} <= {thr}" for k, thr in GOPHER_REP_TOP.items())}) AS ok_top_ngram,
+       ({' AND '.join(f"df{k} <= {thr}" for k, thr in GOPHER_REP_DUP.items())}) AS ok_dup_ngram,
+       ((line_frac <= {GOPHER_MAX_DUP_LINE_FRAC}
+         AND line_char_frac <= {GOPHER_MAX_DUP_LINE_CHAR_FRAC})
+        AND ({' AND '.join(f"tf{k} <= {thr}" for k, thr in GOPHER_REP_TOP.items())})
+        AND ({' AND '.join(f"df{k} <= {thr}" for k, thr in GOPHER_REP_DUP.items())})) AS keep
+FROM f
+"""
+
+
 CHUNK_W = 32  # tokens per chunk
 CHUNK_S = 24  # stride (8-token overlap)
 

@@ -145,3 +145,97 @@ def test_registered_query_parity_shape(spark):
             and r.ok_alpha_words
             and r.ok_stopwords
         )
+
+
+# ------------------------------------------------- repetition panel
+
+
+def _rep(spark, rows):
+    return {
+        r.doc_id: r
+        for r in ts.gopher_repetition_for(
+            spark.createDataFrame(rows, "doc_id long, text string")
+        ).collect()
+    }
+
+
+def test_repetition_good_doc_passes(spark):
+    got = _rep(spark, [(1, GOOD)])[1]
+    assert got.keep
+    assert got.ok_dup_lines and got.ok_top_ngram and got.ok_dup_ngram
+    assert got.dup_line_frac == 0.0
+
+
+def test_top_bigram_char_fraction_hand_checked(spark):
+    # "ab cd" repeated 5x + filler: top 2-gram "ab cd" (len 5) occurs
+    # 5 times -> 25 chars over the text length; also trips 0.20
+    text = "ab cd " * 5 + "x y z w v u t s q r"
+    r = _rep(spark, [(1, text)])[1]
+    exp = 25 / len(text)
+    assert r.top_2gram_char_frac == pytest.approx(round(exp, 4))
+    assert not r.ok_top_ngram and not r.keep
+
+
+def test_dup_5gram_char_fraction_hand_checked(spark):
+    # the 5-gram "a b c d e" (9 chars) appears twice in distinct
+    # contexts; second occurrence counts as duplicate. Overlapping
+    # derived dup 5-grams do not exist here because contexts differ.
+    text = "a b c d e x1 x2 x3 a b c d e y1 y2 y3"
+    r = _rep(spark, [(1, text)])[1]
+    assert r.dup_5gram_char_frac == pytest.approx(round(9 / len(text), 4))
+    # 9/37 = 0.2432 > 0.15 -> rule fires
+    assert not r.ok_dup_ngram and not r.keep
+
+
+def test_duplicate_line_rules_hand_checked(spark):
+    # 4 lines, "same line" repeated 3x -> dup_line_cnt=2, frac=0.5;
+    # dup chars = 2*len("same line")
+    text = "same line\nsame line\nsame line\nunique and much longer line"
+    r = _rep(spark, [(1, text)])[1]
+    assert r.dup_line_frac == pytest.approx(0.5)
+    assert r.dup_line_char_frac == pytest.approx(round(18 / len(text), 4))
+    assert not r.ok_dup_lines and not r.keep
+
+
+def test_repetition_empty_and_short_docs_pass(spark):
+    got = _rep(spark, [(1, ""), (2, "one"), (3, "one two")])
+    for d in (1, 2, 3):
+        assert got[d].keep, d
+        assert got[d].dup_10gram_char_frac == 0.0
+
+
+def test_repetition_python_replay_randomized(spark):
+    """Independent pure-Python replay of every panel statistic on a
+    seeded random corpus (third engine vs the DuckDB twin)."""
+    import random
+    from collections import Counter
+
+    rng = random.Random(11)
+    vocab = ["aa", "bb", "cc", "dd", "ee"]
+    rows = []
+    for d in range(1, 25):
+        words = [rng.choice(vocab) for _ in range(rng.randint(0, 30))]
+        if rng.random() < 0.4 and len(words) >= 6:
+            words += words[:6]  # plant repetition
+        rows.append((d, " ".join(words)))
+
+    got = _rep(spark, rows)
+    for d, text in rows:
+        a = [w for w in text.lower().split(" ") if w]
+        tc = max(len(text), 1)
+        for n, col in [(2, "top_2gram_char_frac"), (4, "top_4gram_char_frac")]:
+            grams = [" ".join(a[i : i + n]) for i in range(len(a) - n + 1)]
+            cnt = Counter(grams)
+            top = max(
+                (c * len(g) for g, c in cnt.items() if c >= 2), default=0
+            )
+            assert getattr(got[d], col) == pytest.approx(
+                round(top / tc, 4)
+            ), (d, n)
+        for n in (5, 10):
+            grams = [" ".join(a[i : i + n]) for i in range(len(a) - n + 1)]
+            cnt = Counter(grams)
+            dup = sum((c - 1) * len(g) for g, c in cnt.items())
+            assert getattr(
+                got[d], f"dup_{n}gram_char_frac"
+            ) == pytest.approx(round(dup / tc, 4)), (d, n)
