@@ -131,6 +131,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_filter_by_source": textstats.quality_filter_by_source,
     "gopher_quality": textstats.gopher_quality,  # full Gopher rule panel
     "gopher_repetition": textstats.gopher_repetition,  # Gopher Table-A1 repetition panel
+    "c4_quality": textstats.c4_quality,                # C4 line/page cleaning panel
     "token_count_by_source": textstats.token_count_by_source,
     "doc_length_profile": textstats.doc_length_profile,
     # frequency sketches (constant-key-space vocabulary accounting)
@@ -222,6 +223,7 @@ _ORACLES: dict[str, str] = {
     "quality_filter_by_source": textstats.QUALITY_FILTER_BY_SOURCE_SQL,
     "gopher_quality": textstats.GOPHER_QUALITY_SQL,
     "gopher_repetition": textstats.GOPHER_REPETITION_SQL,
+    "c4_quality": textstats.C4_QUALITY_SQL,
     "token_count_by_source": textstats.TOKEN_COUNT_BY_SOURCE_SQL,
     "doc_length_profile": textstats.DOC_LENGTH_PROFILE_SQL,
     "token_cms": sketches.TOKEN_CMS_SQL,
@@ -287,18 +289,19 @@ _DRIVER_GATE_FIRST = [
     # r6 (winnowing single-scan rewrite, ExactSubstr count-window
     # rewrite, BPE materialized-CTE oracles, semdedup low-eps warning,
     # source_overlap_matrix AQE joins, bigram_logloss zero-token
-    # rows). 11 + 30 + 9 = 50 = the observed driver cap; to make room,
+    # rows). 12 + 29 + 9 = 50 = the observed driver cap; to make room,
     # cube_activity / pivot_daily_by_type / retention_cohorts /
     # funnel_conversion / daily_activity / distinct_users_by_type /
     # json_props_stats / kmeans_ivf_topk / pack_sequences /
-    # stratified_sample / median_value_by_type (r4-green, untouched
-    # since) cycle to r7 with everything else left out (r5-green and
-    # untouched).
+    # stratified_sample / median_value_by_type / doc_fingerprint
+    # (r4-green, untouched since) cycle to r7 with everything else
+    # left out (r5-green and untouched).
     "dedup_incremental_exact",
     "dedup_incremental_minhash",
     "dedup_incremental_minhash_verified",
     "gopher_quality",
     "gopher_repetition",
+    "c4_quality",
     "trigram_logloss",
     "ann_topk_quantized",
     "training_order",
@@ -328,7 +331,6 @@ _DRIVER_GATE_FIRST = [
     "token_cms",
     "heavy_hitters_exact",
     "value_quantile_sketch",
-    "doc_fingerprint",
     "tfidf_top_terms",
     "repetition_signals",
     "chunk_documents",

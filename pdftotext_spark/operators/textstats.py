@@ -413,6 +413,112 @@ FROM f
 """
 
 
+# C4 cleaning rules (Raffel et al. 2020 §2.2 — public): retain lines
+# ending in terminal punctuation with >= 3 words and no "javascript";
+# drop pages with < 5 sentences, a "lorem ipsum" phrase, or a curly
+# brace. (The paper's badword-list page rule is a wordlist parameter
+# deliberately not shipped — no public canonical list is bundled.)
+C4_MIN_WORDS_PER_LINE = 3
+C4_MIN_SENTENCES = 5
+C4_TERMINALS = (".", "!", "?", '"')
+
+
+def c4_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The C4 cleaning panel per document: line-level retention
+    (terminal punctuation + >= 3 words + no "javascript",
+    case-insensitive) with the CLEANED text emitted, page-level flags
+    (``has_lorem_ipsum``, ``has_curly_brace``), a deterministic
+    sentence count, and the composed ``keep``.  Definitional choice
+    (documented): ``n_sentences`` counts terminal marks ('.', '!',
+    '?') in the KEPT text — a splitter-free deterministic stand-in
+    for the paper's sentence segmentation, identical in both engines.
+
+    100 TB shape: zero-shuffle narrow map — every signal is an array
+    expression over the line split inside one WholeStageCodegen scan;
+    the cleaned text pipelines straight into a sink with no
+    repartition."""
+    return c4_quality_for(_read(spark, sf_dir, "documents"))
+
+
+def c4_quality_for(docs: DataFrame) -> DataFrame:
+    """Core of :func:`c4_quality` over an arbitrary ``(doc_id, text)``
+    frame (constructed-input test surface)."""
+    terms = ", ".join(f"'{t}'" for t in C4_TERMINALS)
+    kept = (
+        "filter(split(text, chr(10)), x -> "
+        f"right(rtrim(x), 1) IN ({terms}) "
+        "AND size(filter(split(x, ' '), w -> w <> '')) >= "
+        f"{C4_MIN_WORDS_PER_LINE} "
+        "AND NOT contains(lower(x), 'javascript'))"
+    )
+    base = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.expr("size(split(text, chr(10)))").cast("long").alias("n_lines"),
+        F.expr(f"array_join({kept}, chr(10))").alias("cleaned_text"),
+        F.expr(f"size({kept})").cast("long").alias("n_kept_lines"),
+        F.contains(F.lower("text"), F.lit("lorem ipsum")).alias(
+            "has_lorem_ipsum"
+        ),
+        F.contains(F.col("text"), F.lit("{")).alias("has_curly_brace"),
+    )
+    n_sent = (
+        _count_occ(F.col("cleaned_text"), ".")
+        + _count_occ(F.col("cleaned_text"), "!")
+        + _count_occ(F.col("cleaned_text"), "?")
+    )
+    return base.select(
+        "doc_id",
+        "n_lines",
+        "n_kept_lines",
+        n_sent.cast("long").alias("n_sentences"),
+        "has_lorem_ipsum",
+        "has_curly_brace",
+        (
+            (n_sent >= C4_MIN_SENTENCES)
+            & ~F.col("has_lorem_ipsum")
+            & ~F.col("has_curly_brace")
+        ).alias("keep"),
+        "cleaned_text",
+    )
+
+
+_C4_KEPT_SQL = (
+    "list_filter(string_split(text, chr(10)), x -> "
+    "right(rtrim(x), 1) IN ("
+    + ", ".join(f"'{t}'" for t in C4_TERMINALS)
+    + f") AND len(list_filter(string_split(x, ' '), w -> w <> '')) >= "
+    f"{C4_MIN_WORDS_PER_LINE} "
+    "AND NOT contains(lower(x), 'javascript'))"
+)
+
+C4_QUALITY_SQL = f"""
+WITH base AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+         COALESCE(array_to_string({_C4_KEPT_SQL}, chr(10)), '')
+           AS cleaned_text,
+         CAST(len({_C4_KEPT_SQL}) AS BIGINT) AS n_kept_lines,
+         contains(lower(text), 'lorem ipsum') AS has_lorem_ipsum,
+         contains(text, '{{') AS has_curly_brace
+  FROM documents
+),
+m AS (
+  SELECT *,
+         {_count_occ_sql('cleaned_text', '.')}
+         + {_count_occ_sql('cleaned_text', '!')}
+         + {_count_occ_sql('cleaned_text', '?')} AS n_sentences
+  FROM base
+)
+SELECT doc_id, n_lines, n_kept_lines,
+       CAST(n_sentences AS BIGINT) AS n_sentences,
+       has_lorem_ipsum, has_curly_brace,
+       (n_sentences >= {C4_MIN_SENTENCES}
+        AND NOT has_lorem_ipsum AND NOT has_curly_brace) AS keep,
+       cleaned_text
+FROM m
+"""
+
+
 def doc_length_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source document-length percentiles (p50/p90/p99 of chars)
     — the distribution profile that sizes chunking/windowing decisions

@@ -239,3 +239,64 @@ def test_repetition_python_replay_randomized(spark):
             assert getattr(
                 got[d], f"dup_{n}gram_char_frac"
             ) == pytest.approx(round(dup / tc, 4)), (d, n)
+
+
+# ------------------------------------------------------ C4 cleaning
+
+
+def _c4(spark, rows):
+    return {
+        r.doc_id: r
+        for r in ts.c4_quality_for(
+            spark.createDataFrame(rows, "doc_id long, text string")
+        ).collect()
+    }
+
+
+C4_GOOD = "\n".join(
+    [
+        "This is a perfectly reasonable first sentence.",
+        "Here is another sentence that ends properly!",
+        "Does this one end with a question mark?",
+        'A quoted line can end with a quote."',
+        "And one more plain terminal sentence.",
+    ]
+)
+
+
+def test_c4_good_page_kept_and_cleaned_text_identity(spark):
+    r = _c4(spark, [(1, C4_GOOD)])[1]
+    assert r.keep
+    assert r.n_lines == 5 and r.n_kept_lines == 5
+    assert r.cleaned_text == C4_GOOD
+    # 3 periods + 1 bang + 1 question = 5 sentences
+    assert r.n_sentences == 5
+
+
+def test_c4_line_rules(spark):
+    text = "\n".join(
+        [
+            "No terminal punctuation here",  # dropped: no terminal
+            "Too short.",  # dropped: < 3 words
+            "This javascript line must be dropped.",  # dropped: js
+            "This line is kept because it qualifies.",
+        ]
+    )
+    r = _c4(spark, [(1, text)])[1]
+    assert r.n_lines == 4 and r.n_kept_lines == 1
+    assert r.cleaned_text == "This line is kept because it qualifies."
+    assert not r.keep  # only 1 sentence < 5
+
+
+def test_c4_page_rules(spark):
+    lorem = C4_GOOD + "\nSome lorem ipsum filler appears here."
+    brace = C4_GOOD + "\nfunction f() { return 1; }"
+    got = _c4(spark, [(1, lorem), (2, brace), (3, C4_GOOD)])
+    assert got[1].has_lorem_ipsum and not got[1].keep
+    assert got[2].has_curly_brace and not got[2].keep
+    assert got[3].keep
+
+
+def test_c4_empty_text(spark):
+    r = _c4(spark, [(1, "")])[1]
+    assert r.n_kept_lines == 0 and r.cleaned_text == "" and not r.keep
