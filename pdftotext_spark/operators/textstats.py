@@ -793,6 +793,16 @@ def gopher_repetition_for(docs: DataFrame) -> DataFrame:
         F.expr("filter(split(lower(text), ' '), x -> x <> '')").alias("a"),
         F.expr("split(text, chr(10))").alias("lines"),
     )
+    # small-input spread: the 9x explode below multiplies rows before
+    # any exchange, so a few-partition scan (one small parquet file)
+    # serializes the whole fan-out on one core. AQE cannot see the
+    # multiplier (it coalesces a keyless repartition back down), so
+    # pin the count explicitly; a real many-file corpus skips this —
+    # its scan already has >= defaultParallelism partitions. Measured
+    # 12.1 -> ~3 s at sf0.1/local[32].
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    if base.rdd.getNumPartitions() < par:
+        base = base.repartition(par, "doc_id")
     grams = base.select(
         "doc_id",
         F.explode(
@@ -1162,6 +1172,13 @@ def bigram_logloss(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.expr("filter(split(lower(text), ' '), x -> x <> '')").alias("a"),
     )
+    # small-input spread before the token explodes — AQE can't see an
+    # explode multiplier, and a one-file scan serializes the fan-out
+    # on one core; a many-file corpus already exceeds
+    # defaultParallelism and skips this (gopher_repetition rationale).
+    par = spark.sparkContext.defaultParallelism
+    if base.rdd.getNumPartitions() < par:
+        base = base.repartition(par, "doc_id")
     uni = base.select("doc_id", F.explode("a").alias("tok"))
     vocab = (
         uni.groupBy("tok").agg(F.count("*").alias("cnt")).transform(materialize)
@@ -1299,6 +1316,13 @@ def trigram_logloss(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.expr("filter(split(lower(text), ' '), x -> x <> '')").alias("a"),
     )
+    # small-input spread before the token explodes — AQE can't see an
+    # explode multiplier, and a one-file scan serializes the fan-out
+    # on one core; a many-file corpus already exceeds
+    # defaultParallelism and skips this (gopher_repetition rationale).
+    par = spark.sparkContext.defaultParallelism
+    if base.rdd.getNumPartitions() < par:
+        base = base.repartition(par, "doc_id")
     uni = base.select("doc_id", F.explode("a").alias("tok"))
     vocab = (
         uni.groupBy("tok").agg(F.count("*").alias("cnt")).transform(materialize)
