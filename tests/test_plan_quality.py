@@ -418,3 +418,26 @@ def test_top_dup_spans_single_scan_and_topk(spark):
     assert plan.count("Generate posexplode") == 1
     assert "TakeOrderedAndProject" in plan
     assert "LeftSemi" not in plan
+
+
+def test_gopher_repetition_single_explode_broadcast_join(spark):
+    """r6: the Gopher repetition panel is ONE bounded gram explode
+    (<= 9 rows per token) feeding two map-side-combining hash aggs,
+    with the slim per-doc signal frame BROADCAST back onto the doc
+    frame — no second corpus scan, no shuffled join of the big side."""
+    from pdftotext_spark.operators import textstats
+
+    plan = _plan(textstats.gopher_repetition(spark, SF))
+    assert plan.count("Generate explode") == 1
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "partial_" in plan
+
+
+def test_c4_quality_zero_shuffle(spark):
+    """c4_quality is a single narrow scan: no exchange, no join."""
+    from pdftotext_spark.operators import textstats
+
+    plan = _plan(textstats.c4_quality(spark, SF))
+    for node in ("Exchange", "Join", "Generate"):
+        assert node not in plan, node
