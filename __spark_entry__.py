@@ -84,6 +84,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "source_overlap_matrix": dedup.source_overlap_matrix,  # mix audit matrix
     "curation_pipeline": curation.curation_pipeline,  # composed detect->apply chain
     "incremental_pipeline": curation.incremental_pipeline,  # per-increment admission gate
+    "quality_vote": curation.quality_vote,            # 4-policy quality panel vote
     "duplicated_span_fraction": dedup.duplicated_span_fraction,  # ExactSubstr metric
     "strip_duplicated_spans": dedup.strip_duplicated_spans,  # ExactSubstr APPLY
     "top_duplicated_spans": dedup.top_duplicated_spans,  # boilerplate report
@@ -258,6 +259,7 @@ _ORACLES: dict[str, str] = {
     "source_overlap_matrix": dedup.SOURCE_OVERLAP_MATRIX_SQL,
     "curation_pipeline": curation.CURATION_PIPELINE_SQL,
     "incremental_pipeline": curation.INCREMENTAL_PIPELINE_SQL,
+    "quality_vote": curation.QUALITY_VOTE_SQL,
     "paragraph_dedup": dedup.PARAGRAPH_DEDUP_SQL,
     "paragraph_dedup_apply": dedup.PARAGRAPH_DEDUP_APPLY_SQL,
     "duplicated_span_fraction": dedup.DUPLICATED_SPAN_FRACTION_SQL,
@@ -289,19 +291,20 @@ _DRIVER_GATE_FIRST = [
     # r6 (winnowing single-scan rewrite, ExactSubstr count-window
     # rewrite, BPE materialized-CTE oracles, semdedup low-eps warning,
     # source_overlap_matrix AQE joins, bigram_logloss zero-token
-    # rows). 12 + 29 + 9 = 50 = the observed driver cap; to make room,
+    # rows). 13 + 28 + 9 = 50 = the observed driver cap; to make room,
     # cube_activity / pivot_daily_by_type / retention_cohorts /
     # funnel_conversion / daily_activity / distinct_users_by_type /
     # json_props_stats / kmeans_ivf_topk / pack_sequences /
-    # stratified_sample / median_value_by_type / doc_fingerprint
-    # (r4-green, untouched since) cycle to r7 with everything else
-    # left out (r5-green and untouched).
+    # stratified_sample / median_value_by_type / doc_fingerprint /
+    # rolling_value_7d (r4-green, untouched since) cycle to r7 with
+    # everything else left out (r5-green and untouched).
     "dedup_incremental_exact",
     "dedup_incremental_minhash",
     "dedup_incremental_minhash_verified",
     "gopher_quality",
     "gopher_repetition",
     "c4_quality",
+    "quality_vote",
     "trigram_logloss",
     "ann_topk_quantized",
     "training_order",
@@ -316,7 +319,6 @@ _DRIVER_GATE_FIRST = [
     "cumulative_chars",
     "regional_revenue",
     "parts_by_brand",
-    "rolling_value_7d",
     "vocab_richness",
     "pricing_summary",
     "segment_revenue",

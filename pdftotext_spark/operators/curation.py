@@ -168,3 +168,79 @@ WHERE d.source >= '{dedup.INCREMENTAL_SPLIT}'
   AND d.doc_id IN (SELECT doc_id FROM ex_keep)
   AND d.doc_id IN (SELECT doc_id FROM mh_keep)
 """
+
+
+def quality_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document verdicts from ALL four quality policies side by
+    side — the shallow word-count/word-length gate, the Gopher quality
+    panel, the Gopher repetition panel, and the C4 cleaning panel —
+    plus the vote count and the two standard compositions (unanimous
+    ``keep_all``, ``keep_majority`` >= 3 of 4).  A curation run tunes
+    policies by DISAGREEMENT (docs one panel rejects and the others
+    keep), which a single composed boolean cannot show.
+
+    100 TB shape: each panel is its own corpus scan (the panels'
+    plans are individually audited; gopher_repetition is the only one
+    with a shuffle), joined on slim (doc_id, flag) frames that AQE
+    broadcasts — no full-width row survives past its panel."""
+    docs = dedup._read(spark, sf_dir, "documents")
+    shallow = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        textstats.qf_keep_predicate().alias("keep_shallow"),
+    )
+    gq = textstats.gopher_quality(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("keep_gopher_quality")
+    )
+    gr = textstats.gopher_repetition(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("keep_gopher_repetition")
+    )
+    c4 = textstats.c4_quality(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("keep_c4")
+    )
+    flags = ["keep_shallow", "keep_gopher_quality",
+             "keep_gopher_repetition", "keep_c4"]
+    votes = sum(
+        (F.col(f).cast("int") for f in flags), F.lit(0)
+    ).cast("long")
+    return (
+        shallow.join(gq, "doc_id")
+        .join(gr, "doc_id")
+        .join(c4, "doc_id")
+        .select(
+            "doc_id",
+            *flags,
+            votes.alias("n_keep_votes"),
+            (votes == len(flags)).alias("keep_all"),
+            (votes >= 3).alias("keep_majority"),
+        )
+    )
+
+
+# nests the standalone panels' own SQL twins (the curation_pipeline
+# pattern) so a threshold change cannot drift between oracles
+QUALITY_VOTE_SQL = f"""
+WITH gq AS (SELECT doc_id, keep FROM ({textstats.GOPHER_QUALITY_SQL})),
+gr AS (SELECT doc_id, keep FROM ({textstats.GOPHER_REPETITION_SQL})),
+c4 AS (SELECT doc_id, keep FROM ({textstats.C4_QUALITY_SQL})),
+shallow AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         {textstats._QF_KEEP_SQL} AS keep_shallow
+  FROM documents
+),
+v AS (
+  SELECT s.doc_id, s.keep_shallow,
+         gq.keep AS keep_gopher_quality,
+         gr.keep AS keep_gopher_repetition,
+         c4.keep AS keep_c4,
+         CAST(CAST(s.keep_shallow AS INT) + CAST(gq.keep AS INT)
+              + CAST(gr.keep AS INT) + CAST(c4.keep AS INT) AS BIGINT)
+           AS n_keep_votes
+  FROM shallow s
+  JOIN gq USING (doc_id) JOIN gr USING (doc_id) JOIN c4 USING (doc_id)
+)
+SELECT doc_id, keep_shallow, keep_gopher_quality, keep_gopher_repetition,
+       keep_c4, n_keep_votes,
+       (n_keep_votes = 4) AS keep_all,
+       (n_keep_votes >= 3) AS keep_majority
+FROM v
+"""

@@ -300,3 +300,40 @@ def test_c4_page_rules(spark):
 def test_c4_empty_text(spark):
     r = _c4(spark, [(1, "")])[1]
     assert r.n_kept_lines == 0 and r.cleaned_text == "" and not r.keep
+
+
+# ------------------------------------------------------ panel vote
+
+
+def test_quality_vote_matches_standalone_panels(spark):
+    """quality_vote's per-policy flags must equal the standalone
+    operators' keeps doc-by-doc, and the compositions must be exact
+    functions of the votes (the curation_pipeline coherence rule)."""
+    from pdftotext_spark.operators import curation
+
+    sf = "/root/testdata/sf0.001"
+    vote = {r.doc_id: r for r in curation.quality_vote(spark, sf).collect()}
+    gq = {r.doc_id: r.keep for r in ts.gopher_quality(spark, sf).collect()}
+    gr = {
+        r.doc_id: r.keep for r in ts.gopher_repetition(spark, sf).collect()
+    }
+    c4 = {r.doc_id: r.keep for r in ts.c4_quality(spark, sf).collect()}
+    assert set(vote) == set(gq) == set(gr) == set(c4)
+    for d, r in vote.items():
+        assert r.keep_gopher_quality == gq[d]
+        assert r.keep_gopher_repetition == gr[d]
+        assert r.keep_c4 == c4[d]
+        n = sum(
+            [r.keep_shallow, r.keep_gopher_quality,
+             r.keep_gopher_repetition, r.keep_c4]
+        )
+        assert r.n_keep_votes == n
+        assert r.keep_all == (n == 4)
+        assert r.keep_majority == (n >= 3)
+    # the panels must disagree somewhere at this sf or the vote is
+    # degenerate evidence
+    assert len({
+        (r.keep_shallow, r.keep_gopher_quality,
+         r.keep_gopher_repetition, r.keep_c4)
+        for r in vote.values()
+    }) > 1
