@@ -1073,6 +1073,151 @@ FROM ranked WHERE sample_rank <= {SAMPLE_PER_STRATUM}
 """
 
 
+# ln-value scale for the Zipf least-squares terms: 1e4 keeps every
+# per-term product and their corpus-wide bigint sums far from
+# overflow even at 1e8 vocabulary types (ln(1e8)*1e4 ~ 1.8e5;
+# squared ~ 3.4e10; * 1e8 terms ~ 3.4e18 < 2^63), while 1e-4 ln
+# precision is far below the 4dp output rounding.
+ZIPF_SCALE = 10_000
+
+
+def zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level Zipf's-law fit: least squares of ln(frequency) on
+    ln(rank) over the token vocabulary — slope (Zipf exponent is
+    -slope), intercept, and r2, plus n_types/n_tokens.  A healthy
+    natural-language corpus fits slope ~ -1 with high r2; boilerplate
+    or template-generated corpora bend the curve (low r2) — a
+    one-number corpus-health diagnostic for a curation run.
+
+    Determinism/portability: ranks are exact (ties broken tok ASC);
+    each per-term ln is rounded to ``1/ZIPF_SCALE`` units as an
+    INTEGER and all five least-squares sums are bigint sums of
+    per-term integer products — order-proof (the unigram_logloss
+    micro-bit convention), so both engines sum identical integers.
+    The final slope/intercept/r2 arithmetic casts those exact
+    integers to double once (deterministic round-to-nearest, same
+    IEEE result both engines).
+
+    100 TB shape: ranking a billion-type vocabulary must NOT be one
+    global window (single task).  Rank = (count of terms with
+    strictly higher frequency) + (row_number among ties) — the
+    offset comes from a running sum over the TINY frequency
+    histogram (distinct counts, ~thousands of rows), and the
+    tie-break window partitions BY frequency, so every window is
+    distributed. One explode, three shuffles (vocab, histogram,
+    tie-rank), one scalar row out."""
+    from pyspark.sql.window import Window
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    uni = docs.select(
+        F.explode(
+            F.expr("filter(split(lower(text), ' '), x -> x <> '')")
+        ).alias("tok")
+    )
+    vocab = uni.groupBy("tok").agg(F.count("*").alias("cnt"))
+    hist = vocab.groupBy("cnt").agg(F.count("*").alias("n_terms"))
+    w_off = Window.orderBy(F.desc("cnt")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    offsets = hist.select(
+        "cnt",
+        (F.sum("n_terms").over(w_off) - F.col("n_terms")).alias("offset"),
+    )
+    w_tie = Window.partitionBy("cnt").orderBy(F.asc("tok"))
+    ranked = (
+        vocab.join(offsets, "cnt")
+        .select(
+            "cnt",
+            (F.col("offset") + F.row_number().over(w_tie))
+            .cast("long")
+            .alias("rank"),
+        )
+    )
+    sc = F.lit(ZIPF_SCALE)
+    xi = F.round(F.log(F.col("rank").cast("double")) * sc, 0).cast("long")
+    yi = F.round(F.log(F.col("cnt").cast("double")) * sc, 0).cast("long")
+    sums = ranked.select(
+        xi.alias("x"), yi.alias("y"), F.col("cnt")
+    ).agg(
+        F.count("*").cast("long").alias("n_types"),
+        F.sum("cnt").cast("long").alias("n_tokens"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n = F.col("n_types").cast("double")
+    s = float(ZIPF_SCALE)
+    x = F.col("sx").cast("double") / s
+    y = F.col("sy").cast("double") / s
+    xy = F.col("sxy").cast("double") / (s * s)
+    xx = F.col("sxx").cast("double") / (s * s)
+    yy = F.col("syy").cast("double") / (s * s)
+    cov = n * xy - x * y
+    varx = n * xx - x * x
+    vary = n * yy - y * y
+    slope = cov / varx
+    return sums.select(
+        "n_types",
+        "n_tokens",
+        F.round(slope, 4).alias("slope"),
+        F.round((y - slope * x) / n, 4).alias("intercept"),
+        F.round((cov * cov) / (varx * vary), 4).alias("r2"),
+    )
+
+
+ZIPF_FIT_SQL = f"""
+WITH uni AS (
+  SELECT unnest(list_filter(string_split(lower(text), ' '),
+                x -> x <> '')) AS tok
+  FROM documents
+),
+vocab AS (SELECT tok, COUNT(*) AS cnt FROM uni GROUP BY tok),
+ranked AS (
+  SELECT cnt,
+         ROW_NUMBER() OVER (ORDER BY cnt DESC, tok ASC) AS rank
+  FROM vocab
+),
+terms AS (
+  SELECT cnt,
+         CAST(ROUND(ln(CAST(rank AS DOUBLE)) * {ZIPF_SCALE}, 0) AS BIGINT) AS x,
+         CAST(ROUND(ln(CAST(cnt AS DOUBLE)) * {ZIPF_SCALE}, 0) AS BIGINT) AS y
+  FROM ranked
+),
+sums AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_types,
+         CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+         SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+  FROM terms
+),
+d AS (
+  -- single divisions with the SAME constants as the Spark side so
+  -- every double is bit-identical before the rounding
+  SELECT n_types, n_tokens,
+         CAST(n_types AS DOUBLE) AS n,
+         CAST(sx AS DOUBLE) / {float(ZIPF_SCALE)} AS x,
+         CAST(sy AS DOUBLE) / {float(ZIPF_SCALE)} AS y,
+         CAST(sxy AS DOUBLE) / {float(ZIPF_SCALE) * ZIPF_SCALE} AS xy,
+         CAST(sxx AS DOUBLE) / {float(ZIPF_SCALE) * ZIPF_SCALE} AS xx,
+         CAST(syy AS DOUBLE) / {float(ZIPF_SCALE) * ZIPF_SCALE} AS yy
+  FROM sums
+),
+e AS (
+  SELECT *, n * xy - x * y AS cov,
+         n * xx - x * x AS varx,
+         n * yy - y * y AS vary
+  FROM d
+)
+SELECT n_types, n_tokens,
+       ROUND(cov / varx, 4) AS slope,
+       ROUND((y - (cov / varx) * x) / n, 4) AS intercept,
+       ROUND((cov * cov) / (varx * vary), 4) AS r2
+FROM e
+"""
+
+
 def unigram_logloss(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document cross-entropy under the corpus unigram LM — the
     classic perplexity-flavored quality signal (outlier docs score

@@ -1024,3 +1024,87 @@ def test_trigram_logloss_python_replay(spark, tmp_path):
     # majority continuation (docs 1/2) beats the rare branch (doc 3)
     assert rows[1][1] < rows[3][1]
     assert rows[1] == rows[2]
+
+
+def test_zipf_fit_exact_power_law(spark, tmp_path):
+    """A corpus built as an EXACT power law (token k occurs 120/k
+    times for k | 120) must fit slope = -1 with r2 = 1 (to the 1e-4
+    ln-rounding and 4dp output)."""
+    import pandas as pd
+
+    from pdftotext_spark.operators import textstats
+
+    toks = []
+    for k, w in enumerate(["t1", "t2", "t3", "t4", "t5", "t6"], start=1):
+        toks += [w] * (120 // k)
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1],
+            "text": [" ".join(toks)],
+            "lang": ["en"],
+            "source": ["s"],
+            "n_chars": [1],
+        }
+    )
+    spark.createDataFrame(docs).write.mode("overwrite").parquet(
+        f"{tmp_path}/documents.parquet"
+    )
+    r = textstats.zipf_fit(spark, str(tmp_path)).collect()[0]
+    assert r.n_types == 6 and r.n_tokens == 120 + 60 + 40 + 30 + 24 + 20
+    assert r.slope == pytest.approx(-1.0, abs=2e-4)
+    assert r.r2 == pytest.approx(1.0, abs=2e-4)
+    assert r.intercept == pytest.approx(__import__("math").log(120), abs=2e-4)
+
+
+def test_zipf_fit_python_replay(spark, tmp_path):
+    """Independent pure-Python replay with the identical integer
+    convention (third engine): exact equality on all five outputs."""
+    import math
+    import random
+    from collections import Counter
+
+    import pandas as pd
+
+    from pdftotext_spark.operators import textstats
+
+    rng = random.Random(3)
+    vocab = [f"w{i}" for i in range(40)]
+    texts = [
+        " ".join(rng.choices(vocab, weights=[1 / (i + 1) for i in range(40)],
+                             k=rng.randint(10, 80)))
+        for _ in range(30)
+    ]
+    docs = pd.DataFrame(
+        {
+            "doc_id": range(1, 31),
+            "text": texts,
+            "lang": ["en"] * 30,
+            "source": ["s"] * 30,
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    spark.createDataFrame(docs).write.mode("overwrite").parquet(
+        f"{tmp_path}/documents.parquet"
+    )
+    cnt = Counter(w for t in texts for w in t.lower().split(" ") if w)
+    ranked = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+    S = textstats.ZIPF_SCALE
+
+    def ival(v: float) -> int:
+        return int(math.floor(v * S + 0.5))  # HALF_UP, values >= 0
+
+    xs = [ival(math.log(r + 1)) for r in range(len(ranked))]
+    ys = [ival(math.log(c)) for _, c in ranked]
+    n = float(len(ranked))
+    x = float(sum(xs)) / float(S)
+    y = float(sum(ys)) / float(S)
+    xy = float(sum(a * b for a, b in zip(xs, ys))) / (float(S) * S)
+    xx = float(sum(a * a for a in xs)) / (float(S) * S)
+    yy = float(sum(b * b for b in ys)) / (float(S) * S)
+    cov, varx, vary = n * xy - x * y, n * xx - x * x, n * yy - y * y
+    r = textstats.zipf_fit(spark, str(tmp_path)).collect()[0]
+    assert r.n_types == len(ranked)
+    assert r.n_tokens == sum(cnt.values())
+    assert r.slope == round(cov / varx, 4)
+    assert r.intercept == round((y - (cov / varx) * x) / n, 4)
+    assert r.r2 == round((cov * cov) / (varx * vary), 4)
