@@ -149,6 +149,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bigram_logloss": textstats.bigram_logloss,          # CCNet-style bigram LM filter
     "trigram_logloss": textstats.trigram_logloss,        # Jelinek-Mercer trigram LM filter
     "zipf_fit": textstats.zipf_fit,                      # corpus Zipf-law health fit
+    "perplexity_buckets": textstats.perplexity_buckets,  # CCNet head/middle/tail
     "bpe_token_profile": textstats.bpe_token_profile,    # BPE-vs-ws token budget
     "stratified_sample": textstats.stratified_sample,    # deterministic eval split
     "pack_sequences": textstats.pack_sequences,          # token-budget packing
@@ -241,6 +242,7 @@ _ORACLES: dict[str, str] = {
     "bigram_logloss": textstats.BIGRAM_LOGLOSS_SQL,
     "trigram_logloss": textstats.TRIGRAM_LOGLOSS_SQL,
     "zipf_fit": textstats.ZIPF_FIT_SQL,
+    "perplexity_buckets": textstats.PERPLEXITY_BUCKETS_SQL,
     "bpe_token_profile": textstats.BPE_TOKEN_PROFILE_SQL,
     "stratified_sample": textstats.STRATIFIED_SAMPLE_SQL,
     "cube_activity": relational.CUBE_ACTIVITY_SQL,
@@ -293,13 +295,14 @@ _DRIVER_GATE_FIRST = [
     # r6 (winnowing single-scan rewrite, ExactSubstr count-window
     # rewrite, BPE materialized-CTE oracles, semdedup low-eps warning,
     # source_overlap_matrix AQE joins, bigram_logloss zero-token
-    # rows). 14 + 27 + 9 = 50 = the observed driver cap; to make room,
+    # rows). 15 + 26 + 9 = 50 = the observed driver cap; to make room,
     # cube_activity / pivot_daily_by_type / retention_cohorts /
     # funnel_conversion / daily_activity / distinct_users_by_type /
     # json_props_stats / kmeans_ivf_topk / pack_sequences /
     # stratified_sample / median_value_by_type / doc_fingerprint /
-    # rolling_value_7d / cumulative_chars (r4-green, untouched since)
-    # cycle to r7 with everything else left out (r5-green, untouched).
+    # rolling_value_7d / cumulative_chars / regional_revenue
+    # (r4-green, untouched since) cycle to r7 with everything else
+    # left out (r5-green, untouched).
     "dedup_incremental_exact",
     "dedup_incremental_minhash",
     "dedup_incremental_minhash_verified",
@@ -309,6 +312,7 @@ _DRIVER_GATE_FIRST = [
     "quality_vote",
     "trigram_logloss",
     "zipf_fit",
+    "perplexity_buckets",
     "ann_topk_quantized",
     "training_order",
     "top_duplicated_spans",
@@ -319,7 +323,6 @@ _DRIVER_GATE_FIRST = [
     "regex_normalize",
     "topn_per_key",
     "fragment_sort_topk",
-    "regional_revenue",
     "parts_by_brand",
     "vocab_richness",
     "pricing_summary",

@@ -1073,6 +1073,71 @@ FROM ranked WHERE sample_rank <= {SAMPLE_PER_STRATUM}
 """
 
 
+def perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): per
+    predicted language, rank documents by LM logloss
+    (:func:`trigram_logloss`, ties broken doc_id ASC) and cut into
+    equal thirds — ``head`` (most fluent), ``middle``, ``tail``.
+    The bucket rule is pure integer arithmetic (rnk*3 vs n), so both
+    engines agree exactly; the logloss itself is already
+    micro-bit-deterministic cross-engine.
+
+    100 TB shape: the rank is a per-language sort (distributed BY
+    language; the exact rank is kept because bucketing is a one-pass
+    labeling job and the oracle gate needs bit-equality). When one
+    language dominates a 100 TB corpus, swap the window for approx
+    percentile cutoffs computed per language and assign buckets by
+    comparison — the rule's observable output (thirds by rank) is the
+    contract, the cutoff mechanism is the lever."""
+    from pyspark.sql.window import Window
+
+    ll = trigram_logloss(spark, sf_dir)
+    lang = lang_id(spark, sf_dir).select("doc_id", "pred_lang")
+    j = ll.join(lang, "doc_id")
+    w = Window.partitionBy("pred_lang").orderBy(
+        F.asc("logloss_bits"), F.asc("doc_id")
+    )
+    ranked = j.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "pred_lang",
+        "n_tokens",
+        "logloss_bits",
+        F.row_number().over(w).alias("rnk"),
+        F.count("*").over(Window.partitionBy("pred_lang")).alias("n_lang"),
+    )
+    bucket = (
+        F.when(F.col("rnk") * 3 <= F.col("n_lang"), F.lit("head"))
+        .when(F.col("rnk") * 3 <= 2 * F.col("n_lang"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return ranked.select(
+        "doc_id", "pred_lang", "n_tokens", "logloss_bits",
+        bucket.alias("bucket"),
+    )
+
+
+PERPLEXITY_BUCKETS_SQL = f"""
+WITH ll AS ({{TRIGRAM}}),
+lang AS ({{LANG}}),
+j AS (
+  SELECT ll.doc_id, lang.pred_lang, ll.n_tokens, ll.logloss_bits
+  FROM ll JOIN lang USING (doc_id)
+),
+r AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY pred_lang
+                            ORDER BY logloss_bits, doc_id) AS rnk,
+         COUNT(*) OVER (PARTITION BY pred_lang) AS n_lang
+  FROM j
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, pred_lang, n_tokens, logloss_bits,
+       CASE WHEN rnk * 3 <= n_lang THEN 'head'
+            WHEN rnk * 3 <= 2 * n_lang THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM r
+"""
+
+
 # ln-value scale for the Zipf least-squares terms: 1e4 keeps every
 # per-term product and their corpus-wide bigint sums far from
 # overflow even at 1e8 vocabulary types (ln(1e8)*1e4 ~ 1.8e5;
@@ -2697,3 +2762,11 @@ SELECT CAST(row_number() OVER (ORDER BY ord_key, doc_id) AS BIGINT) AS pos,
             % {N_ORDER_SHARDS} AS INT) AS shard
 FROM d
 """
+
+
+# resolved here because TRIGRAM_LOGLOSS_SQL is defined below the
+# perplexity_buckets section (the oracle nests the standalone twins —
+# the curation_pipeline no-drift pattern)
+PERPLEXITY_BUCKETS_SQL = PERPLEXITY_BUCKETS_SQL.format(
+    TRIGRAM=TRIGRAM_LOGLOSS_SQL, LANG=LANG_ID_SQL
+)

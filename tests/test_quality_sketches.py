@@ -1108,3 +1108,51 @@ def test_zipf_fit_python_replay(spark, tmp_path):
     assert r.slope == round(cov / varx, 4)
     assert r.intercept == round((y - (cov / varx) * x) / n, 4)
     assert r.r2 == round((cov * cov) / (varx * vary), 4)
+
+
+def test_perplexity_buckets_hand_checked(spark, tmp_path):
+    """Constructed corpus: 6 English docs with strictly ordered
+    loglosses -> exactly 2 head / 2 middle / 2 tail in logloss order;
+    coherence with the standalone trigram_logloss pinned doc-by-doc."""
+    import pandas as pd
+
+    from pdftotext_spark.operators import textstats
+
+    # distinct repeated-phrase rates give strictly different loglosses
+    texts = {
+        1: "the cat sat the cat sat the cat sat the cat sat",
+        2: "the cat sat the cat sat the cat sat on a mat",
+        3: "the cat sat on a mat and the dog ran away",
+        4: "a dog ran far away from the old stone house",
+        5: "quick zebras vault the mossy fjords while gnomes watch",
+        6: "jagged quartz vexing the nymphs blow zephyr dust everywhere",
+    }
+    docs = pd.DataFrame(
+        {
+            "doc_id": list(texts),
+            "text": list(texts.values()),
+            "lang": ["en"] * 6,
+            "source": ["s"] * 6,
+            "n_chars": [len(t) for t in texts.values()],
+        }
+    )
+    spark.createDataFrame(docs).write.mode("overwrite").parquet(
+        f"{tmp_path}/documents.parquet"
+    )
+    rows = {
+        r.doc_id: r
+        for r in textstats.perplexity_buckets(spark, str(tmp_path)).collect()
+    }
+    assert len(rows) == 6
+    ll = {
+        r.doc_id: r.logloss_bits
+        for r in textstats.trigram_logloss(spark, str(tmp_path)).collect()
+    }
+    for d, r in rows.items():
+        assert r.logloss_bits == ll[d]
+    order = sorted(rows, key=lambda d: (rows[d].logloss_bits, d))
+    # single language -> thirds over the full set
+    assert {r.pred_lang for r in rows.values()} == {"en"}
+    assert [rows[d].bucket for d in order] == [
+        "head", "head", "middle", "middle", "tail", "tail",
+    ]
