@@ -45,7 +45,8 @@ def write_benchmark_shingles(bench_docs: DataFrame, out_dir: str) -> None:
     )
 
 
-def curation_filter_batch(output_dir: str, bench_dir: str):
+def curation_filter_batch(output_dir: str, bench_dir: str,
+                          panels: bool = False):
     """``foreachBatch`` body for the streaming curation gate.
 
     Per micro-batch: apply the quality windows, score each surviving
@@ -53,7 +54,15 @@ def curation_filter_batch(output_dir: str, bench_dir: str):
     shingle set, drop turns above the threshold, and write survivors
     into a per-``batch_id`` partition (overwrite ⇒ an at-least-once
     replay replaces, never double-appends — the streaming-store
-    idempotence rule)."""
+    idempotence rule).
+
+    ``panels=True`` additionally requires the full per-document
+    quality panels (Gopher quality + Gopher repetition + C4 — the
+    batch :func:`pdftotext_spark.operators.curation.quality_vote`
+    unanimous rule; all three are per-turn stateless, so they stream
+    without a store). Turns are keyed for the panel joins by the
+    deterministic ``xxhash64(conv_id, turn_idx)`` — replay-stable,
+    unlike monotonically_increasing_id."""
     from pdftotext_spark.operators import textstats
     from pdftotext_spark.operators.dedup import (
         CONTAMINATION_THRESHOLD,
@@ -65,9 +74,29 @@ def curation_filter_batch(output_dir: str, bench_dir: str):
         if batch.isEmpty():
             return
         keys = ["conv_id", "turn_idx"]
-        q = batch.filter(
-            textstats.qf_keep_predicate()
-        ).localCheckpoint()  # consumed by the shingle probe AND the anti-join
+        q = batch.filter(textstats.qf_keep_predicate())
+        if panels:
+            hid = F.xxhash64(*keys)
+            keyed = q.select(hid.alias("doc_id"), "text")
+            panel_keep = None
+            for fn in (
+                textstats.gopher_quality_for,
+                textstats.gopher_repetition_for,
+                textstats.c4_quality_for,
+            ):
+                flags = fn(keyed).select("doc_id", "keep")
+                ok = flags.filter(F.col("keep")).select("doc_id")
+                panel_keep = (
+                    ok
+                    if panel_keep is None
+                    else panel_keep.join(ok, "doc_id", "left_semi")
+                )
+            q = q.withColumn("_hid", hid).join(
+                panel_keep.withColumnRenamed("doc_id", "_hid"),
+                "_hid",
+                "left_semi",
+            ).drop("_hid")
+        q = q.localCheckpoint()  # consumed by the shingle probe AND the anti-join
         # no broadcast hint: the benchmark set refreshes out-of-band
         # and can outgrow broadcastable size — AQE broadcasts it while
         # small and degrades to a shuffle join when not (review r5).
@@ -99,6 +128,7 @@ def run_curation_stream(
     output_dir: str,
     checkpoint_dir: str,
     bench_dir: str,
+    panels: bool = False,
 ) -> None:
     """Drain available input through the curation gate
     (Trigger.AvailableNow). Same batch_id-keyed idempotence and
@@ -107,7 +137,9 @@ def run_curation_stream(
 
     q = (
         read_transcript_stream(spark, input_dir)
-        .writeStream.foreachBatch(curation_filter_batch(output_dir, bench_dir))
+        .writeStream.foreachBatch(
+            curation_filter_batch(output_dir, bench_dir, panels=panels)
+        )
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()

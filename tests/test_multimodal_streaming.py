@@ -577,3 +577,106 @@ def test_streaming_curation_gate(spark, tmp_path):
     run_curation_stream(spark, str(src), out, ckpt, bench_dir)
     got2 = {(r.conv_id, r.turn_idx) for r in spark.read.parquet(out).collect()}
     assert got2 == {("c1", 0), ("c3", 0)}
+
+
+def test_streaming_curation_gate_with_panels(spark, tmp_path):
+    """panels=True: streaming survivors equal the batch intersection
+    of the shallow gate, the three per-document quality panels
+    (quality_vote's unanimous rule), and decontamination — computed
+    independently with the batch operators on the same rows."""
+    import pandas as pd
+
+    from pdftotext_spark.operators import textstats
+    from pdftotext_spark.streaming.curation import (
+        run_curation_stream,
+        write_benchmark_shingles,
+    )
+
+    # the benchmark passage is itself panel-passing (>= 50 varied
+    # words, 5 terminal sentences) so the contaminated copy below is
+    # dropped by decontamination ALONE, not by a panel side-effect
+    bench_text = (
+        "astronomers gathered on the high plateau to study the comet as "
+        "it crossed the southern sky. their instruments recorded faint "
+        "traces of dust streaming behind the bright nucleus. observations "
+        "continued through the cold night until clouds finally covered "
+        "the horizon. the team compared new measurements with records "
+        "from earlier decades. that work later shaped several papers "
+        "about orbital drift and solar wind."
+    )
+    bench_docs = spark.createDataFrame(
+        [(1, bench_text, "src0")], "doc_id long, text string, source string"
+    )
+    bench_dir = str(tmp_path / "bench_sh")
+    write_benchmark_shingles(bench_docs, bench_dir)
+
+    def rows(conv, idx, text):
+        return pd.DataFrame(
+            {
+                "conv_id": [conv],
+                "turn_idx": pd.array([idx], dtype="int32"),
+                "role": ["user"],
+                "text": [text],
+                "tool": ["plain"],
+                "ts": pd.to_datetime(["2026-01-01"], utc=True).as_unit("us"),
+            }
+        )
+
+    # panel-passing: 5 sentences, >= 50 varied words, mean word len
+    # 3-10, stopword hits, no dominant repeated n-gram
+    clean = (
+        "the quick brown fox jumps over the lazy dog while morning "
+        "light settles across the quiet valley. farmers walk along "
+        "narrow paths carrying baskets of ripe fruit toward the village "
+        "market. children laugh near the old stone bridge and watch "
+        "silver fish turn beneath clear water. a gentle wind moves "
+        "through tall grass and carries distant smells of rain. "
+        "everyone agrees that autumn arrived early this year."
+    )
+    texts = {
+        ("c1", 0): clean,                               # passes everything
+        # contaminated: a near-verbatim copy of the benchmark passage
+        # (panel-passing, so ONLY decontamination can drop it)
+        ("c1", 1): bench_text + " a small appended remark closes it.",
+        ("c2", 0): "x y",                               # fails shallow gate
+        # repetition-only reject: clean's 5 sentences keep C4/Gopher
+        # green while the spam run blows the top-2-gram char fraction
+        ("c3", 0): "spam spam " * 25 + clean,
+        ("c4", 0): clean + " {",                        # C4 curly brace
+    }
+    b = pd.concat([rows(c, i, t) for (c, i), t in texts.items()])
+    src = tmp_path / "src"
+    src.mkdir()
+    b.to_parquet(src / "batch1.parquet")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    run_curation_stream(spark, str(src), out, ckpt, bench_dir, panels=True)
+    got = {(r.conv_id, r.turn_idx) for r in spark.read.parquet(out).collect()}
+
+    # batch twin on the same rows
+    docs = spark.createDataFrame(
+        [(i, t) for i, ((_, _), t) in enumerate(texts.items())],
+        "doc_id long, text string",
+    )
+    keymap = {i: k for i, (k, _) in enumerate(texts.items())}
+    shallow = {
+        r.doc_id
+        for r in docs.filter(textstats.qf_keep_predicate()).collect()
+    }
+    keeps = [shallow]
+    for fn in (
+        textstats.gopher_quality_for,
+        textstats.gopher_repetition_for,
+        textstats.c4_quality_for,
+    ):
+        keeps.append({r.doc_id for r in fn(docs).collect() if r.keep})
+    batch_keep = set.intersection(*keeps)
+    # c1#1 is contamination-dropped on top of the panel verdicts
+    batch_keys = {keymap[d] for d in batch_keep}
+    assert got == batch_keys - {("c1", 1)}
+    # the contaminated turn PASSED every panel (else decontamination
+    # was never the deciding rule) and was still dropped
+    assert ("c1", 1) in batch_keys and ("c1", 1) not in got
+    assert ("c1", 0) in got
+    # each engineered rejection actually rejected
+    assert ("c2", 0) not in got and ("c3", 0) not in got
+    assert ("c4", 0) not in got
