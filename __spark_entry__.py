@@ -83,6 +83,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontamination_report": dedup.decontamination_report,  # per-source rollup
     "source_overlap_matrix": dedup.source_overlap_matrix,  # mix audit matrix
     "curation_pipeline": curation.curation_pipeline,  # composed detect->apply chain
+    "curation_pipeline_panels": curation.curation_pipeline_panels,  # + 5-panel unanimous gate
     "incremental_pipeline": curation.incremental_pipeline,  # per-increment admission gate
     "quality_vote": curation.quality_vote,            # 4-policy quality panel vote
     "duplicated_span_fraction": dedup.duplicated_span_fraction,  # ExactSubstr metric
@@ -133,6 +134,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gopher_quality": textstats.gopher_quality,  # full Gopher rule panel
     "gopher_repetition": textstats.gopher_repetition,  # Gopher Table-A1 repetition panel
     "c4_quality": textstats.c4_quality,                # C4 line/page cleaning panel
+    "fineweb_quality": textstats.fineweb_quality,      # FineWeb line-shape panel
+    "encoding_quality": textstats.encoding_quality,    # mojibake/control panel
+    "text_normalize": textstats.text_normalize,        # unicode canonicalizer
+    "strip_repeated_lines": textstats.strip_repeated_lines,  # in-doc line dedup
     "token_count_by_source": textstats.token_count_by_source,
     "doc_length_profile": textstats.doc_length_profile,
     # frequency sketches (constant-key-space vocabulary accounting)
@@ -227,6 +232,10 @@ _ORACLES: dict[str, str] = {
     "gopher_quality": textstats.GOPHER_QUALITY_SQL,
     "gopher_repetition": textstats.GOPHER_REPETITION_SQL,
     "c4_quality": textstats.C4_QUALITY_SQL,
+    "fineweb_quality": textstats.FINEWEB_QUALITY_SQL,
+    "encoding_quality": textstats.ENCODING_QUALITY_SQL,
+    "text_normalize": textstats.TEXT_NORMALIZE_SQL,
+    "strip_repeated_lines": textstats.STRIP_REPEATED_LINES_SQL,
     "token_count_by_source": textstats.TOKEN_COUNT_BY_SOURCE_SQL,
     "doc_length_profile": textstats.DOC_LENGTH_PROFILE_SQL,
     "token_cms": sketches.TOKEN_CMS_SQL,
@@ -262,6 +271,7 @@ _ORACLES: dict[str, str] = {
     "decontamination_report": dedup.DECONTAMINATION_REPORT_SQL,
     "source_overlap_matrix": dedup.SOURCE_OVERLAP_MATRIX_SQL,
     "curation_pipeline": curation.CURATION_PIPELINE_SQL,
+    "curation_pipeline_panels": curation.CURATION_PIPELINE_PANELS_SQL,
     "incremental_pipeline": curation.INCREMENTAL_PIPELINE_SQL,
     "quality_vote": curation.QUALITY_VOTE_SQL,
     "paragraph_dedup": dedup.PARAGRAPH_DEDUP_SQL,
@@ -309,6 +319,11 @@ _DRIVER_GATE_FIRST = [
     "gopher_quality",
     "gopher_repetition",
     "c4_quality",
+    "fineweb_quality",
+    "encoding_quality",
+    "text_normalize",
+    "strip_repeated_lines",
+    "curation_pipeline_panels",
     "quality_vote",
     "trigram_logloss",
     "zipf_fit",
@@ -318,13 +333,16 @@ _DRIVER_GATE_FIRST = [
     "top_duplicated_spans",
     "dedup_incremental_srp",
     "incremental_pipeline",
-    "containment_capture",
-    "search_offsets",
-    "regex_normalize",
-    "topn_per_key",
+    # containment_capture / search_offsets / regex_normalize /
+    # topn_per_key (r4-green, untouched, heavily test-covered
+    # extraction-relational queries) cycle to r7 to make room for the
+    # four queries NEW in the third r6 session (fineweb_quality,
+    # encoding_quality, text_normalize, strip_repeated_lines) under
+    # the 50-row cap
     "fragment_sort_topk",
     "parts_by_brand",
-    "vocab_richness",
+    # vocab_richness (r4-green, untouched) cycles to r7 for
+    # curation_pipeline_panels (new)
     "pricing_summary",
     "segment_revenue",
     "asof_join_events",

@@ -104,6 +104,36 @@ WHERE d.source <> 'src0'
 """
 
 
+def curation_pipeline_panels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:func:`curation_pipeline` with the five-policy
+    :func:`quality_vote` MAJORITY rule (>= 3 of 5 panels) in place of
+    the shallow gate alone.  Composes as set intersection with the
+    base pipeline, so survivors are exactly
+    ``curation_pipeline ∩ quality_vote.keep_majority`` — pinned by
+    test on a corpus where the panels and the shallow gate disagree.
+
+    Rule choice (documented): the registered composition votes by
+    MAJORITY because this corpus contract carries no terminal
+    punctuation, making the unanimous rule degenerate here (C4 and
+    FineWeb reject every document — an all-empty result would make
+    the oracle gate trivially green); the UNANIMOUS composition is
+    exercised where its inputs are real prose — the streaming panels
+    gate (``streaming/curation.py`` ``panels=True``) and the
+    constructed-input tests.
+
+    100 TB shape: the base pipeline plan plus four additional narrow
+    panel scans (only gopher_repetition shuffles), intersected on a
+    slim doc_id key that AQE broadcasts."""
+    vote_keep = (
+        quality_vote(spark, sf_dir)
+        .filter(F.col("keep_majority"))
+        .select("doc_id")
+    )
+    return curation_pipeline(spark, sf_dir).join(
+        vote_keep, "doc_id", "left_semi"
+    )
+
+
 def incremental_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-increment admission gate: the composed policy a production
     pipeline runs on EACH new crawl batch before it joins the corpus —
@@ -171,13 +201,14 @@ WHERE d.source >= '{dedup.INCREMENTAL_SPLIT}'
 
 
 def quality_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document verdicts from ALL four quality policies side by
+    """Per-document verdicts from ALL five quality policies side by
     side — the shallow word-count/word-length gate, the Gopher quality
-    panel, the Gopher repetition panel, and the C4 cleaning panel —
-    plus the vote count and the two standard compositions (unanimous
-    ``keep_all``, ``keep_majority`` >= 3 of 4).  A curation run tunes
-    policies by DISAGREEMENT (docs one panel rejects and the others
-    keep), which a single composed boolean cannot show.
+    panel, the Gopher repetition panel, the C4 cleaning panel, and the
+    FineWeb line-shape panel — plus the vote count and the two
+    standard compositions (unanimous ``keep_all``, ``keep_majority``
+    >= 3 of 5).  A curation run tunes policies by DISAGREEMENT (docs
+    one panel rejects and the others keep), which a single composed
+    boolean cannot show.
 
     100 TB shape: each panel is its own corpus scan (the panels'
     plans are individually audited; gopher_repetition is the only one
@@ -197,8 +228,11 @@ def quality_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     c4 = textstats.c4_quality(spark, sf_dir).select(
         "doc_id", F.col("keep").alias("keep_c4")
     )
+    fw = textstats.fineweb_quality(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("keep_fineweb")
+    )
     flags = ["keep_shallow", "keep_gopher_quality",
-             "keep_gopher_repetition", "keep_c4"]
+             "keep_gopher_repetition", "keep_c4", "keep_fineweb"]
     votes = sum(
         (F.col(f).cast("int") for f in flags), F.lit(0)
     ).cast("long")
@@ -206,6 +240,7 @@ def quality_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
         shallow.join(gq, "doc_id")
         .join(gr, "doc_id")
         .join(c4, "doc_id")
+        .join(fw, "doc_id")
         .select(
             "doc_id",
             *flags,
@@ -222,6 +257,7 @@ QUALITY_VOTE_SQL = f"""
 WITH gq AS (SELECT doc_id, keep FROM ({textstats.GOPHER_QUALITY_SQL})),
 gr AS (SELECT doc_id, keep FROM ({textstats.GOPHER_REPETITION_SQL})),
 c4 AS (SELECT doc_id, keep FROM ({textstats.C4_QUALITY_SQL})),
+fw AS (SELECT doc_id, keep FROM ({textstats.FINEWEB_QUALITY_SQL})),
 shallow AS (
   SELECT CAST(doc_id AS BIGINT) AS doc_id,
          {textstats._QF_KEEP_SQL} AS keep_shallow
@@ -232,15 +268,27 @@ v AS (
          gq.keep AS keep_gopher_quality,
          gr.keep AS keep_gopher_repetition,
          c4.keep AS keep_c4,
+         fw.keep AS keep_fineweb,
          CAST(CAST(s.keep_shallow AS INT) + CAST(gq.keep AS INT)
-              + CAST(gr.keep AS INT) + CAST(c4.keep AS INT) AS BIGINT)
+              + CAST(gr.keep AS INT) + CAST(c4.keep AS INT)
+              + CAST(fw.keep AS INT) AS BIGINT)
            AS n_keep_votes
   FROM shallow s
   JOIN gq USING (doc_id) JOIN gr USING (doc_id) JOIN c4 USING (doc_id)
+  JOIN fw USING (doc_id)
 )
 SELECT doc_id, keep_shallow, keep_gopher_quality, keep_gopher_repetition,
-       keep_c4, n_keep_votes,
-       (n_keep_votes = 4) AS keep_all,
+       keep_c4, keep_fineweb, n_keep_votes,
+       (n_keep_votes = 5) AS keep_all,
        (n_keep_votes >= 3) AS keep_majority
 FROM v
+"""
+
+
+# nests BOTH composed oracles so neither the pipeline policy nor the
+# vote policy can drift from its standalone twin
+CURATION_PIPELINE_PANELS_SQL = f"""
+SELECT * FROM ({CURATION_PIPELINE_SQL})
+WHERE doc_id IN
+  (SELECT doc_id FROM ({QUALITY_VOTE_SQL}) WHERE keep_majority)
 """

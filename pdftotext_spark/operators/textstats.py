@@ -414,19 +414,30 @@ FROM f
 
 
 # C4 cleaning rules (Raffel et al. 2020 §2.2 — public): retain lines
-# ending in terminal punctuation with >= 3 words and no "javascript";
-# drop pages with < 5 sentences, a "lorem ipsum" phrase, or a curly
-# brace. (The paper's badword-list page rule is a wordlist parameter
-# deliberately not shipped — no public canonical list is bundled.)
+# ending in terminal punctuation with >= 3 words, no "javascript",
+# and no boilerplate policy phrase; drop pages with < 5 sentences, a
+# "lorem ipsum" phrase, or a curly brace. (The paper's badword-list
+# page rule is a wordlist parameter deliberately not shipped — no
+# public canonical list is bundled.)
 C4_MIN_WORDS_PER_LINE = 3
 C4_MIN_SENTENCES = 5
 C4_TERMINALS = (".", "!", "?", '"')
+# the paper's published cookie/ToS boilerplate line list, verbatim
+C4_POLICY_SUBSTRINGS = (
+    "terms of use",
+    "privacy policy",
+    "cookie policy",
+    "uses cookies",
+    "use of cookies",
+    "use cookies",
+)
 
 
 def c4_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The C4 cleaning panel per document: line-level retention
-    (terminal punctuation + >= 3 words + no "javascript",
-    case-insensitive) with the CLEANED text emitted, page-level flags
+    (terminal punctuation + >= 3 words + no "javascript" + no
+    cookie/terms-of-service policy phrase, all case-insensitive)
+    with the CLEANED text emitted, page-level flags
     (``has_lorem_ipsum``, ``has_curly_brace``), a deterministic
     sentence count, and the composed ``keep``.  Definitional choice
     (documented): ``n_sentences`` counts terminal marks ('.', '!',
@@ -444,12 +455,16 @@ def c4_quality_for(docs: DataFrame) -> DataFrame:
     """Core of :func:`c4_quality` over an arbitrary ``(doc_id, text)``
     frame (constructed-input test surface)."""
     terms = ", ".join(f"'{t}'" for t in C4_TERMINALS)
+    policy = " OR ".join(
+        f"contains(lower(x), '{p}')" for p in C4_POLICY_SUBSTRINGS
+    )
     kept = (
         "filter(split(text, chr(10)), x -> "
         f"right(rtrim(x), 1) IN ({terms}) "
         "AND size(filter(split(x, ' '), w -> w <> '')) >= "
         f"{C4_MIN_WORDS_PER_LINE} "
-        "AND NOT contains(lower(x), 'javascript'))"
+        "AND NOT contains(lower(x), 'javascript') "
+        f"AND NOT ({policy}))"
     )
     base = docs.select(
         F.col("doc_id").cast("long").alias("doc_id"),
@@ -488,7 +503,11 @@ _C4_KEPT_SQL = (
     + ", ".join(f"'{t}'" for t in C4_TERMINALS)
     + f") AND len(list_filter(string_split(x, ' '), w -> w <> '')) >= "
     f"{C4_MIN_WORDS_PER_LINE} "
-    "AND NOT contains(lower(x), 'javascript'))"
+    "AND NOT contains(lower(x), 'javascript') AND NOT ("
+    + " OR ".join(
+        f"contains(lower(x), '{p}')" for p in C4_POLICY_SUBSTRINGS
+    )
+    + "))"
 )
 
 C4_QUALITY_SQL = f"""
@@ -516,6 +535,182 @@ SELECT doc_id, n_lines, n_kept_lines,
         AND NOT has_lorem_ipsum AND NOT has_curly_brace) AS keep,
        cleaned_text
 FROM m
+"""
+
+
+# FineWeb line-shape rules (Penedo et al. 2024 §3.5 / the datatrove
+# FineWebQualityFilter defaults — public). Definitional conventions
+# (documented, shared verbatim by both engines): "lines" are the
+# newline-split segments that are non-empty after trim, with their
+# ORIGINAL content (no trimming) used for the end-char / length /
+# duplicate tests; words are space tokens after newline-to-space
+# normalization (the upstream uses a language tokenizer — a
+# corpus-contract deviation like lang_id's);
+# boundary compares are strict on the keep side (keep iff punct
+# ratio > 0.12, every other fraction < its cap).
+FINEWEB_TERMINALS = (".", "'", '"', "!", "?")
+FINEWEB_MIN_LINE_PUNCT_RATIO = 0.12
+FINEWEB_SHORT_LINE_LEN = 30
+FINEWEB_MAX_SHORT_LINE_FRAC = 0.67
+FINEWEB_MAX_CHAR_DUP_FRAC = 0.01
+FINEWEB_MAX_NEWLINE_WORD_RATIO = 0.3
+
+
+def fineweb_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FineWeb custom quality panel per document — the three
+    line-shape heuristics Penedo et al. added on top of Gopher/C4
+    plus the newline-to-word list-detector, each an observable flag:
+    fraction of lines ending in terminal punctuation (> 0.12 to
+    keep), fraction of lines <= 30 chars (< 0.67), fraction of
+    characters in duplicated lines (< 0.01, over newline-free text),
+    and newline count per word (< 0.3).  A document with no
+    non-empty line fails (the upstream's "empty" drop).
+
+    100 TB shape: zero-shuffle narrow map — every signal is an array
+    expression over one line split inside a single WholeStageCodegen
+    scan, exactly like gopher_quality/c4_quality."""
+    return fineweb_quality_for(_read(spark, sf_dir, "documents"))
+
+
+def fineweb_quality_for(docs: DataFrame) -> DataFrame:
+    """Core of :func:`fineweb_quality` over an arbitrary
+    ``(doc_id, text)`` frame (constructed-input test surface)."""
+    terms = ", ".join(
+        f"'{t.replace(chr(39), chr(39) * 2)}'" for t in FINEWEB_TERMINALS
+    )
+    base = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.expr("filter(split(text, chr(10)), x -> trim(x) <> '')").alias(
+            "lines"
+        ),
+        (F.size(F.expr("split(text, chr(10))")) - 1)
+        .cast("long")
+        .alias("n_newlines"),
+        F.size(
+            F.expr(
+                "filter(split(replace(text, chr(10), ' '), ' '), "
+                "w -> w <> '')"
+            )
+        )
+        .cast("long")
+        .alias("n_words"),
+        F.length(F.replace(F.col("text"), F.lit("\n"), F.lit("")))
+        .cast("long")
+        .alias("nchars"),
+    )
+    m = base.select(
+        "doc_id",
+        "n_newlines",
+        "n_words",
+        "nchars",
+        F.size("lines").cast("long").alias("n_lines"),
+        F.size(F.expr(f"filter(lines, x -> right(x, 1) IN ({terms}))"))
+        .cast("long")
+        .alias("n_punct_lines"),
+        F.size(
+            F.expr(f"filter(lines, x -> length(x) <= {FINEWEB_SHORT_LINE_LEN})")
+        )
+        .cast("long")
+        .alias("n_short_lines"),
+        F.expr(
+            "aggregate(array_distinct(lines), 0L, (acc, d) -> acc + "
+            "(size(filter(lines, x -> x = d)) - 1) * length(d))"
+        ).alias("dup_line_chars"),
+    )
+    nz = F.col("n_lines") > 0
+    nl = F.greatest(F.col("n_lines"), F.lit(1))
+    punct = F.col("n_punct_lines") / nl
+    short = F.col("n_short_lines") / nl
+    chardup = F.col("dup_line_chars") / F.greatest(F.col("nchars"), F.lit(1))
+    listr = F.col("n_newlines") / F.greatest(F.col("n_words"), F.lit(1))
+    ok_punct = nz & (punct > FINEWEB_MIN_LINE_PUNCT_RATIO)
+    ok_short = nz & (short < FINEWEB_MAX_SHORT_LINE_FRAC)
+    ok_chardup = nz & (chardup < FINEWEB_MAX_CHAR_DUP_FRAC)
+    ok_list = nz & (listr < FINEWEB_MAX_NEWLINE_WORD_RATIO)
+    zero = F.lit(0.0)
+    return m.select(
+        "doc_id",
+        "n_lines",
+        F.round(F.when(nz, punct).otherwise(zero), 4).alias(
+            "line_punct_ratio"
+        ),
+        F.round(F.when(nz, short).otherwise(zero), 4).alias(
+            "short_line_frac"
+        ),
+        F.round(F.when(nz, chardup).otherwise(zero), 4).alias(
+            "char_dup_frac"
+        ),
+        F.round(F.when(nz, listr).otherwise(zero), 4).alias(
+            "newline_word_ratio"
+        ),
+        ok_punct.alias("ok_line_punct"),
+        ok_short.alias("ok_short_lines"),
+        ok_chardup.alias("ok_char_dup"),
+        ok_list.alias("ok_list_ratio"),
+        (ok_punct & ok_short & ok_chardup & ok_list).alias("keep"),
+    )
+
+
+_FW_LINES_SQL = (
+    "list_filter(string_split(text, chr(10)), x -> trim(x) <> '')"
+)
+_FW_TERMS_SQL = ", ".join(
+    f"'{t.replace(chr(39), chr(39) * 2)}'" for t in FINEWEB_TERMINALS
+)
+
+FINEWEB_QUALITY_SQL = f"""
+WITH base AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         {_FW_LINES_SQL} AS lines,
+         CAST(len(string_split(text, chr(10))) - 1 AS BIGINT) AS n_newlines,
+         CAST(len(list_filter(string_split(replace(text, chr(10), ' '), ' '),
+              w -> w <> '')) AS BIGINT) AS n_words,
+         CAST(length(replace(text, chr(10), '')) AS BIGINT) AS nchars
+  FROM documents
+),
+m AS (
+  SELECT doc_id, n_newlines, n_words, nchars,
+         CAST(len(lines) AS BIGINT) AS n_lines,
+         CAST(len(list_filter(lines, x -> right(x, 1) IN ({_FW_TERMS_SQL})))
+              AS BIGINT) AS n_punct_lines,
+         CAST(len(list_filter(lines,
+              x -> length(x) <= {FINEWEB_SHORT_LINE_LEN})) AS BIGINT)
+           AS n_short_lines,
+         COALESCE(list_sum(list_transform(list_distinct(lines),
+           d -> (len(list_filter(lines, x -> x = d)) - 1) * length(d))), 0)
+           AS dup_line_chars
+  FROM base
+),
+f AS (
+  SELECT doc_id, n_lines,
+         n_punct_lines * 1.0 / greatest(n_lines, 1) AS punct,
+         n_short_lines * 1.0 / greatest(n_lines, 1) AS short,
+         dup_line_chars * 1.0 / greatest(nchars, 1) AS chardup,
+         n_newlines * 1.0 / greatest(n_words, 1) AS listr
+  FROM m
+)
+SELECT doc_id, n_lines,
+       ROUND(CASE WHEN n_lines > 0 THEN punct ELSE 0.0 END, 4)
+         AS line_punct_ratio,
+       ROUND(CASE WHEN n_lines > 0 THEN short ELSE 0.0 END, 4)
+         AS short_line_frac,
+       ROUND(CASE WHEN n_lines > 0 THEN chardup ELSE 0.0 END, 4)
+         AS char_dup_frac,
+       ROUND(CASE WHEN n_lines > 0 THEN listr ELSE 0.0 END, 4)
+         AS newline_word_ratio,
+       (n_lines > 0 AND punct > {FINEWEB_MIN_LINE_PUNCT_RATIO})
+         AS ok_line_punct,
+       (n_lines > 0 AND short < {FINEWEB_MAX_SHORT_LINE_FRAC})
+         AS ok_short_lines,
+       (n_lines > 0 AND chardup < {FINEWEB_MAX_CHAR_DUP_FRAC})
+         AS ok_char_dup,
+       (n_lines > 0 AND listr < {FINEWEB_MAX_NEWLINE_WORD_RATIO})
+         AS ok_list_ratio,
+       (n_lines > 0 AND punct > {FINEWEB_MIN_LINE_PUNCT_RATIO}
+        AND short < {FINEWEB_MAX_SHORT_LINE_FRAC}
+        AND chardup < {FINEWEB_MAX_CHAR_DUP_FRAC}
+        AND listr < {FINEWEB_MAX_NEWLINE_WORD_RATIO}) AS keep
+FROM f
 """
 
 
@@ -751,6 +946,10 @@ GOPHER_REP_TOP = {2: 0.20, 3: 0.18, 4: 0.16}
 GOPHER_REP_DUP = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10}
 GOPHER_MAX_DUP_LINE_FRAC = 0.30
 GOPHER_MAX_DUP_LINE_CHAR_FRAC = 0.20
+# Table A1's paragraph twin of the line rules (paragraphs = blank-
+# line-separated blocks, the web-text convention)
+GOPHER_MAX_DUP_PARA_FRAC = 0.30
+GOPHER_MAX_DUP_PARA_CHAR_FRAC = 0.20
 
 
 def gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -768,10 +967,11 @@ def gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     score 0 on a repetition panel); the duplicate-n-gram statistic counts every
     occurrence beyond the first (the ``find_duplicates`` convention),
     not the greedy non-overlapping skip; n-grams are space-joined and
-    the denominator is ``length(text)``.  Paragraph rules share the
-    line mechanism with a '\\n\\n' segmenter — not emitted because the
-    corpus contract here is single-block text.  Empty/short docs pass
-    (their word-count rejection belongs to gopher_quality).
+    the denominator is ``length(text)``.  Paragraph rules (Table A1's
+    duplicate-paragraph count/character fractions) share the line
+    mechanism with a '\\n\\n' blank-line segmenter — a single-block
+    document is one paragraph and trivially passes.  Empty/short docs
+    pass (their word-count rejection belongs to gopher_quality).
 
     100 TB shape: ONE posexplode-free explode emitting <= 9 n-gram
     rows per token position, then two hash aggregations with map-side
@@ -792,6 +992,7 @@ def gopher_repetition_for(docs: DataFrame) -> DataFrame:
         F.length("text").cast("long").alias("tchars"),
         F.expr("filter(split(lower(text), ' '), x -> x <> '')").alias("a"),
         F.expr("split(text, chr(10))").alias("lines"),
+        F.expr("split(text, chr(10) || chr(10))").alias("paras"),
     )
     # small-input spread: the 9x explode below multiplies rows before
     # any exchange, so a few-partition scan (one small parquet file)
@@ -839,7 +1040,7 @@ def gopher_repetition_for(docs: DataFrame) -> DataFrame:
             for k in GOPHER_REP_DUP
         ],
     )
-    # line rules: per-row lambdas bounded by line count (small)
+    # line/paragraph rules: per-row lambdas bounded by block count
     lineside = base.select(
         "doc_id",
         "tchars",
@@ -851,6 +1052,14 @@ def gopher_repetition_for(docs: DataFrame) -> DataFrame:
             "aggregate(array_distinct(lines), 0L, (acc, d) -> acc + "
             "(size(filter(lines, x -> x = d)) - 1) * length(d))"
         ).alias("dup_line_chars"),
+        F.size("paras").cast("long").alias("n_paras"),
+        (F.size("paras") - F.size(F.array_distinct("paras")))
+        .cast("long")
+        .alias("dup_para_cnt"),
+        F.expr(
+            "aggregate(array_distinct(paras), 0L, (acc, d) -> acc + "
+            "(size(filter(paras, x -> x = d)) - 1) * length(d))"
+        ).alias("dup_para_chars"),
     )
     m = lineside.join(sig, "doc_id", "left")
     tc = F.greatest(F.col("tchars"), F.lit(1))
@@ -862,6 +1071,11 @@ def gopher_repetition_for(docs: DataFrame) -> DataFrame:
     line_char_frac = F.col("dup_line_chars") / tc
     ok_lines = (line_frac <= GOPHER_MAX_DUP_LINE_FRAC) & (
         line_char_frac <= GOPHER_MAX_DUP_LINE_CHAR_FRAC
+    )
+    para_frac = F.col("dup_para_cnt") / F.col("n_paras")
+    para_char_frac = F.col("dup_para_chars") / tc
+    ok_paras = (para_frac <= GOPHER_MAX_DUP_PARA_FRAC) & (
+        para_char_frac <= GOPHER_MAX_DUP_PARA_CHAR_FRAC
     )
     ok_top = None
     for k, thr in GOPHER_REP_TOP.items():
@@ -875,6 +1089,8 @@ def gopher_repetition_for(docs: DataFrame) -> DataFrame:
         "doc_id",
         F.round(line_frac, 4).alias("dup_line_frac"),
         F.round(line_char_frac, 4).alias("dup_line_char_frac"),
+        F.round(para_frac, 4).alias("dup_para_frac"),
+        F.round(para_char_frac, 4).alias("dup_para_char_frac"),
         *[
             F.round(fr[f"t{k}"], 4).alias(f"top_{k}gram_char_frac")
             for k in GOPHER_REP_TOP
@@ -884,9 +1100,10 @@ def gopher_repetition_for(docs: DataFrame) -> DataFrame:
             for k in GOPHER_REP_DUP
         ],
         ok_lines.alias("ok_dup_lines"),
+        ok_paras.alias("ok_dup_paras"),
         ok_top.alias("ok_top_ngram"),
         ok_dup.alias("ok_dup_ngram"),
-        (ok_lines & ok_top & ok_dup).alias("keep"),
+        (ok_lines & ok_paras & ok_top & ok_dup).alias("keep"),
     )
 
 
@@ -897,7 +1114,8 @@ WITH base AS (
   SELECT CAST(doc_id AS BIGINT) AS doc_id,
          CAST(length(text) AS BIGINT) AS tchars,
          list_filter(string_split(lower(text), ' '), x -> x <> '') AS a,
-         string_split(text, chr(10)) AS lines
+         string_split(text, chr(10)) AS lines,
+         string_split(text, chr(10) || chr(10)) AS paras
   FROM documents
 ),
 gram_lists AS (
@@ -928,13 +1146,21 @@ lineside AS (
            AS dup_line_cnt,
          COALESCE(list_sum(list_transform(list_distinct(lines),
            d -> (len(list_filter(lines, x -> x = d)) - 1) * length(d))), 0)
-           AS dup_line_chars
+           AS dup_line_chars,
+         CAST(len(paras) AS BIGINT) AS n_paras,
+         CAST(len(paras) - len(list_distinct(paras)) AS BIGINT)
+           AS dup_para_cnt,
+         COALESCE(list_sum(list_transform(list_distinct(paras),
+           d -> (len(list_filter(paras, x -> x = d)) - 1) * length(d))), 0)
+           AS dup_para_chars
   FROM base
 ),
 f AS (
   SELECT l.doc_id,
          dup_line_cnt * 1.0 / n_lines AS line_frac,
          dup_line_chars * 1.0 / greatest(tchars, 1) AS line_char_frac,
+         dup_para_cnt * 1.0 / n_paras AS para_frac,
+         dup_para_chars * 1.0 / greatest(tchars, 1) AS para_char_frac,
          {', '.join(f"COALESCE(t{k}, 0) * 1.0 / greatest(tchars, 1) AS tf{k}" for k in GOPHER_REP_TOP)},
          {', '.join(f"COALESCE(d{k}, 0) * 1.0 / greatest(tchars, 1) AS df{k}" for k in GOPHER_REP_DUP)}
   FROM lineside l LEFT JOIN sig s ON l.doc_id = s.doc_id
@@ -942,14 +1168,20 @@ f AS (
 SELECT doc_id,
        ROUND(line_frac, 4) AS dup_line_frac,
        ROUND(line_char_frac, 4) AS dup_line_char_frac,
+       ROUND(para_frac, 4) AS dup_para_frac,
+       ROUND(para_char_frac, 4) AS dup_para_char_frac,
        {', '.join(f"ROUND(tf{k}, 4) AS top_{k}gram_char_frac" for k in GOPHER_REP_TOP)},
        {', '.join(f"ROUND(df{k}, 4) AS dup_{k}gram_char_frac" for k in GOPHER_REP_DUP)},
        (line_frac <= {GOPHER_MAX_DUP_LINE_FRAC}
         AND line_char_frac <= {GOPHER_MAX_DUP_LINE_CHAR_FRAC}) AS ok_dup_lines,
+       (para_frac <= {GOPHER_MAX_DUP_PARA_FRAC}
+        AND para_char_frac <= {GOPHER_MAX_DUP_PARA_CHAR_FRAC}) AS ok_dup_paras,
        ({' AND '.join(f"tf{k} <= {thr}" for k, thr in GOPHER_REP_TOP.items())}) AS ok_top_ngram,
        ({' AND '.join(f"df{k} <= {thr}" for k, thr in GOPHER_REP_DUP.items())}) AS ok_dup_ngram,
        ((line_frac <= {GOPHER_MAX_DUP_LINE_FRAC}
          AND line_char_frac <= {GOPHER_MAX_DUP_LINE_CHAR_FRAC})
+        AND (para_frac <= {GOPHER_MAX_DUP_PARA_FRAC}
+         AND para_char_frac <= {GOPHER_MAX_DUP_PARA_CHAR_FRAC})
         AND ({' AND '.join(f"tf{k} <= {thr}" for k, thr in GOPHER_REP_TOP.items())})
         AND ({' AND '.join(f"df{k} <= {thr}" for k, thr in GOPHER_REP_DUP.items())})) AS keep
 FROM f
@@ -958,6 +1190,227 @@ FROM f
 
 CHUNK_W = 32  # tokens per chunk
 CHUNK_S = 24  # stride (8-token overlap)
+
+
+# Encoding-anomaly heuristics (the public ftfy-style mojibake
+# signatures): the Unicode replacement character, UTF-8-decoded-as-
+# Latin-1 two-char markers, and C0/DEL control characters outside
+# tab/newline/CR. The marker list is a heuristic — a FLAG panel, not
+# a transformation; every marker is a plain substring count so both
+# engines share the arithmetic exactly.
+ENCODING_MOJIBAKE_MARKERS = (
+    "â€",  # 'â€' — the curly-quote/dash family signature
+    "Ã©",  # 'Ã©' (é), the most common doubled accent
+    "Ã¨",  # 'Ã¨' (è)
+    "Ã¤",  # 'Ã¤' (ä)
+    "Ã¶",  # 'Ã¶' (ö)
+    "Ã¼",  # 'Ã¼' (ü)
+    "Ã±",  # 'Ã±' (ñ)
+    "Ã§",  # 'Ã§' (ç)
+    "Â ",  # 'Â ' + nbsp — the double-encoded nbsp
+)
+ENCODING_MAX_ANOMALY_RATIO = 0.001
+_ENC_CTRL_RE = "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]"
+
+
+def encoding_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document encoding-health panel: counts of U+FFFD
+    replacement characters, classic UTF-8-as-Latin-1 mojibake marker
+    sequences, and stray C0/DEL control characters, plus their
+    combined per-character ratio and a ``keep`` verdict (ratio <=
+    0.001).  A corpus ingested through byte-lossy hops (bad charset
+    sniffing, double decoding) fails here before any language/quality
+    panel can make sense of it.
+
+    100 TB shape: zero-shuffle narrow map — substring counts are
+    length-difference arithmetic and the control-char count is one
+    regexp_replace, all inside a single WholeStageCodegen scan."""
+    return encoding_quality_for(_read(spark, sf_dir, "documents"))
+
+
+def encoding_quality_for(docs: DataFrame) -> DataFrame:
+    """Core of :func:`encoding_quality` over an arbitrary
+    ``(doc_id, text)`` frame (constructed-input test surface)."""
+    n_moji = sum(
+        (_count_occ(F.col("text"), m) for m in ENCODING_MOJIBAKE_MARKERS),
+        F.lit(0).cast("long"),
+    )
+    # Python-API regexp_replace: the pattern string reaches the JVM
+    # regex engine verbatim (no SQL-literal escape processing)
+    n_ctrl = (
+        F.length("text")
+        - F.length(F.regexp_replace(F.col("text"), _ENC_CTRL_RE, ""))
+    ).cast("long")
+    m = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.length("text").cast("long").alias("n_chars"),
+        _count_occ(F.col("text"), "�").alias("n_replacement"),
+        n_moji.alias("n_mojibake"),
+        n_ctrl.alias("n_control"),
+    )
+    bad = F.col("n_replacement") + F.col("n_mojibake") + F.col("n_control")
+    ratio = bad / F.greatest(F.col("n_chars"), F.lit(1))
+    return m.select(
+        "doc_id",
+        "n_chars",
+        "n_replacement",
+        "n_mojibake",
+        "n_control",
+        F.round(ratio, 6).alias("anomaly_ratio"),
+        (ratio <= ENCODING_MAX_ANOMALY_RATIO).alias("keep"),
+    )
+
+
+_ENC_MOJI_SQL = " + ".join(
+    _count_occ_sql("text", m) for m in ENCODING_MOJIBAKE_MARKERS
+)
+
+ENCODING_QUALITY_SQL = f"""
+WITH m AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         {_count_occ_sql("text", chr(0xFFFD))} AS n_replacement,
+         CAST({_ENC_MOJI_SQL} AS BIGINT) AS n_mojibake,
+         CAST(length(text) - length(regexp_replace(text,
+              '{_ENC_CTRL_RE}', '', 'g')) AS BIGINT) AS n_control
+  FROM documents
+)
+SELECT doc_id, n_chars, n_replacement, n_mojibake, n_control,
+       ROUND((n_replacement + n_mojibake + n_control) * 1.0
+             / greatest(n_chars, 1), 6) AS anomaly_ratio,
+       ((n_replacement + n_mojibake + n_control) * 1.0
+        / greatest(n_chars, 1) <= {ENCODING_MAX_ANOMALY_RATIO}) AS keep
+FROM m
+"""
+
+
+# Canonical text normalization (the pre-tokenization cleanup pass a
+# training pipeline runs before counting anything): typographic
+# punctuation to ASCII, nbsp to space, zero-width/soft-hyphen/BOM
+# stripped, control chars stripped, space runs collapsed, ends
+# trimmed. The map is ordered and shared VERBATIM by both engines —
+# a transformation, so the oracle compares the cleaned text itself.
+TEXT_NORMALIZE_MAP = (
+    ("\u00a0", " "),  # no-break space
+    ("\u2018", "'"), ("\u2019", "'"), ("\u201a", "'"),  # curly singles
+    ("\u201c", '"'), ("\u201d", '"'), ("\u201e", '"'),  # curly doubles
+    ("\u2013", "-"), ("\u2014", "-"), ("\u2212", "-"),  # dashes/minus
+    ("\u2026", "..."),  # ellipsis
+    ("\u00ad", ""),  # soft hyphen
+    ("\ufeff", ""),  # BOM / zero-width no-break
+    ("\u200b", ""),  # zero-width space
+    ("\t", " "),  # tab to space (pre collapse)
+)
+
+
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document normalized text: the ordered
+    :data:`TEXT_NORMALIZE_MAP` substitutions, control-char strip,
+    space-run collapse, and whole-text trim — with before/after char
+    counts and a ``changed`` flag so a pipeline can measure how dirty
+    each source is.  Newlines are PRESERVED (line structure feeds the
+    line-shape panels); only horizontal whitespace collapses.
+
+    100 TB shape: zero-shuffle narrow map — a chain of replace /
+    regexp_replace expressions in one WholeStageCodegen scan, no
+    Python."""
+    return text_normalize_for(_read(spark, sf_dir, "documents"))
+
+
+def text_normalize_for(docs: DataFrame) -> DataFrame:
+    """Core of :func:`text_normalize` over an arbitrary
+    ``(doc_id, text)`` frame (constructed-input test surface)."""
+    t = F.col("text")
+    for src, dst in TEXT_NORMALIZE_MAP:
+        t = F.replace(t, F.lit(src), F.lit(dst))
+    t = F.regexp_replace(t, _ENC_CTRL_RE, "")
+    t = F.regexp_replace(t, " {2,}", " ")
+    # explicit trim set: space/newline/CR (tab already mapped to
+    # space above) — plain trim() strips spaces only in BOTH engines
+    t = F.btrim(t, F.lit(" \n\r"))
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.length("text").cast("long").alias("n_chars_before"),
+        F.length(t).cast("long").alias("n_chars_after"),
+        (t != F.col("text")).alias("changed"),
+        t.alias("text_norm"),
+    )
+
+
+def _text_normalize_sql_chain(expr: str) -> str:
+    for src, dst in TEXT_NORMALIZE_MAP:
+        s = src.replace("'", "''")
+        d = dst.replace("'", "''")
+        expr = f"replace({expr}, '{s}', '{d}')"
+    expr = f"regexp_replace({expr}, '{_ENC_CTRL_RE}', '', 'g')"
+    expr = f"regexp_replace({expr}, ' {{2,}}', ' ', 'g')"
+    return f"trim({expr}, ' ' || chr(10) || chr(13))"
+
+
+TEXT_NORMALIZE_SQL = f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars_before,
+       CAST(length({_text_normalize_sql_chain('text')}) AS BIGINT)
+         AS n_chars_after,
+       ({_text_normalize_sql_chain('text')} <> text) AS changed,
+       {_text_normalize_sql_chain('text')} AS text_norm
+FROM documents
+"""
+
+
+def strip_repeated_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document boilerplate removal: drop every verbatim
+    repeat of a non-blank line, keeping the FIRST occurrence (nav
+    bars, cookie banners, and footer blocks repeated by a template
+    engine inside one page). Blank lines always survive — they are
+    structure, not content, and legitimately repeat between
+    paragraphs. The cross-corpus twin of this operation is
+    ``paragraph_dedup`` (CCNet); this one needs no shuffle at all.
+
+    Definitional choice shared by both engines: first occurrence =
+    ``array_position(lines, x) == index`` (1-based), quadratic in a
+    document's LINE count only — the same bounded-width lambda class
+    as the panels' line rules.
+
+    100 TB shape: zero-shuffle narrow map over one line split."""
+    return strip_repeated_lines_for(_read(spark, sf_dir, "documents"))
+
+
+def strip_repeated_lines_for(docs: DataFrame) -> DataFrame:
+    """Core of :func:`strip_repeated_lines` over an arbitrary
+    ``(doc_id, text)`` frame (constructed-input test surface)."""
+    lines = F.expr("split(text, chr(10))")
+    kept = F.expr(
+        "filter(split(text, chr(10)), (x, j) -> trim(x) = '' "
+        "OR array_position(split(text, chr(10)), x) = j + 1)"
+    )
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.size(lines).cast("long").alias("n_lines"),
+        (F.size(lines) - F.size(kept)).cast("long").alias("n_removed"),
+        F.array_join(kept, "\n").alias("text_clean"),
+    )
+
+
+STRIP_REPEATED_LINES_SQL = """
+WITH base AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         string_split(text, chr(10)) AS lines
+  FROM documents
+),
+k AS (
+  SELECT doc_id, lines,
+         list_filter(lines, (x, j) -> trim(x) = ''
+           OR list_position(lines, x) = j) AS kept
+  FROM base
+)
+SELECT doc_id,
+       CAST(len(lines) AS BIGINT) AS n_lines,
+       CAST(len(lines) - len(kept) AS BIGINT) AS n_removed,
+       COALESCE(array_to_string(kept, chr(10)), '') AS text_clean
+FROM k
+"""
+
 
 
 def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -57,9 +57,10 @@ def curation_filter_batch(output_dir: str, bench_dir: str,
     idempotence rule).
 
     ``panels=True`` additionally requires the full per-document
-    quality panels (Gopher quality + Gopher repetition + C4 — the
-    batch :func:`pdftotext_spark.operators.curation.quality_vote`
-    unanimous rule; all three are per-turn stateless, so they stream
+    quality panels (Gopher quality + Gopher repetition + C4 +
+    FineWeb — the batch
+    :func:`pdftotext_spark.operators.curation.quality_vote`
+    unanimous rule; all four are per-turn stateless, so they stream
     without a store). Turns are keyed for the panel joins by the
     deterministic ``xxhash64(conv_id, turn_idx)`` — replay-stable,
     unlike monotonically_increasing_id."""
@@ -83,6 +84,7 @@ def curation_filter_batch(output_dir: str, bench_dir: str,
                 textstats.gopher_quality_for,
                 textstats.gopher_repetition_for,
                 textstats.c4_quality_for,
+                textstats.fineweb_quality_for,
             ):
                 flags = fn(keyed).select("doc_id", "keep")
                 ok = flags.filter(F.col("keep")).select("doc_id")

@@ -197,6 +197,34 @@ def test_duplicate_line_rules_hand_checked(spark):
     assert not r.ok_dup_lines and not r.keep
 
 
+def test_duplicate_paragraph_rule_fires_where_line_rule_cannot(spark):
+    # One single-line paragraph P repeated 3x + one long multi-line
+    # unique paragraph: paragraph COUNT fraction = 2/4 = 0.5 (> 0.3,
+    # fires) while the line fraction is diluted by the 12 unique
+    # lines to 4/18 = 0.222 (<= 0.3, passes) — the paragraph rule is
+    # genuinely new signal, not a restatement of the line rule.
+    p = "alpha beta gamma delta"
+    u = "\n".join(
+        f"unique filler line {i} with some extra words" for i in range(12)
+    )
+    text = "\n\n".join([p, p, p, u])
+    r = _rep(spark, [(1, text)])[1]
+    assert r.dup_para_frac == pytest.approx(0.5)
+    assert r.dup_para_char_frac == pytest.approx(
+        round(2 * len(p) / len(text), 4)
+    )
+    assert not r.ok_dup_paras and not r.keep
+    # 18 lines (3x P, 3 blank separators, 12 unique), 14 distinct
+    assert r.dup_line_frac == pytest.approx(round(4 / 18, 4))
+    assert r.ok_dup_lines
+
+
+def test_single_block_doc_passes_paragraph_rule(spark):
+    # no blank line -> one paragraph -> zero duplication by definition
+    r = _rep(spark, [(1, "one two three\nfour five six")])[1]
+    assert r.dup_para_frac == 0.0 and r.ok_dup_paras
+
+
 def test_repetition_empty_and_short_docs_pass(spark):
     got = _rep(spark, [(1, ""), (2, "one"), (3, "one two")])
     for d in (1, 2, 3):
@@ -288,6 +316,24 @@ def test_c4_line_rules(spark):
     assert not r.keep  # only 1 sentence < 5
 
 
+def test_c4_policy_phrase_lines_dropped(spark):
+    """The paper's six published cookie/ToS boilerplate phrases drop
+    the LINE (case-insensitive), not the page."""
+    policy_lines = [
+        "By continuing you accept our Terms of Use without reserve.",
+        "Please read the full privacy policy before registering.",
+        "Our cookie policy explains the tracking technologies used.",
+        "This site uses cookies to improve your experience.",
+        "The use of cookies is described in a separate notice.",
+        "We use cookies for the shopping basket to work.",
+    ]
+    text = "\n".join([*policy_lines, C4_GOOD])
+    r = _c4(spark, [(1, text)])[1]
+    assert r.n_lines == 6 + 5 and r.n_kept_lines == 5
+    assert r.cleaned_text == C4_GOOD
+    assert r.keep  # the page survives; only the lines are stripped
+
+
 def test_c4_page_rules(spark):
     lorem = C4_GOOD + "\nSome lorem ipsum filler appears here."
     brace = C4_GOOD + "\nfunction f() { return 1; }"
@@ -302,7 +348,179 @@ def test_c4_empty_text(spark):
     assert r.n_kept_lines == 0 and r.cleaned_text == "" and not r.keep
 
 
+# ------------------------------------------------------ FineWeb
+
+
+def _fw(spark, rows):
+    return {
+        r.doc_id: r
+        for r in ts.fineweb_quality_for(
+            spark.createDataFrame(rows, "doc_id long, text string")
+        ).collect()
+    }
+
+
+FW_GOOD = "\n".join(
+    [
+        "This is a long and perfectly reasonable prose line for tests.",
+        "Here is another long sentence that ends with terminal punctuation!",
+        "Every line here is comfortably beyond the short-line threshold.",
+    ]
+)
+
+
+def test_fineweb_good_doc_passes_hand_checked(spark):
+    r = _fw(spark, [(1, FW_GOOD)])[1]
+    assert r.keep
+    assert r.n_lines == 3
+    assert r.line_punct_ratio == 1.0
+    assert r.short_line_frac == 0.0 and r.char_dup_frac == 0.0
+    # 2 newlines / 30 words
+    assert r.newline_word_ratio == pytest.approx(round(2 / 30, 4))
+
+
+def test_fineweb_line_punct_rule(spark):
+    # 9 of 10 long lines end without terminal punctuation -> ratio
+    # 0.1 <= 0.12 -> only the punct rule fires
+    lines = [
+        f"a rather long line number {i} that simply trails off with no end"
+        for i in range(9)
+    ] + ["the single line that terminates the way prose normally would."]
+    r = _fw(spark, [(1, "\n".join(lines))])[1]
+    assert r.line_punct_ratio == pytest.approx(0.1)
+    assert not r.ok_line_punct and not r.keep
+    assert r.ok_short_lines and r.ok_char_dup and r.ok_list_ratio
+
+
+def test_fineweb_short_line_rule(spark):
+    # all lines end with '.' but are <= 30 chars -> short frac 1.0
+    lines = [f"short listing row {i}." for i in range(8)]
+    r = _fw(spark, [(1, "\n".join(lines))])[1]
+    assert r.short_line_frac == 1.0
+    assert not r.ok_short_lines and not r.keep
+    assert r.ok_line_punct and r.ok_char_dup
+
+
+def test_fineweb_char_dup_rule_hand_checked(spark):
+    # one duplicated 62-char line among otherwise unique prose: dup
+    # chars = 62 over ~500 newline-free chars -> ~0.12 >= 0.01 fires
+    dup = "this exact navigation banner appears twice on the same page01."
+    uniq = [
+        f"a unique long paragraph line number {i} with ordinary phrasing."
+        for i in range(6)
+    ]
+    text = "\n".join([dup, *uniq, dup])
+    r = _fw(spark, [(1, text)])[1]
+    nchars = len(text.replace("\n", ""))
+    assert r.char_dup_frac == pytest.approx(round(len(dup) / nchars, 4))
+    assert not r.ok_char_dup and not r.keep
+    assert r.ok_line_punct and r.ok_short_lines
+
+
+def test_fineweb_list_ratio_rule(spark):
+    # long two-word lines: 9 newlines over 20 words = 0.45 >= 0.3 ->
+    # the list detector fires while every other rule stays green
+    lines = [
+        f"aaaaaaaaaaaaaaaaaaa{i} bbbbbbbbbbbbbbbbbbb{i}." for i in range(10)
+    ]
+    r = _fw(spark, [(1, "\n".join(lines))])[1]
+    assert r.newline_word_ratio == pytest.approx(0.45)
+    assert not r.ok_list_ratio and not r.keep
+    assert r.ok_line_punct and r.ok_short_lines and r.ok_char_dup
+
+
+def test_fineweb_empty_and_blank_docs_drop(spark):
+    got = _fw(spark, [(1, ""), (2, "   \n \n  ")])
+    for d in (1, 2):
+        assert not got[d].keep
+        assert got[d].n_lines == 0
+        assert not got[d].ok_line_punct
+
+
 # ------------------------------------------------------ panel vote
+
+
+BENCH_PASSAGE = (
+    "astronomers gathered on the high plateau to study the comet as "
+    "it crossed the southern sky. their instruments recorded faint "
+    "traces of dust streaming behind the bright nucleus. observations "
+    "continued through the cold night until clouds finally covered "
+    "the horizon. the team compared new measurements with records "
+    "from earlier decades. that work later shaped several papers "
+    "about orbital drift and solar wind."
+)
+
+CLEAN_PASSAGE = (
+    "the quick brown fox jumps over the lazy dog while morning "
+    "light settles across the quiet valley. farmers walk along "
+    "narrow paths carrying baskets of ripe fruit toward the village "
+    "market. children laugh near the old stone bridge and watch "
+    "silver fish turn beneath clear water. a gentle wind moves "
+    "through tall grass and carries distant smells of rain. "
+    "everyone agrees that autumn arrived early this year."
+)
+
+DUP_PASSAGE = (
+    "sailors trimmed the canvas as the harbor lights faded behind "
+    "the breakwater and open water began. charts were spread across "
+    "the table while the navigator marked a careful course to the "
+    "south. waves grew taller through the evening and spray carried "
+    "over the rail in long cold sheets. the watch changed at "
+    "midnight under a clearing sky. morning brought calmer seas and "
+    "a distant line of green coast."
+)
+
+
+def test_curation_pipeline_panels_disagreement(spark, tmp_path):
+    """curation_pipeline_panels == curation_pipeline ∩
+    quality_vote.keep_majority, proven on a constructed corpus where
+    the two actually disagree: a spam doc passes the shallow gate (so
+    the base pipeline keeps it) but loses the panel vote 2-of-5
+    (repetition: the spam run; C4: no sentences; FineWeb: no
+    line-terminal punctuation)."""
+    from pdftotext_spark.operators import curation
+
+    # unique tail so the spam doc is NOT an LSH near-dup of any other
+    # row — only the panel vote may drop it; no terminal '.' so C4
+    # and FineWeb also reject, pushing it below the 3-vote majority
+    spam = (
+        "spam spam " * 25
+        + "the crew counted supplies and wrote careful notes that evening"
+    )
+    contaminated = BENCH_PASSAGE + " a small appended remark closes it."
+    rows = [
+        (0, BENCH_PASSAGE, "en", "src0", len(BENCH_PASSAGE)),
+        (1, CLEAN_PASSAGE, "en", "src1", len(CLEAN_PASSAGE)),
+        (2, spam, "en", "src1", len(spam)),
+        (3, contaminated, "en", "src1", len(contaminated)),
+        (4, DUP_PASSAGE, "en", "src1", len(DUP_PASSAGE)),
+        (5, DUP_PASSAGE, "en", "src2", len(DUP_PASSAGE)),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+        "n_chars long"
+    ).coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    sf = str(tmp_path)
+
+    base = {r.doc_id for r in curation.curation_pipeline(spark, sf).collect()}
+    panels = {
+        r.doc_id
+        for r in curation.curation_pipeline_panels(spark, sf).collect()
+    }
+    # base: benchmark src0 excluded (0), contaminated copy dropped
+    # (3), exact dedup keeps the min-id copy of the duplicate (4 not
+    # 5); the spam doc passes the shallow gate
+    assert base == {1, 2, 4}
+    # panels: the 2-of-5 vote removes the spam doc — the engineered
+    # disagreement — and nothing else changes
+    assert panels == {1, 4}
+    # intersection identity vs the standalone vote
+    vote = {
+        r.doc_id: r for r in curation.quality_vote(spark, sf).collect()
+    }
+    assert vote[2].n_keep_votes == 2 and not vote[2].keep_majority
+    majority = {d for d, r in vote.items() if r.keep_majority}
+    assert panels == base & majority
 
 
 def test_quality_vote_matches_standalone_panels(spark):
@@ -318,17 +536,19 @@ def test_quality_vote_matches_standalone_panels(spark):
         r.doc_id: r.keep for r in ts.gopher_repetition(spark, sf).collect()
     }
     c4 = {r.doc_id: r.keep for r in ts.c4_quality(spark, sf).collect()}
-    assert set(vote) == set(gq) == set(gr) == set(c4)
+    fw = {r.doc_id: r.keep for r in ts.fineweb_quality(spark, sf).collect()}
+    assert set(vote) == set(gq) == set(gr) == set(c4) == set(fw)
     for d, r in vote.items():
         assert r.keep_gopher_quality == gq[d]
         assert r.keep_gopher_repetition == gr[d]
         assert r.keep_c4 == c4[d]
+        assert r.keep_fineweb == fw[d]
         n = sum(
             [r.keep_shallow, r.keep_gopher_quality,
-             r.keep_gopher_repetition, r.keep_c4]
+             r.keep_gopher_repetition, r.keep_c4, r.keep_fineweb]
         )
         assert r.n_keep_votes == n
-        assert r.keep_all == (n == 4)
+        assert r.keep_all == (n == 5)
         assert r.keep_majority == (n >= 3)
     # the panels must disagree somewhere at this sf or the vote is
     # degenerate evidence

@@ -667,6 +667,7 @@ def test_streaming_curation_gate_with_panels(spark, tmp_path):
         textstats.gopher_quality_for,
         textstats.gopher_repetition_for,
         textstats.c4_quality_for,
+        textstats.fineweb_quality_for,
     ):
         keeps.append({r.doc_id for r in fn(docs).collect() if r.keep})
     batch_keep = set.intersection(*keeps)

@@ -441,3 +441,28 @@ def test_c4_quality_zero_shuffle(spark):
     plan = _plan(textstats.c4_quality(spark, SF))
     for node in ("Exchange", "Join", "Generate"):
         assert node not in plan, node
+
+
+def test_fineweb_quality_zero_shuffle(spark):
+    """fineweb_quality is a single narrow scan: no exchange, no
+    join — same shape pin as c4_quality."""
+    from pdftotext_spark.operators import textstats
+
+    plan = _plan(textstats.fineweb_quality(spark, SF))
+    for node in ("Exchange", "Join", "Generate"):
+        assert node not in plan, node
+
+
+def test_text_cleanup_trio_zero_shuffle(spark):
+    """encoding_quality / text_normalize / strip_repeated_lines are
+    single narrow scans: no exchange, no join, no explode."""
+    from pdftotext_spark.operators import textstats
+
+    for fn in (
+        textstats.encoding_quality,
+        textstats.text_normalize,
+        textstats.strip_repeated_lines,
+    ):
+        plan = _plan(fn(spark, SF))
+        for node in ("Exchange", "Join", "Generate"):
+            assert node not in plan, (fn.__name__, node)
