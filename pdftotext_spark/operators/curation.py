@@ -1,8 +1,10 @@
 """End-to-end corpus curation: the composed detect→apply chain a
 training-data build actually runs, as ONE DataFrame plan.
 
-``curation_pipeline`` intersects four corpus-level policies over the
-``documents`` table and returns the surviving training set:
+``curation_pipeline`` intersects five corpus-level policies over the
+``documents`` table and returns the surviving training set
+(``curation_pipeline_panels`` swaps the shallow gate for the full
+five-panel :func:`quality_vote` majority):
 
 1. benchmark exclusion — the held-out source (``src0``) never trains;
 2. shallow quality gates — the Gopher/C4 word-count and mean-word-

@@ -126,6 +126,24 @@ def test_normalize_python_replay_randomized(spark):
         assert got[d].text_norm == replay(t), (d, repr(t))
 
 
+def test_normalize_idempotent_randomized(spark):
+    """normalize(normalize(x)) == normalize(x) — canonical form is a
+    fixed point (seeded fuzz over the full special-char pool)."""
+    import random
+
+    rng = random.Random(17)
+    pool = list("ab .\n\t ’“—…​­\x07")
+    rows = [
+        (d, "".join(rng.choice(pool) for _ in range(rng.randint(0, 80))))
+        for d in range(1, 40)
+    ]
+    once = {d: r.text_norm for d, r in _norm(spark, rows).items()}
+    twice = _norm(spark, [(d, t) for d, t in once.items()])
+    for d, t in once.items():
+        assert twice[d].text_norm == t, (d, repr(t))
+        assert not twice[d].changed
+
+
 # --------------------------------------------- strip_repeated_lines
 
 
@@ -189,3 +207,25 @@ def test_strip_repeated_lines_python_replay_randomized(spark):
         clean, removed = replay(t)
         assert got[d].text_clean == clean, (d, repr(t))
         assert got[d].n_removed == removed
+
+
+def test_strip_repeated_lines_idempotent_randomized(spark):
+    """Stripping a stripped document removes nothing further."""
+    import random
+
+    rng = random.Random(13)
+    vocab = ["nav", "body", "foot", "x y", "", " "]
+    rows = [
+        (
+            d,
+            "\n".join(
+                rng.choice(vocab) for _ in range(rng.randint(0, 14))
+            ),
+        )
+        for d in range(1, 25)
+    ]
+    once = {d: r.text_clean for d, r in _strip(spark, rows).items()}
+    twice = _strip(spark, [(d, t) for d, t in once.items()])
+    for d, t in once.items():
+        assert twice[d].text_clean == t, (d, repr(t))
+        assert twice[d].n_removed == 0
