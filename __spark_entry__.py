@@ -83,7 +83,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontamination_report": dedup.decontamination_report,  # per-source rollup
     "source_overlap_matrix": dedup.source_overlap_matrix,  # mix audit matrix
     "curation_pipeline": curation.curation_pipeline,  # composed detect->apply chain
-    "curation_pipeline_panels": curation.curation_pipeline_panels,  # + 5-panel unanimous gate
+    "curation_pipeline_panels": curation.curation_pipeline_panels,  # + 5-panel majority gate
+    "ngram_decontamination": dedup.ngram_decontamination,  # GPT-3 token-13-gram rule
     "incremental_pipeline": curation.incremental_pipeline,  # per-increment admission gate
     "quality_vote": curation.quality_vote,            # 4-policy quality panel vote
     "duplicated_span_fraction": dedup.duplicated_span_fraction,  # ExactSubstr metric
@@ -269,6 +270,7 @@ _ORACLES: dict[str, str] = {
     "decontamination_overlap": dedup.DECONTAMINATION_OVERLAP_SQL,
     "decontaminate_apply": dedup.DECONTAMINATE_APPLY_SQL,
     "decontamination_report": dedup.DECONTAMINATION_REPORT_SQL,
+    "ngram_decontamination": dedup.NGRAM_DECONTAMINATION_SQL,
     "source_overlap_matrix": dedup.SOURCE_OVERLAP_MATRIX_SQL,
     "curation_pipeline": curation.CURATION_PIPELINE_SQL,
     "curation_pipeline_panels": curation.CURATION_PIPELINE_PANELS_SQL,
@@ -324,6 +326,7 @@ _DRIVER_GATE_FIRST = [
     "text_normalize",
     "strip_repeated_lines",
     "curation_pipeline_panels",
+    "ngram_decontamination",
     "quality_vote",
     "trigram_logloss",
     "zipf_fit",
@@ -340,7 +343,8 @@ _DRIVER_GATE_FIRST = [
     # encoding_quality, text_normalize, strip_repeated_lines) under
     # the 50-row cap
     "fragment_sort_topk",
-    "parts_by_brand",
+    # parts_by_brand (r4-green, untouched) cycles to r7 for
+    # ngram_decontamination (new)
     # vocab_richness (r4-green, untouched) cycles to r7 for
     # curation_pipeline_panels (new)
     "pricing_summary",

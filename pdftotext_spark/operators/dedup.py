@@ -1667,6 +1667,101 @@ GROUP BY d.source
 """
 
 
+NGRAM_DECON_N = 13
+
+
+def ngram_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-13-gram benchmark decontamination (the published
+    GPT-3 appendix C / PaLM rule, complementing the char-shingle
+    :func:`decontamination_overlap` and the winnowing-fingerprint
+    family): a training document is dirty if ANY of its lowercased
+    13-token windows appears verbatim anywhere in the held-out
+    benchmark source ``src0``.  Emits per non-benchmark doc the
+    window count, the number of DISTINCT colliding 13-grams, and the
+    dirty verdict; docs with < 13 tokens have zero windows and a
+    clean verdict by definition (the zero-token-row lesson — they
+    must not vanish from the report).
+
+    100 TB shape: one token-window explode over the training corpus
+    (O(corpus tokens) — the cost every published pipeline pays for
+    this rule), the benchmark gram set distinct-bounded by the
+    benchmark corpus and joined as a left-semi that AQE broadcasts
+    while small; per-doc counts come from one groupBy on the slim
+    (doc_id, gram) survivors plus a narrow pruned re-scan of the
+    documents parquet for the window totals (no explode lineage is
+    consumed twice)."""
+    docs = _read(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "source",
+        F.expr("filter(split(lower(text), ' '), x -> x <> '')").alias("a"),
+    )
+    n = NGRAM_DECON_N
+    grams = toks.filter(F.size("a") >= n).select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(a) - {n - 1}), "
+                f"i -> concat_ws(' ', slice(a, i, {n})))"
+            )
+        ).alias("g"),
+    )
+    bench = grams.filter(F.col("source") == "src0").select("g").distinct()
+    hits = (
+        grams.filter(F.col("source") != "src0")
+        .select("doc_id", "g")
+        .distinct()
+        .join(bench, "g", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_dirty_grams"))
+    )
+    base = toks.filter(F.col("source") != "src0").select(
+        "doc_id",
+        F.greatest(F.size("a") - (n - 1), F.lit(0))
+        .cast("long")
+        .alias("n_grams"),
+    )
+    return base.join(hits, "doc_id", "left").select(
+        "doc_id",
+        "n_grams",
+        F.coalesce(F.col("n_dirty_grams"), F.lit(0))
+        .cast("long")
+        .alias("n_dirty_grams"),
+        (F.coalesce(F.col("n_dirty_grams"), F.lit(0)) > 0).alias("dirty"),
+    )
+
+
+NGRAM_DECONTAMINATION_SQL = f"""
+WITH toks AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS a
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, source,
+         unnest(list_transform(generate_series(1, len(a) - {NGRAM_DECON_N - 1}),
+                i -> array_to_string(a[i : i + {NGRAM_DECON_N - 1}], ' ')))
+           AS g
+  FROM toks WHERE len(a) >= {NGRAM_DECON_N}
+),
+bench AS (SELECT DISTINCT g FROM grams WHERE source = 'src0'),
+hits AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dirty_grams
+  FROM (SELECT DISTINCT doc_id, g FROM grams WHERE source <> 'src0')
+  WHERE g IN (SELECT g FROM bench)
+  GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(greatest(len(t.a) - {NGRAM_DECON_N - 1}, 0) AS BIGINT)
+         AS n_grams,
+       CAST(COALESCE(h.n_dirty_grams, 0) AS BIGINT) AS n_dirty_grams,
+       (COALESCE(h.n_dirty_grams, 0) > 0) AS dirty
+FROM toks t LEFT JOIN hits h ON t.doc_id = h.doc_id
+WHERE t.source <> 'src0'
+"""
+
+
 def dedup_group_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup cluster-size histogram over the MinHash-LSH groups —
     the curation dashboard that tells you whether dedup is removing
