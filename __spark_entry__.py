@@ -85,6 +85,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "curation_pipeline": curation.curation_pipeline,  # composed detect->apply chain
     "curation_pipeline_panels": curation.curation_pipeline_panels,  # + 5-panel majority gate
     "ngram_decontamination": dedup.ngram_decontamination,  # GPT-3 token-13-gram rule
+    "ngram_decontaminate_apply": dedup.ngram_decontaminate_apply,  # its survivor filter
     "incremental_pipeline": curation.incremental_pipeline,  # per-increment admission gate
     "quality_vote": curation.quality_vote,            # 4-policy quality panel vote
     "duplicated_span_fraction": dedup.duplicated_span_fraction,  # ExactSubstr metric
@@ -271,6 +272,7 @@ _ORACLES: dict[str, str] = {
     "decontaminate_apply": dedup.DECONTAMINATE_APPLY_SQL,
     "decontamination_report": dedup.DECONTAMINATION_REPORT_SQL,
     "ngram_decontamination": dedup.NGRAM_DECONTAMINATION_SQL,
+    "ngram_decontaminate_apply": dedup.NGRAM_DECONTAMINATE_APPLY_SQL,
     "source_overlap_matrix": dedup.SOURCE_OVERLAP_MATRIX_SQL,
     "curation_pipeline": curation.CURATION_PIPELINE_SQL,
     "curation_pipeline_panels": curation.CURATION_PIPELINE_PANELS_SQL,
@@ -327,6 +329,7 @@ _DRIVER_GATE_FIRST = [
     "strip_repeated_lines",
     "curation_pipeline_panels",
     "ngram_decontamination",
+    "ngram_decontaminate_apply",
     "quality_vote",
     "trigram_logloss",
     "zipf_fit",
@@ -347,7 +350,8 @@ _DRIVER_GATE_FIRST = [
     # ngram_decontamination (new)
     # vocab_richness (r4-green, untouched) cycles to r7 for
     # curation_pipeline_panels (new)
-    "pricing_summary",
+    # pricing_summary (r4-green, untouched) cycles to r7 for
+    # ngram_decontaminate_apply (new)
     "segment_revenue",
     "asof_join_events",
     "range_join_tiers",

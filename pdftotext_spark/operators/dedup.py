@@ -1670,6 +1670,22 @@ GROUP BY d.source
 NGRAM_DECON_N = 13
 
 
+def token_ngram_expr(text_col: str = "text", n: int = NGRAM_DECON_N) -> str:
+    """Spark SQL expression: the array of lowercased space-token
+    ``n``-gram windows of ``text_col`` (empty when the document has
+    fewer than ``n`` tokens).  SINGLE SOURCE for the batch
+    :func:`ngram_decontamination` and the streaming ingest gate — the
+    sketch-family rule that batch and streaming share helpers, so a
+    tokenization change cannot desynchronize them."""
+    a = f"filter(split(lower({text_col}), ' '), x -> x <> '')"
+    return (
+        f"CASE WHEN size({a}) >= {n} THEN "
+        f"transform(sequence(1, size({a}) - {n - 1}), "
+        f"i -> concat_ws(' ', slice({a}, i, {n}))) "
+        f"ELSE array() END"
+    )
+
+
 def ngram_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-13-gram benchmark decontamination (the published
     GPT-3 appendix C / PaLM rule, complementing the char-shingle
@@ -1697,15 +1713,10 @@ def ngram_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("filter(split(lower(text), ' '), x -> x <> '')").alias("a"),
     )
     n = NGRAM_DECON_N
-    grams = toks.filter(F.size("a") >= n).select(
-        "doc_id",
+    grams = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
         "source",
-        F.explode(
-            F.expr(
-                f"transform(sequence(1, size(a) - {n - 1}), "
-                f"i -> concat_ws(' ', slice(a, i, {n})))"
-            )
-        ).alias("g"),
+        F.explode(F.expr(token_ngram_expr("text", n))).alias("g"),
     )
     bench = grams.filter(F.col("source") == "src0").select("g").distinct()
     hits = (
@@ -1759,6 +1770,23 @@ SELECT t.doc_id,
        (COALESCE(h.n_dirty_grams, 0) > 0) AS dirty
 FROM toks t LEFT JOIN hits h ON t.doc_id = h.doc_id
 WHERE t.source <> 'src0'
+"""
+
+
+def ngram_decontaminate_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply side of :func:`ngram_decontamination` — keep only the
+    training documents with ZERO benchmark 13-gram collisions (the
+    published rule is any-collision-drops, so the apply is the
+    ``dirty = false`` filter; sub-13-token docs are clean by
+    definition and survive).
+
+    100 TB shape: identical to the metric plus one cheap filter."""
+    return ngram_decontamination(spark, sf_dir).filter(~F.col("dirty"))
+
+
+NGRAM_DECONTAMINATE_APPLY_SQL = f"""
+SELECT * FROM ({NGRAM_DECONTAMINATION_SQL})
+WHERE NOT dirty
 """
 
 

@@ -45,8 +45,27 @@ def write_benchmark_shingles(bench_docs: DataFrame, out_dir: str) -> None:
     )
 
 
+def write_benchmark_ngrams(bench_docs: DataFrame, out_dir: str) -> None:
+    """Materialize the static benchmark token-13-gram set for the
+    stream gate's GPT-3-rule probe: distinct lowercased 13-token
+    windows of the benchmark corpus (one column ``g``) — the SAME
+    :func:`pdftotext_spark.operators.dedup.token_ngram_expr` the
+    batch ``ngram_decontamination`` uses."""
+    from pdftotext_spark.operators.dedup import token_ngram_expr
+
+    (
+        bench_docs.select(
+            F.explode(F.expr(token_ngram_expr("text"))).alias("g")
+        )
+        .distinct()
+        .write.mode("overwrite")
+        .parquet(out_dir)
+    )
+
+
 def curation_filter_batch(output_dir: str, bench_dir: str,
-                          panels: bool = False):
+                          panels: bool = False,
+                          ngram_bench_dir: str | None = None):
     """``foreachBatch`` body for the streaming curation gate.
 
     Per micro-batch: apply the quality windows, score each surviving
@@ -55,6 +74,13 @@ def curation_filter_batch(output_dir: str, bench_dir: str,
     into a per-``batch_id`` partition (overwrite ⇒ an at-least-once
     replay replaces, never double-appends — the streaming-store
     idempotence rule).
+
+    ``ngram_bench_dir`` additionally applies the batch
+    ``ngram_decontamination`` rule at ingest: a turn with ANY
+    lowercased 13-token window present in the pre-materialized
+    benchmark gram set (:func:`write_benchmark_ngrams`) is dropped —
+    the any-collision verdict, stricter than the fractional shingle
+    threshold.
 
     ``panels=True`` additionally requires the full per-document
     quality panels (Gopher quality + Gopher repetition + C4 +
@@ -117,6 +143,20 @@ def curation_filter_batch(output_dir: str, bench_dir: str,
             F.col("contamination_frac") > CONTAMINATION_THRESHOLD
         ).select(*keys)
         survivors = q.join(losers, keys, "left_anti")
+        if ngram_bench_dir is not None:
+            from pdftotext_spark.operators.dedup import token_ngram_expr
+
+            gbench = spark.read.parquet(ngram_bench_dir).select("g")
+            gram_losers = (
+                q.select(
+                    *keys,
+                    F.explode(F.expr(token_ngram_expr("text"))).alias("g"),
+                )
+                .join(gbench, "g", "left_semi")
+                .select(*keys)
+                .distinct()
+            )
+            survivors = survivors.join(gram_losers, keys, "left_anti")
         survivors.write.mode("overwrite").parquet(
             f"{output_dir}/batch_id={batch_id}"
         )
@@ -131,6 +171,7 @@ def run_curation_stream(
     checkpoint_dir: str,
     bench_dir: str,
     panels: bool = False,
+    ngram_bench_dir: str | None = None,
 ) -> None:
     """Drain available input through the curation gate
     (Trigger.AvailableNow). Same batch_id-keyed idempotence and
@@ -140,7 +181,12 @@ def run_curation_stream(
     q = (
         read_transcript_stream(spark, input_dir)
         .writeStream.foreachBatch(
-            curation_filter_batch(output_dir, bench_dir, panels=panels)
+            curation_filter_batch(
+                output_dir,
+                bench_dir,
+                panels=panels,
+                ngram_bench_dir=ngram_bench_dir,
+            )
         )
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)

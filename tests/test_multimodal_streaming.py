@@ -681,3 +681,76 @@ def test_streaming_curation_gate_with_panels(spark, tmp_path):
     # each engineered rejection actually rejected
     assert ("c2", 0) not in got and ("c3", 0) not in got
     assert ("c4", 0) not in got
+
+
+def test_streaming_curation_gate_ngram_rule(spark, tmp_path):
+    """ngram_bench_dir: the streaming gate applies the batch
+    ngram_decontamination any-collision rule — a turn sharing a
+    13-token run with the benchmark is dropped even though its
+    sampled-shingle fraction is far below the 0.75 threshold, and a
+    12-token run survives (the window boundary). Verdicts pinned ==
+    the batch operator on the same texts."""
+    import pandas as pd
+
+    from pdftotext_spark.operators import dedup
+    from pdftotext_spark.streaming.curation import (
+        run_curation_stream,
+        write_benchmark_ngrams,
+        write_benchmark_shingles,
+    )
+
+    toks = [f"t{i:02d}" for i in range(30)]
+    bench_text = " ".join(toks)
+    bench_docs = spark.createDataFrame(
+        [(1, bench_text, "src0")], "doc_id long, text string, source string"
+    )
+    bench_dir = str(tmp_path / "bench_sh")
+    ngram_dir = str(tmp_path / "bench_g")
+    write_benchmark_shingles(bench_docs, bench_dir)
+    write_benchmark_ngrams(bench_docs, ngram_dir)
+
+    def rows(conv, idx, text):
+        return pd.DataFrame(
+            {
+                "conv_id": [conv],
+                "turn_idx": pd.array([idx], dtype="int32"),
+                "role": ["user"],
+                "text": [text],
+                "tool": ["plain"],
+                "ts": pd.to_datetime(["2026-01-01"], utc=True).as_unit("us"),
+            }
+        )
+
+    pad = " ".join(f"u{i:02d}" for i in range(30))
+    texts = {
+        ("c1", 0): pad,                                        # clean
+        # 13 shared tokens inside 43 -> gram rule fires, shingle
+        # fraction (~0.3) does not
+        ("c1", 1): pad + " " + " ".join(toks[5:18]),
+        ("c2", 0): pad + " " + " ".join(toks[5:17]),           # 12: survives
+    }
+    b = pd.concat([rows(c, i, t) for (c, i), t in texts.items()])
+    src = tmp_path / "src"
+    src.mkdir()
+    b.to_parquet(src / "batch1.parquet")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    run_curation_stream(
+        spark, str(src), out, ckpt, bench_dir, ngram_bench_dir=ngram_dir
+    )
+    got = {(r.conv_id, r.turn_idx) for r in spark.read.parquet(out).collect()}
+    assert got == {("c1", 0), ("c2", 0)}
+
+    # batch twin: same texts as a documents table, same verdicts
+    docs = [(0, bench_text, "en", "src0", len(bench_text))] + [
+        (i + 1, t, "en", "src1", len(t))
+        for i, t in enumerate(texts.values())
+    ]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, "
+        "n_chars long"
+    ).coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    verdicts = {
+        r.doc_id: r.dirty
+        for r in dedup.ngram_decontamination(spark, str(tmp_path)).collect()
+    }
+    assert verdicts == {1: False, 2: True, 3: False}
