@@ -84,6 +84,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "source_overlap_matrix": dedup.source_overlap_matrix,  # mix audit matrix
     "curation_pipeline": curation.curation_pipeline,  # composed detect->apply chain
     "curation_pipeline_panels": curation.curation_pipeline_panels,  # + 5-panel majority gate
+    "curation_funnel": curation.curation_funnel,  # per-stage survivor counts
     "ngram_decontamination": dedup.ngram_decontamination,  # GPT-3 token-13-gram rule
     "ngram_decontaminate_apply": dedup.ngram_decontaminate_apply,  # its survivor filter
     "incremental_pipeline": curation.incremental_pipeline,  # per-increment admission gate
@@ -276,6 +277,7 @@ _ORACLES: dict[str, str] = {
     "source_overlap_matrix": dedup.SOURCE_OVERLAP_MATRIX_SQL,
     "curation_pipeline": curation.CURATION_PIPELINE_SQL,
     "curation_pipeline_panels": curation.CURATION_PIPELINE_PANELS_SQL,
+    "curation_funnel": curation.CURATION_FUNNEL_SQL,
     "incremental_pipeline": curation.INCREMENTAL_PIPELINE_SQL,
     "quality_vote": curation.QUALITY_VOTE_SQL,
     "paragraph_dedup": dedup.PARAGRAPH_DEDUP_SQL,
@@ -330,6 +332,7 @@ _DRIVER_GATE_FIRST = [
     "curation_pipeline_panels",
     "ngram_decontamination",
     "ngram_decontaminate_apply",
+    "curation_funnel",
     "quality_vote",
     "trigram_logloss",
     "zipf_fit",
@@ -352,7 +355,8 @@ _DRIVER_GATE_FIRST = [
     # curation_pipeline_panels (new)
     # pricing_summary (r4-green, untouched) cycles to r7 for
     # ngram_decontaminate_apply (new)
-    "segment_revenue",
+    # segment_revenue (r4-green, untouched) cycles to r7 for
+    # curation_funnel (new)
     "asof_join_events",
     "range_join_tiers",
     "lang_id",

@@ -294,3 +294,108 @@ SELECT * FROM ({CURATION_PIPELINE_SQL})
 WHERE doc_id IN
   (SELECT doc_id FROM ({QUALITY_VOTE_SQL}) WHERE keep_majority)
 """
+
+
+_FUNNEL_STAGES = (
+    "corpus",
+    "benchmark_excluded",
+    "shallow_quality",
+    "panel_majority",
+    "exact_dedup",
+    "near_dup",
+    "decontaminated",
+)
+
+
+def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation FUNNEL: cumulative survivor counts after each
+    stage of the panels pipeline, in application order — the
+    loss-per-stage dashboard every corpus-build run reports before
+    committing (a pipeline that silently drops 40% at one stage is a
+    tuning bug, invisible in the final survivor set alone).  Stage
+    semantics are EXACTLY the composed pipeline's: each count is the
+    previous stage's survivors after one more policy, so the last row
+    equals ``count(curation_pipeline_panels)``.
+
+    100 TB shape: an observability aggregate — seven scalar counts
+    over progressively filtered doc_id sets; the expensive detector
+    subtrees (exact digests, LSH bands, benchmark shingles) run once
+    each, exactly as in the pipeline, and every stage reduces to a
+    slim doc_id semi/anti join before its count."""
+    docs = dedup._read(spark, sf_dir, "documents")
+    sets = [docs.select(F.col("doc_id").cast("long").alias("doc_id"))]
+    no_bench = docs.filter(F.col("source") != "src0")
+    sets.append(no_bench.select(F.col("doc_id").cast("long").alias("doc_id")))
+    shallow = no_bench.filter(textstats.qf_keep_predicate()).select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    )
+    sets.append(shallow)
+    vote_keep = (
+        quality_vote(spark, sf_dir)
+        .filter(F.col("keep_majority"))
+        .select("doc_id")
+    )
+    panel = shallow.join(vote_keep, "doc_id", "left_semi")
+    sets.append(panel)
+    exact_keep = dedup.dedup_exact(spark, sf_dir).select(
+        F.col("canonical_doc_id").cast("long").alias("doc_id")
+    )
+    exact = panel.join(exact_keep, "doc_id", "left_semi")
+    sets.append(exact)
+    lsh_losers = dedup.minhash_lsh_pairs(spark, sf_dir).select(
+        F.col("doc_b").cast("long").alias("doc_id")
+    ).distinct()
+    near = exact.join(lsh_losers, "doc_id", "left_anti")
+    sets.append(near)
+    decon_keep = dedup.decontaminate_apply(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    )
+    final = near.join(decon_keep, "doc_id", "left_semi")
+    sets.append(final)
+    counts = None
+    for i, (stage, s) in enumerate(zip(_FUNNEL_STAGES, sets)):
+        row = s.agg(F.count("*").cast("long").alias("n_docs")).select(
+            F.lit(i).cast("long").alias("stage_idx"),
+            F.lit(stage).alias("stage"),
+            "n_docs",
+        )
+        counts = row if counts is None else counts.unionByName(row)
+    return counts
+
+
+CURATION_FUNNEL_SQL = f"""
+WITH vote AS MATERIALIZED (
+  SELECT doc_id FROM ({QUALITY_VOTE_SQL}) WHERE keep_majority
+),
+exact_keep AS MATERIALIZED (
+  SELECT canonical_doc_id AS doc_id FROM ({dedup.DEDUP_EXACT_SQL})
+),
+lsh_losers AS MATERIALIZED (
+  SELECT DISTINCT doc_b AS doc_id FROM ({dedup.MINHASH_LSH_PAIRS_SQL})
+),
+decon_keep AS MATERIALIZED (
+  SELECT doc_id FROM ({dedup.DECONTAMINATE_APPLY_SQL})
+),
+s1 AS MATERIALIZED (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents
+  WHERE source <> 'src0'
+),
+s2 AS MATERIALIZED (
+  SELECT d.doc_id FROM s1 JOIN documents d USING (doc_id)
+  WHERE {textstats._QF_KEEP_SQL.replace("text", "d.text")}
+),
+s3 AS MATERIALIZED (SELECT doc_id FROM s2 WHERE doc_id IN (SELECT doc_id FROM vote)),
+s4 AS MATERIALIZED (SELECT doc_id FROM s3 WHERE doc_id IN (SELECT doc_id FROM exact_keep)),
+s5 AS MATERIALIZED (SELECT doc_id FROM s4 WHERE doc_id NOT IN (SELECT doc_id FROM lsh_losers)),
+s6 AS MATERIALIZED (SELECT doc_id FROM s5 WHERE doc_id IN (SELECT doc_id FROM decon_keep))
+SELECT * FROM (
+  SELECT CAST(0 AS BIGINT) AS stage_idx, 'corpus' AS stage,
+         CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents
+  UNION ALL SELECT 1, 'benchmark_excluded', COUNT(*) FROM s1
+  UNION ALL SELECT 2, 'shallow_quality', COUNT(*) FROM s2
+  UNION ALL SELECT 3, 'panel_majority', COUNT(*) FROM s3
+  UNION ALL SELECT 4, 'exact_dedup', COUNT(*) FROM s4
+  UNION ALL SELECT 5, 'near_dup', COUNT(*) FROM s5
+  UNION ALL SELECT 6, 'decontaminated', COUNT(*) FROM s6
+)
+"""

@@ -523,6 +523,25 @@ def test_curation_pipeline_panels_disagreement(spark, tmp_path):
     assert panels == base & majority
 
 
+def test_curation_funnel_coherence(spark):
+    """The funnel is monotone non-increasing stage to stage and its
+    final row equals the panels pipeline's survivor count — the
+    cumulative-stage identity."""
+    from pdftotext_spark.operators import curation
+
+    sf = "/root/testdata/sf0.001"
+    rows = sorted(
+        curation.curation_funnel(spark, sf).collect(),
+        key=lambda r: r.stage_idx,
+    )
+    assert [r.stage for r in rows] == list(curation._FUNNEL_STAGES)
+    counts = [r.n_docs for r in rows]
+    assert counts[0] > 0
+    assert all(a >= b for a, b in zip(counts, counts[1:]))
+    final = curation.curation_pipeline_panels(spark, sf).count()
+    assert counts[-1] == final
+
+
 def test_quality_vote_matches_standalone_panels(spark):
     """quality_vote's per-policy flags must equal the standalone
     operators' keeps doc-by-doc, and the compositions must be exact
