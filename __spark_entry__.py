@@ -20,7 +20,9 @@ from pdftotext_spark.operators import (  # noqa: E402
     curation,
     dedup,
     extraction_queries,
+    prose,
     relational,
+    retrieval,
     similarity,
     sketches,
     temporal,
@@ -89,6 +91,15 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_decontaminate_apply": dedup.ngram_decontaminate_apply,  # its survivor filter
     "incremental_pipeline": curation.incremental_pipeline,  # per-increment admission gate
     "quality_vote": curation.quality_vote,            # 4-policy quality panel vote
+    # prose-frame family (deterministic multi-line punctuated corpus
+    # derived in BOTH engines — unlocks the line-level policies the
+    # raw single-line fixture degenerates)
+    "quality_vote_prose": prose.quality_vote_prose,    # unanimous rule non-degenerate
+    "curation_pipeline_unanimous": prose.curation_pipeline_unanimous,
+    "boilerplate_lines": prose.boilerplate_lines,      # cross-doc template miner
+    "strip_boilerplate_lines": prose.strip_boilerplate_lines,  # CCNet line cut
+    "paragraph_dedup_newline": prose.paragraph_dedup_newline,  # real-segmenter CCNet
+    "bm25_topk": retrieval.bm25_topk,                  # Okapi BM25 retrieval
     "duplicated_span_fraction": dedup.duplicated_span_fraction,  # ExactSubstr metric
     "strip_duplicated_spans": dedup.strip_duplicated_spans,  # ExactSubstr APPLY
     "top_duplicated_spans": dedup.top_duplicated_spans,  # boilerplate report
@@ -280,6 +291,12 @@ _ORACLES: dict[str, str] = {
     "curation_funnel": curation.CURATION_FUNNEL_SQL,
     "incremental_pipeline": curation.INCREMENTAL_PIPELINE_SQL,
     "quality_vote": curation.QUALITY_VOTE_SQL,
+    "quality_vote_prose": prose.QUALITY_VOTE_PROSE_SQL,
+    "curation_pipeline_unanimous": prose.CURATION_PIPELINE_UNANIMOUS_SQL,
+    "boilerplate_lines": prose.BOILERPLATE_LINES_SQL,
+    "strip_boilerplate_lines": prose.STRIP_BOILERPLATE_LINES_SQL,
+    "paragraph_dedup_newline": prose.PARAGRAPH_DEDUP_NEWLINE_SQL,
+    "bm25_topk": retrieval.BM25_TOPK_SQL,
     "paragraph_dedup": dedup.PARAGRAPH_DEDUP_SQL,
     "paragraph_dedup_apply": dedup.PARAGRAPH_DEDUP_APPLY_SQL,
     "duplicated_span_fraction": dedup.DUPLICATED_SPAN_FRACTION_SQL,
@@ -319,6 +336,18 @@ _DRIVER_GATE_FIRST = [
     # rolling_value_7d / cumulative_chars / regional_revenue
     # (r4-green, untouched since) cycle to r7 with everything else
     # left out (r5-green, untouched).
+    # fourth r6 session: the prose-frame family + BM25 are NEW (need
+    # first-ever rows); to stay under the 50-row cap, six r4-green
+    # untouched queries with dedicated semantic tests cycle to r7:
+    # asof_join_events / range_join_tiers (temporal suite),
+    # lang_id_confusion, token_count_by_source, doc_length_profile,
+    # heavy_hitters_exact
+    "quality_vote_prose",
+    "curation_pipeline_unanimous",
+    "boilerplate_lines",
+    "strip_boilerplate_lines",
+    "paragraph_dedup_newline",
+    "bm25_topk",
     "dedup_incremental_exact",
     "dedup_incremental_minhash",
     "dedup_incremental_minhash_verified",
@@ -357,16 +386,10 @@ _DRIVER_GATE_FIRST = [
     # ngram_decontaminate_apply (new)
     # segment_revenue (r4-green, untouched) cycles to r7 for
     # curation_funnel (new)
-    "asof_join_events",
-    "range_join_tiers",
     "lang_id",
-    "lang_id_confusion",
     "quality_score",
     "quality_filter_by_source",
-    "token_count_by_source",
-    "doc_length_profile",
     "token_cms",
-    "heavy_hitters_exact",
     "value_quantile_sketch",
     "tfidf_top_terms",
     "repetition_signals",

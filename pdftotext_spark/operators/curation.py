@@ -216,21 +216,28 @@ def quality_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     plans are individually audited; gopher_repetition is the only one
     with a shuffle), joined on slim (doc_id, flag) frames that AQE
     broadcasts — no full-width row survives past its panel."""
-    docs = dedup._read(spark, sf_dir, "documents")
+    return quality_vote_for(dedup._read(spark, sf_dir, "documents"))
+
+
+def quality_vote_for(docs: DataFrame) -> DataFrame:
+    """Core of :func:`quality_vote` over an arbitrary
+    ``(doc_id, text)`` frame — the five-panel composition reused by
+    the prose-frame variant (``operators/prose.py``), where the
+    unanimous rule is exercised on punctuated multi-line text."""
     shallow = docs.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         textstats.qf_keep_predicate().alias("keep_shallow"),
     )
-    gq = textstats.gopher_quality(spark, sf_dir).select(
+    gq = textstats.gopher_quality_for(docs).select(
         "doc_id", F.col("keep").alias("keep_gopher_quality")
     )
-    gr = textstats.gopher_repetition(spark, sf_dir).select(
+    gr = textstats.gopher_repetition_for(docs).select(
         "doc_id", F.col("keep").alias("keep_gopher_repetition")
     )
-    c4 = textstats.c4_quality(spark, sf_dir).select(
+    c4 = textstats.c4_quality_for(docs).select(
         "doc_id", F.col("keep").alias("keep_c4")
     )
-    fw = textstats.fineweb_quality(spark, sf_dir).select(
+    fw = textstats.fineweb_quality_for(docs).select(
         "doc_id", F.col("keep").alias("keep_fineweb")
     )
     flags = ["keep_shallow", "keep_gopher_quality",

@@ -466,3 +466,63 @@ def test_text_cleanup_trio_zero_shuffle(spark):
         plan = _plan(fn(spark, SF))
         for node in ("Exchange", "Join", "Generate"):
             assert node not in plan, (fn.__name__, node)
+
+
+def test_boilerplate_lines_single_explode_one_line_shuffle(spark):
+    """boilerplate_lines (r6 prose family): ONE corpus line explode
+    feeding the line-keyed aggregation; the double exchange is the
+    standard multi-distinct Expand (gid) shape — partial aggregation
+    on both levels absorbs hot boilerplate keys — and no join node
+    appears at all (the prose map fuses into the scan)."""
+    from pdftotext_spark.operators import prose
+
+    plan = _plan(prose.boilerplate_lines(spark, SF))
+    assert plan.count("Generate explode") == 1
+    assert "partial_" in plan
+    assert "Join" not in plan
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_strip_boilerplate_single_explode_anti_join(spark):
+    """strip_boilerplate_lines: the tiny df-filtered boiler set is
+    materialized slim (Scan ExistingRDD — its explode ran inside the
+    checkpoint job) and anti-joined broadcast, so the final plan
+    explodes the corpus exactly ONCE; the rebuild shuffles on doc_id
+    only, and no forced broadcast hint appears on the corpus-sized
+    rebuilt frame (AQE picks — the source_overlap_matrix lesson)."""
+    from pdftotext_spark.operators import prose
+
+    plan = _plan(prose.strip_boilerplate_lines(spark, SF))
+    assert plan.count("Generate posexplode") == 1
+    assert "LeftAnti" in plan
+    assert "ExistingRDD" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_paragraph_dedup_newline_one_window_shuffle(spark):
+    """paragraph_dedup_newline: one posexplode, then ONE shuffle — the
+    min-struct window keyed on md5(seg_text) (the r6 count/min-window
+    discipline: no groupBy + join-back of the corpus-sized segment
+    frame, slim spillable rows under boilerplate hot keys)."""
+    from pdftotext_spark.operators import prose
+
+    plan = _plan(prose.paragraph_dedup_newline(spark, SF))
+    assert plan.count("Generate posexplode") == 1
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+    assert "Window" in plan
+
+
+def test_bm25_topk_broadcast_stats_take_ordered(spark):
+    """bm25_topk: corpus stats are ONE single-row aggregate (partial →
+    SinglePartition) broadcast back onto the token frame; scoring is a
+    zero-shuffle map and the top-k is TakeOrderedAndProject — no
+    global sort, no wide shuffle anywhere."""
+    from pdftotext_spark.operators import retrieval
+
+    plan = _plan(retrieval.bm25_topk(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("Exchange SinglePartition") == 1
+    assert "Exchange hashpartitioning" not in plan
+    assert "partial_" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
