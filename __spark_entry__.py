@@ -100,6 +100,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "strip_boilerplate_lines": prose.strip_boilerplate_lines,  # CCNet line cut
     "paragraph_dedup_newline": prose.paragraph_dedup_newline,  # real-segmenter CCNet
     "bm25_topk": retrieval.bm25_topk,                  # Okapi BM25 retrieval
+    "bm25_topk_indexed": retrieval.bm25_topk_indexed,  # inverted-index BM25
     "duplicated_span_fraction": dedup.duplicated_span_fraction,  # ExactSubstr metric
     "strip_duplicated_spans": dedup.strip_duplicated_spans,  # ExactSubstr APPLY
     "top_duplicated_spans": dedup.top_duplicated_spans,  # boilerplate report
@@ -297,6 +298,7 @@ _ORACLES: dict[str, str] = {
     "strip_boilerplate_lines": prose.STRIP_BOILERPLATE_LINES_SQL,
     "paragraph_dedup_newline": prose.PARAGRAPH_DEDUP_NEWLINE_SQL,
     "bm25_topk": retrieval.BM25_TOPK_SQL,
+    "bm25_topk_indexed": retrieval.BM25_TOPK_INDEXED_SQL,
     "paragraph_dedup": dedup.PARAGRAPH_DEDUP_SQL,
     "paragraph_dedup_apply": dedup.PARAGRAPH_DEDUP_APPLY_SQL,
     "duplicated_span_fraction": dedup.DUPLICATED_SPAN_FRACTION_SQL,
@@ -348,6 +350,10 @@ _DRIVER_GATE_FIRST = [
     "strip_boilerplate_lines",
     "paragraph_dedup_newline",
     "bm25_topk",
+    # fifth r6 session: bm25_topk_indexed is NEW (first-ever row);
+    # fragment_sort_topk (r4-green, untouched, dedicated tests)
+    # cycles to r7 to stay under the 50-row cap
+    "bm25_topk_indexed",
     "dedup_incremental_exact",
     "dedup_incremental_minhash",
     "dedup_incremental_minhash_verified",
@@ -377,7 +383,6 @@ _DRIVER_GATE_FIRST = [
     # four queries NEW in the third r6 session (fineweb_quality,
     # encoding_quality, text_normalize, strip_repeated_lines) under
     # the 50-row cap
-    "fragment_sort_topk",
     # parts_by_brand (r4-green, untouched) cycles to r7 for
     # ngram_decontamination (new)
     # vocab_richness (r4-green, untouched) cycles to r7 for

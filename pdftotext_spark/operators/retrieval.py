@@ -18,7 +18,7 @@ discipline), so cross-engine double drift cannot reorder the top-k.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 BM25_K1 = 1.2
@@ -115,6 +115,101 @@ def bm25_topk_for(docs: DataFrame) -> DataFrame:
     )
 
 
+def bm25_index_for(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Build the inverted-index representation of a ``(doc_id, text)``
+    frame: ``(postings, stats)``.
+
+    ``postings`` is one row per (term, doc_id) with the term frequency
+    and the document length denormalized in (``term, doc_id, tf, dl``)
+    — the standard posting-list layout: storing ``dl`` beside ``tf``
+    means query-time scoring never joins back to a corpus-cardinality
+    lengths frame. ``stats`` is the ONE-row corpus frame
+    (``n_docs, sum_dl``) aggregated over ALL documents (including
+    zero-token ones, matching :func:`bm25_topk_for`'s stats exactly).
+
+    100 TB shape: the index build is one explode + one groupBy on
+    (term, doc_id) — the classic one-time indexing shuffle. Persist
+    ``postings`` partitioned/bucketed by ``term`` and query-time term
+    filters become partition pruning instead of a scan."""
+    toks = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.expr("filter(split(lower(text), ' '), t -> t <> '')").alias("a"),
+    )
+    ex = toks.select(
+        "doc_id",
+        F.size("a").cast("long").alias("dl"),
+        F.explode("a").alias("term"),
+    )
+    postings = ex.groupBy("term", "doc_id").agg(
+        F.count("*").cast("long").alias("tf"),
+        F.min("dl").cast("long").alias("dl"),
+    )
+    stats = toks.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.size("a").cast("long")).cast("long").alias("sum_dl"),
+    )
+    return postings, stats
+
+
+def bm25_topk_indexed_for(
+    postings: DataFrame,
+    stats: DataFrame,
+    terms: tuple[str, ...] = BM25_QUERY_TERMS,
+    k: int = BM25_TOPK,
+) -> DataFrame:
+    """Query-time BM25 over an inverted index from
+    :func:`bm25_index_for` — NEXT.md #11's scale path behind the SAME
+    per-term scoring expression (:func:`_bm25_term_sql`) as the
+    brute-force :func:`bm25_topk_for`.
+
+    Candidate semantics (standard retrieval): only documents
+    containing >= 1 query term are ranked — the brute-force scan pads
+    with zero-score documents when fewer than k candidates exist; the
+    indexed path by construction cannot see them. For every emitted
+    doc the integer micro-unit score is IDENTICAL to the brute-force
+    value: each posting row is exactly one (doc, term) contribution,
+    rounded per term then integer-summed, the same algebra in a
+    different order of grouping.
+
+    100 TB shape: the ``term IN (...)`` filter prunes the posting scan
+    to the query terms (Catalyst pushes it through the index groupBy
+    when composed in-plan; against a persisted term-partitioned index
+    it is partition pruning), per-term df is a COUNT WINDOW over the
+    filtered postings — not a groupBy+join-back, which would re-run
+    the corpus explode lineage a second time (ReusedExchange does NOT
+    collapse differently-projected subtrees; the round-6 ExactSubstr
+    lesson) — the corpus stats row is the Lloyd/BPE broadcast-scalar
+    pattern, and the final ranking is a groupBy over only matching
+    postings + TakeOrderedAndProject — ONE Generate of the corpus at
+    index-build, no full-corpus work at query time."""
+    qp = postings.filter(F.col("term").isin(*terms))
+    qp = qp.withColumn(
+        "df", F.count("*").over(Window.partitionBy("term")).cast("long")
+    )
+    contrib = F.expr(_bm25_term_sql("tf", "df"))
+    scored = qp.join(F.broadcast(stats)).select(
+        "doc_id", contrib.alias("contrib")
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_terms"),
+            F.sum("contrib").cast("long").alias("bm25_micro"),
+        )
+        .orderBy(F.desc("bm25_micro"), "doc_id")
+        .limit(k)
+    )
+
+
+def bm25_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered inverted-index BM25: build the posting lists over
+    ``documents`` in-plan and rank the fixed query
+    :data:`BM25_QUERY_TERMS`. Columns: doc_id, n_terms (distinct
+    query terms present), bm25_micro."""
+    postings, stats = bm25_index_for(_read(spark, sf_dir, "documents"))
+    return bm25_topk_indexed_for(postings, stats)
+
+
 _TF_SQL = ", ".join(
     f"CAST(len(list_filter(a, x -> x = '{t}')) AS BIGINT) AS tf_{t}"
     for t in BM25_QUERY_TERMS
@@ -145,6 +240,46 @@ stats AS (
 SELECT doc_id, dl, {", ".join(f"tf_{t}" for t in BM25_QUERY_TERMS)},
        CAST({_SCORE_SQL} AS BIGINT) AS bm25_micro
 FROM m, stats
+ORDER BY bm25_micro DESC, doc_id
+LIMIT {BM25_TOPK}
+"""
+
+_QTERMS_SQL = ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
+
+BM25_TOPK_INDEXED_SQL = f"""
+WITH toks AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         list_filter(string_split(lower(text), ' '), t -> t <> '') AS a
+  FROM documents
+),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len(a)) AS BIGINT) AS sum_dl
+  FROM toks
+),
+postings AS (
+  SELECT term, doc_id,
+         CAST(COUNT(*) AS BIGINT) AS tf,
+         CAST(MIN(dl) AS BIGINT) AS dl
+  FROM (
+    SELECT doc_id, CAST(len(a) AS BIGINT) AS dl, unnest(a) AS term
+    FROM toks
+  )
+  GROUP BY term, doc_id
+),
+qp AS (
+  SELECT *, CAST(COUNT(*) OVER (PARTITION BY term) AS BIGINT) AS df
+  FROM postings WHERE term IN ({_QTERMS_SQL})
+),
+scored AS (
+  SELECT qp.doc_id, {_bm25_term_sql("tf", "df")} AS contrib
+  FROM qp, stats
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_terms,
+       CAST(SUM(contrib) AS BIGINT) AS bm25_micro
+FROM scored
+GROUP BY doc_id
 ORDER BY bm25_micro DESC, doc_id
 LIMIT {BM25_TOPK}
 """

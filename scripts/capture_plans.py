@@ -39,6 +39,10 @@ PICKS = {
     "fineweb_quality": "FineWeb panel (r6s3): zero-shuffle narrow map — every line-shape signal is an array expression inside one WholeStageCodegen scan (the whole panel family shares this shape; c4/gopher_quality/encoding/text_normalize/strip_repeated_lines pinned identical by test)",
     "quality_vote": "Five-policy vote (r6s3): each panel is its own pruned scan; verdicts join on slim (doc_id, flag) frames — gopher_repetition is the only subtree with an exchange",
     "ngram_decontamination": "Token-13-gram decontamination (r6s3): ONE window explode over the training side, benchmark gram set distinct-bounded and joined left-semi (AQE broadcasts while small), per-doc counts from one partial-agg groupBy; the window-total side is a narrow pruned re-scan, not a second explode",
+    "boilerplate_lines": "Boilerplate miner (r6s4): ONE posexplode of the prose frame, df + example via one aggregate on the line hash, TakeOrderedAndProject on (df, line) — no self-join",
+    "paragraph_dedup_newline": "Real-segmenter CCNet (r6s4): ONE posexplode, ONE exchange, first-copy keep via a min-struct window on md5(seg_text) — no groupBy+join-back of the corpus-sized segment frame",
+    "bm25_topk": "BM25 brute-force baseline (r6s4): corpus stats = one SinglePartition 1-row aggregate broadcast back; scoring is a zero-shuffle map; TakeOrderedAndProject",
+    "bm25_topk_indexed": "BM25 inverted index (r6s5): term IN filter pushed below the postings aggregate (only query-term tokens shuffle), per-term df = count window over filtered postings (ONE corpus Generate — no join-back re-explode), groupBy(doc_id) + TakeOrderedAndProject",
 }
 
 

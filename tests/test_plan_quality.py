@@ -526,3 +526,26 @@ def test_bm25_topk_broadcast_stats_take_ordered(spark):
     assert "Exchange hashpartitioning" not in plan
     assert "partial_" in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_bm25_topk_indexed_single_generate_pruned_scan(spark):
+    """bm25_topk_indexed: the corpus is exploded ONCE (per-term df is
+    a count window over the filtered postings, not a groupBy +
+    join-back that would re-run the explode lineage — the round-6
+    ExactSubstr lesson); the term IN filter sits BELOW the postings
+    aggregate (pushed through the groupBy to just above Generate, so
+    only query-term tokens are shuffled); ranking ends in
+    TakeOrderedAndProject."""
+    from pdftotext_spark.operators import retrieval
+
+    plan = _plan(retrieval.bm25_topk_indexed(spark, SF))
+    assert plan.count("Generate explode") == 1
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" in plan
+    # filter pushed below the (term, doc_id) aggregate: the Filter on
+    # term literals must appear AFTER (deeper than) the partial
+    # aggregate line in the printed tree
+    agg_at = plan.index("partial_count")
+    filt_at = plan.index("IN (window,spark,join)")
+    assert filt_at > agg_at
+    assert "SortMergeJoin" not in plan

@@ -106,6 +106,58 @@ def test_bm25_rarer_term_outscores_common(spark):
     assert rows[0] > rows[1]
 
 
+def _indexed(spark, texts, k=retrieval.BM25_TOPK):
+    postings, stats = retrieval.bm25_index_for(_frame(spark, texts))
+    return retrieval.bm25_topk_indexed_for(postings, stats, k=k).collect()
+
+
+def test_bm25_indexed_equals_bruteforce(spark):
+    """The inverted-index path must produce the SAME ranked list with
+    the SAME integer micro scores as the brute-force scan whenever >= k
+    documents contain a query term (identical per-(doc, term) rounded
+    contributions, different grouping order only)."""
+    texts = [
+        f"spark {'filler ' * (i % 7)}join window doc{i}" for i in range(12)
+    ] + ["join only here", "window window twice"]
+    brute = [
+        (r.doc_id, r.bm25_micro)
+        for r in retrieval.bm25_topk_for(_frame(spark, texts)).collect()
+    ]
+    ix = [(r.doc_id, r.bm25_micro) for r in _indexed(spark, texts)]
+    assert ix == brute
+
+
+def test_bm25_indexed_candidates_only(spark):
+    """Documented semantic difference: the index ranks only documents
+    containing >= 1 query term — no zero-score padding rows."""
+    texts = ["spark alpha", "no terms at all", "also none", "join beta"]
+    rows = _indexed(spark, texts)
+    assert sorted(r.doc_id for r in rows) == [0, 3]
+    assert all(r.bm25_micro > 0 for r in rows)
+    assert all(r.n_terms == 1 for r in rows)
+
+
+def test_bm25_indexed_n_terms_counts_distinct_matches(spark):
+    texts = ["spark join window", "spark spark spark", "join window"]
+    rows = {r.doc_id: r.n_terms for r in _indexed(spark, texts)}
+    assert rows == {0: 3, 1: 1, 2: 2}
+
+
+def test_bm25_index_shape(spark):
+    """Posting-list layout: one row per (term, doc_id), tf counted,
+    dl denormalized; the stats row counts ALL docs including
+    zero-token ones (must match the brute-force corpus stats)."""
+    postings, stats = retrieval.bm25_index_for(
+        _frame(spark, ["spark spark join", "  ", "alpha spark"])
+    )
+    p = {(r.term, r.doc_id): (r.tf, r.dl) for r in postings.collect()}
+    assert p[("spark", 0)] == (2, 3) and p[("join", 0)] == (1, 3)
+    assert p[("spark", 2)] == (1, 2) and p[("alpha", 2)] == (1, 2)
+    assert all(r.doc_id != 1 for r in postings.collect())
+    s = stats.collect()[0]
+    assert (s.n_docs, s.sum_dl) == (3, 5)
+
+
 def test_bm25_corpus_fixture_nondegenerate(spark, sf_dir):
     """Registration invariant: the fixed benchmark query must produce
     a full, non-constant top-k on the synthetic corpus."""
