@@ -133,6 +133,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "srp_neardup_pairs": similarity.srp_neardup_pairs,
     "dedup_groups_srp": similarity.dedup_groups_srp,
     "dedup_apply_srp": similarity.dedup_apply_srp,  # semantic-dedup apply
+    "semantic_decontamination": similarity.semantic_decontamination,  # embedding eval-leak report
+    "semantic_decontaminate_apply": similarity.semantic_decontaminate_apply,  # per-train verdicts
     "dedup_incremental_srp": similarity.dedup_incremental_srp,  # increment vs band index
     "embedding_health": similarity.embedding_health,
     "ann_topk_srp": similarity.ann_topk_srp,
@@ -236,6 +238,8 @@ _ORACLES: dict[str, str] = {
     "srp_neardup_pairs": similarity.SRP_NEARDUP_PAIRS_SQL,
     "dedup_groups_srp": similarity.DEDUP_GROUPS_SRP_SQL,
     "dedup_apply_srp": similarity.DEDUP_APPLY_SRP_SQL,
+    "semantic_decontamination": similarity.SEMANTIC_DECONTAMINATION_SQL,
+    "semantic_decontaminate_apply": similarity.SEMANTIC_DECONTAMINATE_APPLY_SQL,
     "dedup_incremental_srp": similarity.DEDUP_INCREMENTAL_SRP_SQL,
     "embedding_health": similarity.EMBEDDING_HEALTH_SQL,
     "ann_topk_srp": similarity.ANN_TOPK_SRP_SQL,
@@ -350,10 +354,15 @@ _DRIVER_GATE_FIRST = [
     "strip_boilerplate_lines",
     "paragraph_dedup_newline",
     "bm25_topk",
-    # fifth r6 session: bm25_topk_indexed is NEW (first-ever row);
-    # fragment_sort_topk (r4-green, untouched, dedicated tests)
-    # cycles to r7 to stay under the 50-row cap
+    # fifth r6 session: bm25_topk_indexed and the semantic
+    # decontamination pair are NEW (first-ever rows);
+    # fragment_sort_topk / token_cms / value_quantile_sketch
+    # (r4-green, untouched, each with dedicated semantic tests and —
+    # for the sketches — continuously-exercised streaming twins)
+    # cycle to r7 to stay under the 50-row cap
     "bm25_topk_indexed",
+    "semantic_decontamination",
+    "semantic_decontaminate_apply",
     "dedup_incremental_exact",
     "dedup_incremental_minhash",
     "dedup_incremental_minhash_verified",
@@ -394,8 +403,6 @@ _DRIVER_GATE_FIRST = [
     "lang_id",
     "quality_score",
     "quality_filter_by_source",
-    "token_cms",
-    "value_quantile_sketch",
     "tfidf_top_terms",
     "repetition_signals",
     "chunk_documents",

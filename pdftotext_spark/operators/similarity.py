@@ -16,7 +16,7 @@ from __future__ import annotations
 import math
 import warnings
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pdftotext_spark.operators.materialize import (
@@ -412,6 +412,31 @@ SRP_BANDS = 4
 _SRP_BAND_BITS = SRP_PLANES // SRP_BANDS  # 4 bits per band
 
 
+def _srp_band_keys(frame: DataFrame) -> DataFrame:
+    """``(vec_id, band_idx, band_bits)`` from a frame carrying the
+    16-bit ``srp`` column: :data:`SRP_BANDS` bands of
+    :data:`_SRP_BAND_BITS` bits each — the banded-LSH key frame shared
+    by :func:`srp_neardup_pairs` and the semantic-decontamination
+    family (one definition so the band geometry can't drift between
+    consumers)."""
+    return frame.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        F.shiftright("srp", i * _SRP_BAND_BITS)
+                        .bitwiseAND(F.lit((1 << _SRP_BAND_BITS) - 1))
+                        .alias("band_bits"),
+                    )
+                    for i in range(SRP_BANDS)
+                ]
+            )
+        ).alias("b"),
+    ).select("vec_id", "b.band_idx", "b.band_bits")
+
+
 def srp_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed embedding near-dup pairs, *banded* multi-table
     SRP (Charikar hyperplane LSH): the 16 sign bits split into 4
@@ -429,22 +454,7 @@ def srp_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .transform(materialize)  # consumed by the band join AND the two
         # embedding joins — one srp/norm computation
     )
-    banded = emb.select(
-        "vec_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band_idx"),
-                        F.shiftright("srp", i * _SRP_BAND_BITS)
-                        .bitwiseAND(F.lit((1 << _SRP_BAND_BITS) - 1))
-                        .alias("band_bits"),
-                    )
-                    for i in range(SRP_BANDS)
-                ]
-            )
-        ).alias("b"),
-    ).select("vec_id", "b.band_idx", "b.band_bits")
+    banded = _srp_band_keys(emb)
     # NARROW ids through the banded join + cross-band dedup, then join
     # the embeddings back: a pair colliding in several bands pays ONE
     # dot product, and the distinct never shuffles 64-float payloads
@@ -550,6 +560,169 @@ SELECT CAST(vec_id AS BIGINT) AS vec_id FROM embeddings
 WHERE vec_id NOT IN (
   SELECT vec_b FROM ({SRP_NEARDUP_PAIRS_SQL})
 )
+"""
+
+
+# Semantic decontamination: the embedding-space analog of the token
+# 13-gram rule (dedup.ngram_decontamination) — paraphrased benchmark
+# leakage that no lexical n-gram catches. Eval set = label 0 of the
+# embeddings table (plays the held-out-benchmark role, as the source
+# split does for the lexical family); a training vector is
+# contaminated when its cosine to ANY eval vector among its SRP band
+# candidates reaches the family threshold.
+SEM_DECON_EVAL_LABEL = 0
+SEM_DECON_EPS = SRP_COSINE_THRESHOLD
+
+
+def semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-contaminated-vector report: ``(vec_id, eval_vec_id,
+    cosine)`` where ``eval_vec_id`` is the best (max-cosine, ties to
+    the smallest eval id) matching eval vector.
+
+    Candidates come from the SAME 4-band × 4-bit SRP family as
+    :func:`srp_neardup_pairs` (recall at the 0.30 threshold is the
+    documented ~0.4 band bound — at 100 TB you widen bands; missed
+    pairs can only under-flag, the fail-safe direction for a REPORT
+    whose action is manual review; the token 13-gram rule remains the
+    hard gate).
+
+    100 TB shape: the eval side is a benchmark suite — genuinely tiny
+    (thousands of vectors), so its band keys AND embeddings broadcast
+    (this is a real dimension table, unlike the corpus-cardinality
+    frame the r5 source_overlap_matrix advice un-broadcast); the
+    training side pays one narrow band explode, a broadcast hash join,
+    one shuffle of the slim candidate ids to fetch embeddings back,
+    and a per-vec argmax window over candidates only. No
+    corpus-by-corpus join anywhere."""
+    return semantic_decontamination_for(_read(spark, sf_dir, "embeddings"))
+
+
+def semantic_decontamination_for(raw: DataFrame) -> DataFrame:
+    """Core of :func:`semantic_decontamination` over an arbitrary
+    ``(vec_id, embedding, label)`` frame — the constructed-input
+    surface for planted-geometry tests (the blind-oracle rule: every
+    operator needs a hand-checked semantic test, not just its DuckDB
+    twin)."""
+    emb = (
+        raw.select(F.col("vec_id").cast("long").alias("vec_id"), "embedding", "label")
+        .withColumn("nrm", _norm(F.col("embedding")))
+        .withColumn("srp", _srp_bucket_col())
+        .transform(materialize)  # consumed by train bands, train
+        # embedding fetch-back, and the eval broadcast — one srp/norm
+        # computation (the round-6 single-scan rule)
+    )
+    is_eval = F.col("label") == SEM_DECON_EVAL_LABEL
+    bands_t = _srp_band_keys(emb.filter(~is_eval))
+    bands_e = _srp_band_keys(emb.filter(is_eval)).select(
+        "band_idx", "band_bits", F.col("vec_id").alias("eval_vec_id")
+    )
+    cand = (
+        bands_t.join(F.broadcast(bands_e), ["band_idx", "band_bits"])
+        .select("vec_id", "eval_vec_id")
+        .distinct()
+    )
+    et = emb.select("vec_id", F.col("embedding").alias("emb_t"), F.col("nrm").alias("nrm_t"))
+    ee = emb.filter(is_eval).select(
+        F.col("vec_id").alias("eval_vec_id"),
+        F.col("embedding").alias("emb_e"),
+        F.col("nrm").alias("nrm_e"),
+    )
+    cos = _dot(F.col("emb_t"), F.col("emb_e")) / (F.col("nrm_t") * F.col("nrm_e"))
+    hits = (
+        cand.join(et, "vec_id")
+        .join(F.broadcast(ee), "eval_vec_id")
+        .select("vec_id", "eval_vec_id", F.round(cos, 4).alias("cosine"))
+        .filter(F.col("cosine") >= SEM_DECON_EPS)
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc("cosine"), F.asc("eval_vec_id")
+    )
+    return (
+        hits.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "eval_vec_id", "cosine")
+    )
+
+
+def semantic_decontaminate_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY twin: EVERY training vector emits a verdict row
+    ``(vec_id, contaminated, eval_vec_id, cosine)`` (nullable evidence
+    columns on clean rows — the dsir_select zero-row lesson: a
+    survivors-only frame is blind to silently vanished inputs)."""
+    return semantic_decontaminate_apply_for(_read(spark, sf_dir, "embeddings"))
+
+
+def semantic_decontaminate_apply_for(raw: DataFrame) -> DataFrame:
+    """Core of :func:`semantic_decontaminate_apply` over an arbitrary
+    ``(vec_id, embedding, label)`` frame."""
+    train = (
+        raw.select(F.col("vec_id").cast("long").alias("vec_id"), "label")
+        .filter(F.col("label") != SEM_DECON_EVAL_LABEL)
+        .select("vec_id")
+    )
+    rep = semantic_decontamination_for(raw)
+    return train.join(rep, "vec_id", "left").select(
+        "vec_id",
+        F.col("eval_vec_id").isNotNull().alias("contaminated"),
+        "eval_vec_id",
+        "cosine",
+    )
+
+
+_SEM_BANDS_SQL = " UNION ALL ".join(
+    f"SELECT vec_id, label, {i} AS band_idx, "
+    f"(srp // {1 << (i * _SRP_BAND_BITS)}) % {1 << _SRP_BAND_BITS} AS band_bits FROM sig"
+    for i in range(SRP_BANDS)
+)
+
+_SEM_HITS_SQL = f"""
+WITH sig AS (
+  SELECT CAST(vec_id AS BIGINT) AS vec_id, embedding, label,
+         CAST({_SRP_BUCKET_SQL} AS BIGINT) AS srp
+  FROM embeddings
+),
+bands AS ({_SEM_BANDS_SQL}),
+cand AS (
+  SELECT DISTINCT t.vec_id, e.vec_id AS eval_vec_id
+  FROM bands t JOIN bands e
+    ON t.band_idx = e.band_idx AND t.band_bits = e.band_bits
+  WHERE t.label <> {SEM_DECON_EVAL_LABEL} AND e.label = {SEM_DECON_EVAL_LABEL}
+),
+hits AS (
+  SELECT * FROM (
+    SELECT c.vec_id, c.eval_vec_id,
+           ROUND(
+             list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                                     x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+             4) AS cosine
+    FROM cand c
+    JOIN sig a ON a.vec_id = c.vec_id
+    JOIN sig b ON b.vec_id = c.eval_vec_id
+  ) WHERE cosine >= {SEM_DECON_EPS}
+),
+best AS (
+  SELECT vec_id, eval_vec_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY cosine DESC, eval_vec_id ASC) AS rn
+  FROM hits
+)
+SELECT vec_id, eval_vec_id, cosine FROM best WHERE rn = 1
+"""
+
+SEMANTIC_DECONTAMINATION_SQL = _SEM_HITS_SQL
+
+SEMANTIC_DECONTAMINATE_APPLY_SQL = f"""
+WITH rep AS ({_SEM_HITS_SQL})
+SELECT t.vec_id,
+       rep.eval_vec_id IS NOT NULL AS contaminated,
+       rep.eval_vec_id, rep.cosine
+FROM (
+  SELECT CAST(vec_id AS BIGINT) AS vec_id FROM embeddings
+  WHERE label <> {SEM_DECON_EVAL_LABEL}
+) t
+LEFT JOIN rep ON rep.vec_id = t.vec_id
 """
 
 

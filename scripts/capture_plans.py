@@ -43,6 +43,7 @@ PICKS = {
     "paragraph_dedup_newline": "Real-segmenter CCNet (r6s4): ONE posexplode, ONE exchange, first-copy keep via a min-struct window on md5(seg_text) — no groupBy+join-back of the corpus-sized segment frame",
     "bm25_topk": "BM25 brute-force baseline (r6s4): corpus stats = one SinglePartition 1-row aggregate broadcast back; scoring is a zero-shuffle map; TakeOrderedAndProject",
     "bm25_topk_indexed": "BM25 inverted index (r6s5): term IN filter pushed below the postings aggregate (only query-term tokens shuffle), per-term df = count window over filtered postings (ONE corpus Generate — no join-back re-explode), groupBy(doc_id) + TakeOrderedAndProject",
+    "semantic_decontamination": "Embedding eval-leak report (r6s5): eval band keys + embeddings force-broadcast (genuinely tiny benchmark side), train side = one narrow band explode + broadcast join; per-vec argmax is a rank-1 window with PARTIAL WindowGroupLimit below its shuffle; two wide shuffles total",
 }
 
 

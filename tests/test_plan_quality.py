@@ -528,6 +528,23 @@ def test_bm25_topk_broadcast_stats_take_ordered(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
 
 
+def test_semantic_decontamination_broadcast_eval_windowed_argmax(spark):
+    """semantic_decontamination: eval-side band keys and embeddings
+    are (forced, genuinely-small) broadcasts; the per-vec argmax is a
+    rank-1 window with a PARTIAL WindowGroupLimit below the shuffle
+    (only each task's local best candidates move); exactly two wide
+    shuffles (candidate distinct + argmax window); no cartesian, no
+    sort-merge join at this scale."""
+    from pdftotext_spark.operators import similarity
+
+    plan = _plan(similarity.semantic_decontamination(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "WindowGroupLimit" in plan and "Partial" in plan
+    assert plan.count("Exchange hashpartitioning") == 2
+
+
 def test_bm25_topk_indexed_single_generate_pruned_scan(spark):
     """bm25_topk_indexed: the corpus is exploded ONCE (per-term df is
     a count window over the filtered postings, not a groupBy +
