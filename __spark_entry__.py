@@ -101,6 +101,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "paragraph_dedup_newline": prose.paragraph_dedup_newline,  # real-segmenter CCNet
     "bm25_topk": retrieval.bm25_topk,                  # Okapi BM25 retrieval
     "bm25_topk_indexed": retrieval.bm25_topk_indexed,  # inverted-index BM25
+    "hybrid_rrf_topk": retrieval.hybrid_rrf_topk,      # RRF lexical+dense fusion
+    "bm25_rerank_cosine": retrieval.bm25_rerank_cosine,  # retrieve-then-rerank
     "duplicated_span_fraction": dedup.duplicated_span_fraction,  # ExactSubstr metric
     "strip_duplicated_spans": dedup.strip_duplicated_spans,  # ExactSubstr APPLY
     "top_duplicated_spans": dedup.top_duplicated_spans,  # boilerplate report
@@ -303,6 +305,8 @@ _ORACLES: dict[str, str] = {
     "paragraph_dedup_newline": prose.PARAGRAPH_DEDUP_NEWLINE_SQL,
     "bm25_topk": retrieval.BM25_TOPK_SQL,
     "bm25_topk_indexed": retrieval.BM25_TOPK_INDEXED_SQL,
+    "hybrid_rrf_topk": retrieval.HYBRID_RRF_TOPK_SQL,
+    "bm25_rerank_cosine": retrieval.BM25_RERANK_COSINE_SQL,
     "paragraph_dedup": dedup.PARAGRAPH_DEDUP_SQL,
     "paragraph_dedup_apply": dedup.PARAGRAPH_DEDUP_APPLY_SQL,
     "duplicated_span_fraction": dedup.DUPLICATED_SPAN_FRACTION_SQL,
@@ -361,6 +365,11 @@ _DRIVER_GATE_FIRST = [
     # for the sketches — continuously-exercised streaming twins)
     # cycle to r7 to stay under the 50-row cap
     "bm25_topk_indexed",
+    # sixth r6 session: the hybrid-retrieval pair is NEW (first-ever
+    # rows); chunk_documents / bpe_token_profile (r4-green, untouched,
+    # dedicated semantic tests) cycle to r7 under the 50-row cap
+    "hybrid_rrf_topk",
+    "bm25_rerank_cosine",
     "semantic_decontamination",
     "semantic_decontaminate_apply",
     "dedup_incremental_exact",
@@ -405,9 +414,7 @@ _DRIVER_GATE_FIRST = [
     "quality_filter_by_source",
     "tfidf_top_terms",
     "repetition_signals",
-    "chunk_documents",
     "unigram_logloss",
-    "bpe_token_profile",
     "bpe_merges_driver",
     # modified in r6 — refresh their rows
     "winnowing_shared_pairs",

@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from pdftotext_spark.operators import similarity as _sim
+
 BM25_K1 = 1.2
 BM25_B = 0.75
 BM25_TOPK = 10
@@ -210,6 +212,170 @@ def bm25_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk_indexed_for(postings, stats)
 
 
+# --- hybrid retrieval: RRF fusion + dense rerank -------------------
+#
+# Two-system retrieval over the SAME corpus: the lexical system is the
+# inverted-index BM25 above (query = BM25_QUERY_TERMS); the dense
+# system ranks by exact cosine against the fixed query vector
+# (vec_id = similarity.QUERY_VEC_ID). The synthetic fixture keys both
+# tables identically (documents.doc_id 0..N-1 == embeddings.vec_id
+# 0..N-1); a deployment would carry an explicit doc_id on the
+# embedding table. The query's own row (doc/vec id 0) is excluded
+# from BOTH sides so the fused corpus is identical.
+
+RRF_K = 60  # Cormack, Clarke & Buettcher 2009's constant
+RRF_POOL = 50  # per-system candidate list depth
+RRF_TOPK = 20
+RERANK_TOPK = 10
+
+
+def _rrf_sql(rank: str) -> str:
+    """Reciprocal-rank contribution 1e6/(RRF_K + rank) in integer
+    micro-units — ONE expression string evaluated verbatim by both
+    engines (the :func:`_bm25_term_sql` discipline); NULL rank (doc
+    absent from that system's list) propagates NULL for the caller's
+    COALESCE."""
+    return f"CAST(round(1000000e0 / ({RRF_K}e0 + {rank}), 0) AS BIGINT)"
+
+
+def _lex_pool(docs: DataFrame) -> DataFrame:
+    """Top-:data:`RRF_POOL` lexical candidates (query-doc row
+    excluded) with 1-based rank — rank assignment is a row_number over
+    the already-LIMITed pool, so the window sorts <= RRF_POOL rows,
+    never the corpus (the TakeOrderedAndProject below it did the
+    corpus-scale work)."""
+    postings, stats = bm25_index_for(
+        docs.filter(F.col("doc_id") != _sim.QUERY_VEC_ID)
+    )
+    pool = bm25_topk_indexed_for(postings, stats, k=RRF_POOL)
+    w = Window.orderBy(F.desc("bm25_micro"), F.asc("doc_id"))
+    return pool.select(
+        "doc_id", "bm25_micro", F.row_number().over(w).alias("lex_r")
+    )
+
+
+def _dense_pool(emb: DataFrame) -> DataFrame:
+    """Top-:data:`RRF_POOL` cosine neighbours of the fixed query
+    vector with 1-based rank; same broadcast-single-query-row shape as
+    :func:`~pdftotext_spark.operators.similarity.cosine_topk` (scales
+    to any table size), cosine rounded to 4dp BEFORE ranking so the
+    rank order is the cross-engine-stable one."""
+    q = emb.filter(F.col("vec_id") == _sim.QUERY_VEC_ID).select(
+        F.col("embedding").alias("q_embedding")
+    )
+    joined = emb.filter(F.col("vec_id") != _sim.QUERY_VEC_ID).join(
+        F.broadcast(q)
+    )
+    cos = _sim._dot(F.col("embedding"), F.col("q_embedding")) / (
+        _sim._norm(F.col("embedding")) * _sim._norm(F.col("q_embedding"))
+    )
+    pool = (
+        joined.select(
+            F.col("vec_id").cast("long").alias("doc_id"),
+            F.round(cos, 4).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("doc_id"))
+        .limit(RRF_POOL)
+    )
+    w = Window.orderBy(F.desc("cosine"), F.asc("doc_id"))
+    return pool.select(
+        "doc_id", "cosine", F.row_number().over(w).alias("cos_r")
+    )
+
+
+def hybrid_rrf_topk_for(docs: DataFrame, emb: DataFrame) -> DataFrame:
+    """Reciprocal Rank Fusion (RRF, Cormack et al. 2009) of the BM25
+    list and the dense cosine list: score(d) = Σ 1/(60 + rank_sys(d))
+    over the systems that retrieved d, in integer micro-units.
+
+    Output: doc_id, lex_rank / cos_rank (1-based; 0 = absent from
+    that system's top-:data:`RRF_POOL`), rrf_micro; top
+    :data:`RRF_TOPK` by (rrf_micro DESC, doc_id).
+
+    100 TB shape: each system independently reduces the corpus to
+    <= RRF_POOL rows via TakeOrderedAndProject (no full sort); the
+    fusion full-outer join and final ordering touch only 2×RRF_POOL
+    rows — constant work regardless of corpus size."""
+    lex = _lex_pool(docs).select("doc_id", "lex_r")
+    den = _dense_pool(emb).select("doc_id", "cos_r")
+    fused = lex.join(den, "doc_id", "full_outer").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.coalesce(F.col("lex_r"), F.lit(0))
+        .cast("long")
+        .alias("lex_rank"),
+        F.coalesce(F.col("cos_r"), F.lit(0))
+        .cast("long")
+        .alias("cos_rank"),
+        (
+            F.coalesce(F.expr(_rrf_sql("lex_r")), F.lit(0))
+            + F.coalesce(F.expr(_rrf_sql("cos_r")), F.lit(0))
+        )
+        .cast("long")
+        .alias("rrf_micro"),
+    )
+    return fused.orderBy(F.desc("rrf_micro"), F.asc("doc_id")).limit(
+        RRF_TOPK
+    )
+
+
+def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered hybrid retrieval: RRF-fuse the fixed lexical query
+    :data:`BM25_QUERY_TERMS` with the fixed dense query vector over
+    the documents/embeddings fixture pair."""
+    return hybrid_rrf_topk_for(
+        _read(spark, sf_dir, "documents"),
+        _read(spark, sf_dir, "embeddings"),
+    )
+
+
+def bm25_rerank_cosine_for(
+    docs: DataFrame, emb: DataFrame
+) -> DataFrame:
+    """Two-stage retrieve-then-rerank: BM25 generates
+    <= :data:`RRF_POOL` lexical candidates, the exact cosine against
+    the fixed query vector reranks them; top :data:`RERANK_TOPK` by
+    (cosine DESC, doc_id). Output: doc_id, bm25_micro, lex_rank,
+    cosine.
+
+    100 TB shape: the candidate list is genuinely tiny (<= RRF_POOL
+    rows) so it IS force-broadcast into the embedding scan — a
+    BroadcastHashJoin that streams the embeddings table once and
+    never shuffles it; the rerank scoring then touches only the
+    surviving <= RRF_POOL vectors."""
+    cand = _lex_pool(docs)
+    q = emb.filter(F.col("vec_id") == _sim.QUERY_VEC_ID).select(
+        F.col("embedding").alias("q_embedding")
+    )
+    joined = (
+        emb.join(
+            F.broadcast(cand),
+            emb["vec_id"].cast("long") == cand["doc_id"],
+        )
+        .join(F.broadcast(q))
+    )
+    cos = _sim._dot(F.col("embedding"), F.col("q_embedding")) / (
+        _sim._norm(F.col("embedding")) * _sim._norm(F.col("q_embedding"))
+    )
+    return (
+        joined.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("bm25_micro").cast("long").alias("bm25_micro"),
+            F.col("lex_r").cast("long").alias("lex_rank"),
+            F.round(cos, 4).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("doc_id"))
+        .limit(RERANK_TOPK)
+    )
+
+
+def bm25_rerank_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered two-stage rerank over the fixture pair."""
+    return bm25_rerank_cosine_for(
+        _read(spark, sf_dir, "documents"),
+        _read(spark, sf_dir, "embeddings"),
+    )
+
+
 _TF_SQL = ", ".join(
     f"CAST(len(list_filter(a, x -> x = '{t}')) AS BIGINT) AS tf_{t}"
     for t in BM25_QUERY_TERMS
@@ -282,4 +448,116 @@ FROM scored
 GROUP BY doc_id
 ORDER BY bm25_micro DESC, doc_id
 LIMIT {BM25_TOPK}
+"""
+
+
+def _cos_sql(e_emb: str, q_emb: str) -> str:
+    """DuckDB 4dp cosine between two list columns — the same
+    sequential list_sum-over-list_zip order :func:`similarity._dot`
+    evaluates JVM-side (parity proven by cosine_topk)."""
+    dot = (
+        f"list_sum(list_transform(list_zip({e_emb}, {q_emb}), "
+        f"x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+    )
+    nrm = (
+        "sqrt(list_sum(list_transform({v}, "
+        "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    )
+    return (
+        f"ROUND({dot} / ({nrm.format(v=e_emb)} * {nrm.format(v=q_emb)}), 4)"
+    )
+
+
+# lexical pool CTEs (query-doc row excluded; mirrors _lex_pool):
+# rank-then-QUALIFY here == orderBy().limit() then row_number() on the
+# Spark side — same deterministic total order.
+_LEX_POOL_CTES = f"""
+toks AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         list_filter(string_split(lower(text), ' '), t -> t <> '') AS a
+  FROM documents WHERE doc_id <> {_sim.QUERY_VEC_ID}
+),
+lstats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len(a)) AS BIGINT) AS sum_dl
+  FROM toks
+),
+postings AS (
+  SELECT term, doc_id,
+         CAST(COUNT(*) AS BIGINT) AS tf,
+         CAST(MIN(dl) AS BIGINT) AS dl
+  FROM (
+    SELECT doc_id, CAST(len(a) AS BIGINT) AS dl, unnest(a) AS term
+    FROM toks
+  )
+  GROUP BY term, doc_id
+),
+qp AS (
+  SELECT *, CAST(COUNT(*) OVER (PARTITION BY term) AS BIGINT) AS df
+  FROM postings WHERE term IN ({_QTERMS_SQL})
+),
+lex_scored AS (
+  SELECT doc_id,
+         CAST(SUM(contrib) AS BIGINT) AS bm25_micro
+  FROM (
+    SELECT qp.doc_id, {_bm25_term_sql("tf", "df")} AS contrib
+    FROM qp, lstats
+  )
+  GROUP BY doc_id
+),
+lex AS (
+  SELECT doc_id, bm25_micro,
+         CAST(row_number() OVER (ORDER BY bm25_micro DESC, doc_id)
+              AS BIGINT) AS lex_r
+  FROM lex_scored
+  QUALIFY lex_r <= {RRF_POOL}
+)"""
+
+_DENSE_POOL_CTES = f"""
+q AS (
+  SELECT embedding AS q_embedding FROM embeddings
+  WHERE vec_id = {_sim.QUERY_VEC_ID}
+),
+dcos AS (
+  SELECT CAST(e.vec_id AS BIGINT) AS doc_id,
+         {_cos_sql("e.embedding", "q.q_embedding")} AS cosine
+  FROM embeddings e, q
+  WHERE e.vec_id <> {_sim.QUERY_VEC_ID}
+),
+den AS (
+  SELECT doc_id, cosine,
+         CAST(row_number() OVER (ORDER BY cosine DESC, doc_id)
+              AS BIGINT) AS cos_r
+  FROM dcos
+  QUALIFY cos_r <= {RRF_POOL}
+)"""
+
+HYBRID_RRF_TOPK_SQL = f"""
+WITH {_LEX_POOL_CTES},
+{_DENSE_POOL_CTES}
+SELECT CAST(COALESCE(l.doc_id, d.doc_id) AS BIGINT) AS doc_id,
+       CAST(COALESCE(l.lex_r, 0) AS BIGINT) AS lex_rank,
+       CAST(COALESCE(d.cos_r, 0) AS BIGINT) AS cos_rank,
+       CAST(COALESCE({_rrf_sql("l.lex_r")}, 0)
+            + COALESCE({_rrf_sql("d.cos_r")}, 0) AS BIGINT) AS rrf_micro
+FROM lex l FULL OUTER JOIN den d ON l.doc_id = d.doc_id
+ORDER BY rrf_micro DESC, doc_id
+LIMIT {RRF_TOPK}
+"""
+
+BM25_RERANK_COSINE_SQL = f"""
+WITH {_LEX_POOL_CTES},
+q AS (
+  SELECT embedding AS q_embedding FROM embeddings
+  WHERE vec_id = {_sim.QUERY_VEC_ID}
+)
+SELECT l.doc_id,
+       l.bm25_micro,
+       CAST(l.lex_r AS BIGINT) AS lex_rank,
+       {_cos_sql("e.embedding", "q.q_embedding")} AS cosine
+FROM lex l
+JOIN embeddings e ON CAST(e.vec_id AS BIGINT) = l.doc_id
+CROSS JOIN q
+ORDER BY cosine DESC, doc_id
+LIMIT {RERANK_TOPK}
 """

@@ -44,6 +44,8 @@ PICKS = {
     "bm25_topk": "BM25 brute-force baseline (r6s4): corpus stats = one SinglePartition 1-row aggregate broadcast back; scoring is a zero-shuffle map; TakeOrderedAndProject",
     "bm25_topk_indexed": "BM25 inverted index (r6s5): term IN filter pushed below the postings aggregate (only query-term tokens shuffle), per-term df = count window over filtered postings (ONE corpus Generate — no join-back re-explode), groupBy(doc_id) + TakeOrderedAndProject",
     "semantic_decontamination": "Embedding eval-leak report (r6s5): eval band keys + embeddings force-broadcast (genuinely tiny benchmark side), train side = one narrow band explode + broadcast join; per-vec argmax is a rank-1 window with PARTIAL WindowGroupLimit below its shuffle; two wide shuffles total",
+    "hybrid_rrf_topk": "RRF fusion (r6s6): each system bounds the corpus to RRF_POOL rows via TakeOrderedAndProject BEFORE its rank window; the full-outer fusion join and final top-k touch only 2xPOOL rows — constant fusion work at any corpus size",
+    "bm25_rerank_cosine": "Retrieve-then-rerank (r6s6): the <=POOL candidate list is the BROADCAST side of a BroadcastHashJoin against embeddings (big side streams once, query-row exclusion propagates into PushedFilters); cosine scoring touches only survivors; TakeOrderedAndProject",
 }
 
 

@@ -566,3 +566,45 @@ def test_bm25_topk_indexed_single_generate_pruned_scan(spark):
     filt_at = plan.index("IN (window,spark,join)")
     assert filt_at > agg_at
     assert "SortMergeJoin" not in plan
+
+
+def test_hybrid_rrf_pools_bounded_before_fusion(spark):
+    """hybrid_rrf_topk: each system reduces the corpus to <= RRF_POOL
+    rows via TakeOrderedAndProject BEFORE any rank window or the
+    fusion join runs — the row_number windows and the full-outer join
+    only ever see pool-sized frames (constant work at any corpus
+    size). One Generate (the lexical index explode); the dense-side
+    query exclusion is pushed to the parquet scan; no cartesian."""
+    from pdftotext_spark.operators import retrieval
+
+    plan = _plan(retrieval.hybrid_rrf_topk(spark, SF))
+    assert plan.count(
+        f"TakeOrderedAndProject(limit={retrieval.RRF_POOL}"
+    ) == 2
+    assert f"TakeOrderedAndProject(limit={retrieval.RRF_TOPK}" in plan
+    assert plan.count("Generate explode") == 1
+    assert "CartesianProduct" not in plan
+    # rank windows sit ABOVE (printed before) their bounded pools
+    first_window = plan.index("Window [row_number()")
+    first_pool = plan.index(
+        f"TakeOrderedAndProject(limit={retrieval.RRF_POOL}"
+    )
+    assert first_window < first_pool
+    assert "Not(EqualTo(vec_id,0))" in plan  # pushed to the scan
+
+
+def test_rerank_broadcasts_candidates_into_embedding_scan(spark):
+    """bm25_rerank_cosine: the <= RRF_POOL candidate list is the
+    BROADCAST side of a BroadcastHashJoin against the embeddings
+    table (the big side streams once, never shuffles); the query-row
+    exclusion propagates through the equi-join into the parquet
+    PushedFilters; final ranking is TakeOrderedAndProject."""
+    from pdftotext_spark.operators import retrieval
+
+    plan = _plan(retrieval.bm25_rerank_cosine(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert f"TakeOrderedAndProject(limit={retrieval.RERANK_TOPK}" in plan
+    assert "Not(EqualTo(vec_id,0))" in plan
+    assert plan.count("Generate explode") == 1

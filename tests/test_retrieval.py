@@ -165,3 +165,168 @@ def test_bm25_corpus_fixture_nondegenerate(spark, sf_dir):
     assert len(rows) == retrieval.BM25_TOPK
     assert rows[0].bm25_micro > 0
     assert len({r.bm25_micro for r in rows}) > 1
+
+
+# --- hybrid retrieval (RRF fusion + dense rerank) -------------------
+
+
+def _emb_frame(spark, vecs):
+    return spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(x) for x in v]) for i, v in enumerate(vecs)]
+    )
+
+
+def _py_cos(a, b):
+    """Sequential-order cosine, 4dp half-up — the shared formula."""
+    dot = 0.0
+    for x, y in zip(a, b):
+        dot += float(x) * float(y)
+    na = 0.0
+    for x in a:
+        na += float(x) * float(x)
+    nb = 0.0
+    for y in b:
+        nb += float(y) * float(y)
+    c = dot / (math.sqrt(na) * math.sqrt(nb))
+    return math.floor(c * 1e4 + 0.5) / 1e4 if c >= 0 else -(
+        math.floor(-c * 1e4 + 0.5) / 1e4
+    )
+
+
+def _py_hybrid(texts, vecs):
+    """Pure-Python replay of hybrid_rrf_topk: corpus = ids != 0 in
+    both modalities; lexical = indexed BM25 (docs containing >= 1
+    query term), dense = 4dp cosine vs vec 0; rank by (-score, id),
+    pools of RRF_POOL; rrf contribution = half-up round of
+    1e6/(60+r)."""
+    terms = retrieval.BM25_QUERY_TERMS
+    ids = [i for i in range(len(texts)) if i != 0]
+    toks = {i: [w for w in texts[i].lower().split(" ") if w] for i in ids}
+    n_docs = len(ids)
+    sum_dl = sum(len(a) for a in toks.values())
+    df = {t: sum(1 for a in toks.values() if t in a) for t in terms}
+    lex_scores = {}
+    for i in ids:
+        a = toks[i]
+        dl = len(a)
+        s = 0
+        for t in terms:
+            tf = a.count(t)
+            if tf > 0:
+                idf = math.log(1.0 + (n_docs - df[t] + 0.5) / (df[t] + 0.5))
+                norm = tf + 1.2 * (0.25 + 0.75 * (dl * 1.0 * n_docs) / sum_dl)
+                s += int(math.floor(idf * (tf * 2.2) / norm * 1e6 + 0.5))
+        if s > 0:
+            lex_scores[i] = s
+    lex_order = sorted(lex_scores, key=lambda i: (-lex_scores[i], i))
+    lex_rank = {i: r + 1 for r, i in enumerate(lex_order[: retrieval.RRF_POOL])}
+    cos = {i: _py_cos(vecs[i], vecs[0]) for i in ids}
+    cos_order = sorted(ids, key=lambda i: (-cos[i], i))
+    cos_rank = {i: r + 1 for r, i in enumerate(cos_order[: retrieval.RRF_POOL])}
+
+    def rrf(r):
+        return int(math.floor(1e6 / (60.0 + r) + 0.5))
+
+    fused = []
+    for i in set(lex_rank) | set(cos_rank):
+        s = (rrf(lex_rank[i]) if i in lex_rank else 0) + (
+            rrf(cos_rank[i]) if i in cos_rank else 0
+        )
+        fused.append((i, lex_rank.get(i, 0), cos_rank.get(i, 0), s))
+    fused.sort(key=lambda r: (-r[3], r[0]))
+    return fused[: retrieval.RRF_TOPK]
+
+
+_HY_TEXTS = [
+    "spark window join query doc zero",   # id 0 = the query doc (excluded)
+    "spark spark window alpha beta",
+    "join gamma delta",
+    "no terms here at all",
+    "window join spark epsilon",
+    "spark " + "pad " * 20,
+    "zeta eta theta iota",
+    "window window kappa",
+]
+_HY_VECS = [
+    [1.0, 0.0, 0.2],
+    [0.9, 0.1, 0.2],    # high cosine
+    [0.1, 1.0, 0.0],    # low
+    [0.8, 0.05, 0.3],   # high cosine, NO query terms
+    [0.0, 0.2, 1.0],
+    [0.5, 0.5, 0.5],
+    [1.0, 0.05, 0.15],  # highest cosine, no terms either
+    [0.2, 0.9, 0.1],
+]
+
+
+def test_hybrid_rrf_pure_python_replay(spark):
+    got = [
+        (r.doc_id, r.lex_rank, r.cos_rank, r.rrf_micro)
+        for r in retrieval.hybrid_rrf_topk_for(
+            _frame(spark, _HY_TEXTS), _emb_frame(spark, _HY_VECS)
+        ).collect()
+    ]
+    assert got == _py_hybrid(_HY_TEXTS, _HY_VECS)
+
+
+def test_hybrid_excludes_query_row_and_fuses_both(spark):
+    rows = retrieval.hybrid_rrf_topk_for(
+        _frame(spark, _HY_TEXTS), _emb_frame(spark, _HY_VECS)
+    ).collect()
+    by_id = {r.doc_id: r for r in rows}
+    assert 0 not in by_id  # the query's own row never surfaces
+    # id 6: dense-only (no query terms) — lex_rank must be 0, rrf from
+    # the cosine list alone; id 6 has the highest cosine => cos_rank 1
+    assert by_id[6].lex_rank == 0 and by_id[6].cos_rank == 1
+    assert by_id[6].rrf_micro == round(1e6 / 61)
+    # every doc with a query term made the (small) lexical pool
+    assert by_id[2].lex_rank > 0 and by_id[2].cos_rank > 0
+    # a doc in BOTH lists outscores the same ranks taken singly
+    both = [r for r in rows if r.lex_rank > 0 and r.cos_rank > 0]
+    assert both, "fixture must exercise genuine fusion"
+
+
+def test_hybrid_rank1_both_lists_tops(spark):
+    # a doc that is rank 1 lexically AND rank 1 densely must be the
+    # overall RRF winner (2/61 > any other achievable score)
+    texts = ["q", "spark spark spark window join", "spark alpha", "beta"]
+    vecs = [[1.0, 0.0], [0.99, 0.01], [0.0, 1.0], [0.5, 0.5]]
+    rows = retrieval.hybrid_rrf_topk_for(
+        _frame(spark, texts), _emb_frame(spark, vecs)
+    ).collect()
+    assert rows[0].doc_id == 1
+    assert rows[0].lex_rank == 1 and rows[0].cos_rank == 1
+    assert rows[0].rrf_micro == 2 * round(1e6 / 61)
+
+
+def test_rerank_candidates_and_order(spark):
+    rows = retrieval.bm25_rerank_cosine_for(
+        _frame(spark, _HY_TEXTS), _emb_frame(spark, _HY_VECS)
+    ).collect()
+    ids = [r.doc_id for r in rows]
+    # candidates come from the lexical pool only: term-free docs
+    # (3, 6) and the query row (0) can never appear
+    assert not {0, 3, 6} & set(ids)
+    # reranked by cosine, not by BM25
+    cosines = [r.cosine for r in rows]
+    assert cosines == sorted(cosines, reverse=True)
+    # lex_rank is the BM25 rank within the candidate pool (1-based,
+    # dense over the pool): a permutation of 1..n
+    assert sorted(r.lex_rank for r in rows) == list(range(1, len(rows) + 1))
+    # id 1 has the highest cosine among term-bearing docs -> first
+    assert ids[0] == 1
+
+
+def test_hybrid_corpus_fixture_nondegenerate(spark, sf_dir):
+    rows = retrieval.hybrid_rrf_topk(spark, sf_dir).collect()
+    assert len(rows) == retrieval.RRF_TOPK
+    assert len({r.rrf_micro for r in rows}) > 1
+    # the fixture genuinely fuses: some doc is in both lists
+    assert any(r.lex_rank > 0 and r.cos_rank > 0 for r in rows)
+
+
+def test_rerank_corpus_fixture_nondegenerate(spark, sf_dir):
+    rows = retrieval.bm25_rerank_cosine(spark, sf_dir).collect()
+    assert len(rows) == retrieval.RERANK_TOPK
+    assert len({r.cosine for r in rows}) > 1
+    assert all(r.bm25_micro > 0 for r in rows)
