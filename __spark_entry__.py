@@ -20,6 +20,7 @@ from pdftotext_spark.operators import (  # noqa: E402
     curation,
     dedup,
     extraction_queries,
+    mixing,
     prose,
     relational,
     retrieval,
@@ -101,6 +102,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "paragraph_dedup_newline": prose.paragraph_dedup_newline,  # real-segmenter CCNet
     "bm25_topk": retrieval.bm25_topk,                  # Okapi BM25 retrieval
     "bm25_topk_indexed": retrieval.bm25_topk_indexed,  # inverted-index BM25
+    "bm25_batch_topk": retrieval.bm25_batch_topk,      # one-pass query batch
+    "mixture_weights": mixing.mixture_weights,         # temperature mixing plan
+    "mixture_rebalance": mixing.mixture_rebalance,     # per-doc copy counts
     "hybrid_rrf_topk": retrieval.hybrid_rrf_topk,      # RRF lexical+dense fusion
     "bm25_rerank_cosine": retrieval.bm25_rerank_cosine,  # retrieve-then-rerank
     "duplicated_span_fraction": dedup.duplicated_span_fraction,  # ExactSubstr metric
@@ -305,6 +309,9 @@ _ORACLES: dict[str, str] = {
     "paragraph_dedup_newline": prose.PARAGRAPH_DEDUP_NEWLINE_SQL,
     "bm25_topk": retrieval.BM25_TOPK_SQL,
     "bm25_topk_indexed": retrieval.BM25_TOPK_INDEXED_SQL,
+    "bm25_batch_topk": retrieval.BM25_BATCH_TOPK_SQL,
+    "mixture_weights": mixing.MIXTURE_WEIGHTS_SQL,
+    "mixture_rebalance": mixing.MIXTURE_REBALANCE_SQL,
     "hybrid_rrf_topk": retrieval.HYBRID_RRF_TOPK_SQL,
     "bm25_rerank_cosine": retrieval.BM25_RERANK_COSINE_SQL,
     "paragraph_dedup": dedup.PARAGRAPH_DEDUP_SQL,
@@ -370,6 +377,13 @@ _DRIVER_GATE_FIRST = [
     # dedicated semantic tests) cycle to r7 under the 50-row cap
     "hybrid_rrf_topk",
     "bm25_rerank_cosine",
+    # seventh r6 session: batch BM25 and the mixture pair are NEW
+    # (first-ever rows); lang_id / quality_score / tfidf_top_terms
+    # (r4-green, untouched, dedicated semantic tests in
+    # test_quality_sketches.py) cycle to r7 under the 50-row cap
+    "bm25_batch_topk",
+    "mixture_weights",
+    "mixture_rebalance",
     "semantic_decontamination",
     "semantic_decontaminate_apply",
     "dedup_incremental_exact",
@@ -409,10 +423,7 @@ _DRIVER_GATE_FIRST = [
     # ngram_decontaminate_apply (new)
     # segment_revenue (r4-green, untouched) cycles to r7 for
     # curation_funnel (new)
-    "lang_id",
-    "quality_score",
     "quality_filter_by_source",
-    "tfidf_top_terms",
     "repetition_signals",
     "unigram_logloss",
     "bpe_merges_driver",

@@ -1,0 +1,209 @@
+"""Source-mixture rebalancing: temperature-weighted sampling rates.
+
+Training corpora are mixed from heterogeneous sources with explicit
+per-source sampling weights — GPT-3's dataset weights, The Pile's
+epochs-per-subset, XLM-R's temperature sampling p_s ∝ m_s^τ. This
+family computes token-mass temperature weights over ``documents`` and
+turns them into per-document integer copy counts:
+
+- :func:`mixture_weights` — per-source token mass → temperature-
+  smoothed target share → expected copies-per-document rate, all in
+  integer micro-units.
+- :func:`mixture_rebalance` — per-document ``n_copies`` = base epochs
+  (floor of the rate) + one md5-thresholded Bernoulli copy for the
+  fractional part. Every document emits a row (``n_copies`` may be
+  0); downstream expansion is a ``sequence()`` explode.
+
+τ is FIXED at 0.5 so the smoothing is ``sqrt()``: IEEE 754 requires
+sqrt to be correctly rounded, so both engines (and the pure-Python
+replay) produce bit-identical doubles — a generic ``power(x, τ)`` has
+no such guarantee, and while the micro-unit round would shield almost
+every value, sqrt removes the risk entirely. All derived quantities
+follow the repo's shared-expression discipline: ONE SQL string per
+quantity evaluated verbatim by Spark and DuckDB, integer inputs,
+half-up round to micro-units at the boundary.
+
+Cross-engine determinism of the Bernoulli copy: the uniform draw is
+the 24-bit integer value of the first 6 md5 hex nibbles of
+``'mix:' || doc_id`` (the sketches/KEEP16 idiom), and the threshold
+test is pure integer arithmetic — ``u24 * 1e6 < frac_micro * 2^24``
+is exact (no modulo bias, no float compare).
+
+100 TB shape: two passes over the corpus, both narrow. Pass 1 is a
+map-side-combined groupBy(source) that reduces the corpus to
+#sources rows; the totals row is the broadcast-scalar pattern. Pass 2
+joins the #sources-row rate frame back per document — a genuinely
+dimension-sized broadcast (unlike corpus-cardinality frames, which
+this repo never broadcasts). A single-scan alternative — a window
+partitioned by source — would shuffle the WHOLE corpus into #sources
+hot partitions (catastrophic skew at 20 sources × 100 TB); the extra
+narrow scan is the right trade.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pdftotext_spark.operators.sketches import _hex_val_sql
+
+MIX_SCALE = 1_000_000
+
+_NTOK_EXPR = "size(filter(split(lower(text), ' '), t -> t <> ''))"
+_NTOK_SQL = "len(list_filter(string_split(lower(text), ' '), t -> t <> ''))"
+
+# temperature-smoothed mass: sqrt(token_mass) in micro-units (τ=0.5)
+_PW_SQL = "CAST(round(sqrt(toks * 1e0) * 1000000e0, 0) AS BIGINT)"
+
+# share of the smoothed total (Σ over sources of pw_micro, integer sum
+# — order-free, unlike a float Σ of raw sqrt values)
+_SHARE_SQL = "CAST(round(pw_micro * 1000000e0 / tot_pw, 0) AS BIGINT)"
+
+# expected copies per document of the source: the source's target
+# token share times the total token budget, spread over its own
+# tokens — share * tot_toks / toks. A zero-token source has nothing
+# to upsample (and the division would diverge cross-engine): rate 0.
+_RATE_SQL = (
+    "CAST(CASE WHEN toks = 0 THEN 0 ELSE "
+    "round((pw_micro * 1e0 / tot_pw) * (tot_toks * 1e0 / toks) "
+    "* 1000000e0, 0) END AS BIGINT)"
+)
+
+# floor() over doubles is exact for rate values < 2^52 micro-units
+_BASE_SQL = "CAST(floor(rate_micro * 1e0 / 1000000e0) AS BIGINT)"
+_FRAC_SQL = (
+    "CAST(rate_micro - floor(rate_micro * 1e0 / 1000000e0) * 1000000 "
+    "AS BIGINT)"
+)
+_U24_SQL = _hex_val_sql("md5('mix:' || did)", 1, 6)
+# keep iff u24 / 2^24 < frac / 1e6  ⟺  u24 * 1e6 < frac * 2^24
+# (both sides <= ~1.7e13: exact BIGINT arithmetic, no bias)
+_NCOPIES_SQL = (
+    f"{_BASE_SQL} + CASE WHEN ({_U24_SQL}) * 1000000 "
+    f"< ({_FRAC_SQL}) * 16777216 THEN 1 ELSE 0 END"
+)
+
+
+def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+def mixture_weights_for(docs: DataFrame) -> DataFrame:
+    """Per-source mixture plan over an arbitrary ``(doc_id, source,
+    text)`` frame: token mass, sqrt-smoothed weight, target share and
+    expected copies-per-doc rate (micro-units). Output one row per
+    source ordered by source name.
+
+    The Σ totals are an UNPARTITIONED window over the per-source frame
+    — deliberately: an ``agg()`` + crossJoin-back consumes the
+    per-source frame twice, and Spark re-runs the whole corpus
+    scan+aggregate lineage for the second subtree (ReusedExchange does
+    NOT collapse differently-projected subtrees — the round-6
+    ExactSubstr lesson, verified here too: the crossJoin form planned
+    TWO FileScans). The window's single-partition exchange moves only
+    #sources rows, and the sums are integer (order-free)."""
+    per_src = (
+        docs.select(
+            "source", F.expr(_NTOK_EXPR).cast("long").alias("ntok")
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("ntok").cast("long").alias("toks"),
+        )
+        .withColumn("pw_micro", F.expr(_PW_SQL))
+    )
+    wtot = Window.partitionBy()
+    return (
+        per_src.withColumn(
+            "tot_pw", F.sum("pw_micro").over(wtot).cast("long")
+        )
+        .withColumn("tot_toks", F.sum("toks").over(wtot).cast("long"))
+        .select(
+            "source",
+            "n_docs",
+            "toks",
+            "pw_micro",
+            F.expr(_SHARE_SQL).alias("share_micro"),
+            F.expr(_RATE_SQL).alias("rate_micro"),
+        )
+        .orderBy("source")
+    )
+
+
+def mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered mixture plan over the ``documents`` table."""
+    return mixture_weights_for(_read(spark, sf_dir, "documents"))
+
+
+def mixture_rebalance_for(docs: DataFrame) -> DataFrame:
+    """Per-document copy counts implementing the
+    :func:`mixture_weights_for` plan: ``n_copies`` = floor(rate) base
+    epochs + one extra copy iff the doc's 24-bit md5 draw falls under
+    the fractional part. Output: doc_id, source, rate_micro, u24,
+    n_copies — EVERY input document emits a row (the emit-all apply
+    discipline; ``n_copies`` = 0 means dropped)."""
+    rates = mixture_weights_for(docs).select("source", "rate_micro")
+    d = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "source",
+        F.col("doc_id").cast("string").alias("did"),
+    )
+    return (
+        d.join(F.broadcast(rates), "source")
+        .select(
+            "doc_id",
+            "source",
+            "rate_micro",
+            F.expr(_U24_SQL).cast("long").alias("u24"),
+            F.expr(_NCOPIES_SQL).cast("long").alias("n_copies"),
+        )
+    )
+
+
+def mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered per-document rebalance over ``documents``."""
+    return mixture_rebalance_for(_read(spark, sf_dir, "documents"))
+
+
+_WEIGHTS_CTES = f"""
+per_src AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM({_NTOK_SQL}) AS BIGINT) AS toks
+  FROM documents
+  GROUP BY source
+),
+w AS (
+  SELECT source, n_docs, toks, {_PW_SQL} AS pw_micro FROM per_src
+),
+tot AS (
+  SELECT CAST(SUM(pw_micro) AS BIGINT) AS tot_pw,
+         CAST(SUM(toks) AS BIGINT) AS tot_toks
+  FROM w
+)"""
+
+MIXTURE_WEIGHTS_SQL = f"""
+WITH {_WEIGHTS_CTES}
+SELECT source, n_docs, toks, pw_micro,
+       {_SHARE_SQL} AS share_micro,
+       {_RATE_SQL} AS rate_micro
+FROM w, tot
+ORDER BY source
+"""
+
+MIXTURE_REBALANCE_SQL = f"""
+WITH {_WEIGHTS_CTES},
+r AS (
+  SELECT source, {_RATE_SQL} AS rate_micro FROM w, tot
+)
+SELECT d.doc_id, d.source, r.rate_micro,
+       CAST({_U24_SQL} AS BIGINT) AS u24,
+       CAST({_NCOPIES_SQL} AS BIGINT) AS n_copies
+FROM (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+         CAST(doc_id AS VARCHAR) AS did
+  FROM documents
+) d
+JOIN r USING (source)
+"""

@@ -212,6 +212,85 @@ def bm25_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk_indexed_for(postings, stats)
 
 
+# --- batch multi-query BM25 ----------------------------------------
+#
+# Production retrieval is batched: decontamination review, topical
+# sampling and dedup-cluster debugging all evaluate MANY queries over
+# the same corpus, and re-scanning the postings per query wastes the
+# dominant cost. This variant evaluates a fixed query SET in ONE pass:
+# the posting scan is pruned once to the union of all query terms, df
+# is computed once per term (df is query-independent), and the tiny
+# (query_id, term) map is broadcast into the pruned postings.
+
+BM25_BATCH_QUERIES = (
+    ("q1", ("window", "spark", "join")),
+    ("q2", ("stream", "filter", "batch")),
+    ("q3", ("vector", "hash")),
+    ("q4", ("sort", "merge", "scan")),
+)
+BM25_BATCH_TOPK = 5
+
+
+def bm25_batch_topk_for(
+    docs: DataFrame,
+    queries: tuple[tuple[str, tuple[str, ...]], ...] = BM25_BATCH_QUERIES,
+    k: int = BM25_BATCH_TOPK,
+) -> DataFrame:
+    """Top-``k`` per query for a batch of term queries, all behind the
+    SAME per-term expression (:func:`_bm25_term_sql`) as the
+    single-query paths — for any (query, doc) pair the micro-unit
+    score is IDENTICAL to :func:`bm25_topk_indexed_for` run on that
+    query alone (pinned by test). Candidate semantics as the indexed
+    path: only docs containing >= 1 of the query's terms rank; a query
+    whose terms are all corpus-absent emits no rows.
+
+    Output: query_id, doc_id, n_terms, bm25_micro, q_rank (1-based),
+    ordered by (query_id, q_rank).
+
+    100 TB shape: ONE pruned posting scan for the whole batch (term IN
+    union-of-terms — partition pruning against a term-partitioned
+    index), df once per term via the count window, then the
+    (query_id, term) map — genuinely tiny — broadcasts into the
+    pruned postings, so corpus-side work is independent of the number
+    of queries sharing a term. The per-query top-k window partitions
+    by query_id over posting-bounded candidate sets only (never the
+    corpus); a mega-batch would range-partition on query_id."""
+    postings, stats = bm25_index_for(docs)
+    spark = docs.sparkSession
+    qmap = spark.createDataFrame(
+        [(qid, t) for qid, terms in queries for t in terms],
+        "query_id string, term string",
+    )
+    all_terms = sorted({t for _, terms in queries for t in terms})
+    fp = postings.filter(F.col("term").isin(*all_terms)).withColumn(
+        "df", F.count("*").over(Window.partitionBy("term")).cast("long")
+    )
+    contrib = F.expr(_bm25_term_sql("tf", "df"))
+    scored = (
+        fp.join(F.broadcast(qmap), "term")
+        .join(F.broadcast(stats))
+        .select("query_id", "doc_id", contrib.alias("contrib"))
+    )
+    agg = scored.groupBy("query_id", "doc_id").agg(
+        F.count("*").cast("long").alias("n_terms"),
+        F.sum("contrib").cast("long").alias("bm25_micro"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("bm25_micro"), F.asc("doc_id")
+    )
+    return (
+        agg.withColumn("q_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("q_rank") <= k)
+        .orderBy("query_id", "q_rank")
+    )
+
+
+def bm25_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered batch BM25: the fixed :data:`BM25_BATCH_QUERIES`
+    set over ``documents`` in one posting pass."""
+    return bm25_batch_topk_for(_read(spark, sf_dir, "documents"))
+
+
 # --- hybrid retrieval: RRF fusion + dense rerank -------------------
 #
 # Two-system retrieval over the SAME corpus: the lexical system is the
@@ -560,4 +639,63 @@ JOIN embeddings e ON CAST(e.vec_id AS BIGINT) = l.doc_id
 CROSS JOIN q
 ORDER BY cosine DESC, doc_id
 LIMIT {RERANK_TOPK}
+"""
+
+
+_BATCH_TERMS_SQL = ", ".join(
+    f"'{t}'"
+    for t in sorted({t for _, ts in BM25_BATCH_QUERIES for t in ts})
+)
+_BATCH_VALUES_SQL = ", ".join(
+    f"('{qid}', '{t}')" for qid, ts in BM25_BATCH_QUERIES for t in ts
+)
+
+BM25_BATCH_TOPK_SQL = f"""
+WITH toks AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         list_filter(string_split(lower(text), ' '), t -> t <> '') AS a
+  FROM documents
+),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len(a)) AS BIGINT) AS sum_dl
+  FROM toks
+),
+postings AS (
+  SELECT term, doc_id,
+         CAST(COUNT(*) AS BIGINT) AS tf,
+         CAST(MIN(dl) AS BIGINT) AS dl
+  FROM (
+    SELECT doc_id, CAST(len(a) AS BIGINT) AS dl, unnest(a) AS term
+    FROM toks
+  )
+  GROUP BY term, doc_id
+),
+fp AS (
+  SELECT *, CAST(COUNT(*) OVER (PARTITION BY term) AS BIGINT) AS df
+  FROM postings WHERE term IN ({_BATCH_TERMS_SQL})
+),
+batch(query_id, term) AS (VALUES {_BATCH_VALUES_SQL}),
+scored AS (
+  SELECT b.query_id, fp.doc_id,
+         {_bm25_term_sql("tf", "df")} AS contrib
+  FROM fp JOIN batch b USING (term), stats
+),
+agg AS (
+  SELECT query_id, doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_terms,
+         CAST(SUM(contrib) AS BIGINT) AS bm25_micro
+  FROM scored
+  GROUP BY query_id, doc_id
+),
+ranked AS (
+  SELECT *,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY bm25_micro DESC, doc_id) AS BIGINT) AS q_rank
+  FROM agg
+  QUALIFY q_rank <= {BM25_BATCH_TOPK}
+)
+SELECT query_id, doc_id, n_terms, bm25_micro, q_rank
+FROM ranked
+ORDER BY query_id, q_rank
 """

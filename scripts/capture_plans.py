@@ -46,6 +46,9 @@ PICKS = {
     "semantic_decontamination": "Embedding eval-leak report (r6s5): eval band keys + embeddings force-broadcast (genuinely tiny benchmark side), train side = one narrow band explode + broadcast join; per-vec argmax is a rank-1 window with PARTIAL WindowGroupLimit below its shuffle; two wide shuffles total",
     "hybrid_rrf_topk": "RRF fusion (r6s6): each system bounds the corpus to RRF_POOL rows via TakeOrderedAndProject BEFORE its rank window; the full-outer fusion join and final top-k touch only 2xPOOL rows — constant fusion work at any corpus size",
     "bm25_rerank_cosine": "Retrieve-then-rerank (r6s6): the <=POOL candidate list is the BROADCAST side of a BroadcastHashJoin against embeddings (big side streams once, query-row exclusion propagates into PushedFilters); cosine scoring touches only survivors; TakeOrderedAndProject",
+    "bm25_batch_topk": "Batch BM25 (r6s7): ONE pruned posting pass for the whole query set (term IN union-of-terms below the postings aggregate), df once per term, the tiny (query_id, term) map broadcast in; per-query top-k via Partial+Final WindowGroupLimit — never a corpus sort",
+    "mixture_weights": "Temperature mixing plan (r6s7): ONE corpus scan map-side-combined to #sources rows; the Σ totals are an unpartitioned window over that tiny frame (an agg+crossJoin-back would re-run the corpus lineage — verified: it planned TWO FileScans)",
+    "mixture_rebalance": "Per-doc copy counts (r6s7): stats pass + apply pass (two narrow scans — a window-by-source single-scan would shuffle the corpus into #sources hot partitions); the #sources-row rate frame is the BROADCAST side; md5-Bernoulli copy rule is a zero-shuffle map",
 }
 
 

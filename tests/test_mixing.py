@@ -1,0 +1,123 @@
+"""Constructed-input semantics for temperature mixture rebalancing
+(operators/mixing.py): a pure-Python replay of the sqrt-smoothed
+weights and the md5-Bernoulli copy rule (the third engine the
+DuckDB-parity blindness can't fool), plus the monotonicity the
+temperature must produce. The DuckDB value twin runs in
+test_oracle_parity."""
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import Row
+
+from pdftotext_spark.operators import mixing
+
+pytestmark = pytest.mark.spark
+
+
+def _frame(spark, rows):
+    return spark.createDataFrame(
+        [Row(doc_id=i, source=s, text=t) for i, (s, t) in enumerate(rows)]
+    )
+
+
+def _rh(x: float) -> int:
+    """SQL round(x, 0) for non-negative x — half-up (Python's round()
+    is banker's)."""
+    return int(math.floor(x + 0.5))
+
+
+def _py_weights(rows):
+    per: dict[str, list[int]] = {}
+    for s, t in rows:
+        n = len([w for w in t.lower().split(" ") if w])
+        d = per.setdefault(s, [0, 0])
+        d[0] += 1
+        d[1] += n
+    pw = {s: _rh(math.sqrt(v[1] * 1.0) * 1e6) for s, v in per.items()}
+    tot_pw = sum(pw.values())
+    tot_toks = sum(v[1] for v in per.values())
+    out = {}
+    for s, (nd, tk) in per.items():
+        share = _rh(pw[s] * 1e6 / tot_pw)
+        rate = (
+            0
+            if tk == 0
+            else _rh((pw[s] * 1.0 / tot_pw) * (tot_toks * 1.0 / tk) * 1e6)
+        )
+        out[s] = (nd, tk, pw[s], share, rate)
+    return out
+
+
+def _py_copies(doc_id: int, rate: int) -> tuple[int, int]:
+    base = int(math.floor(rate * 1.0 / 1e6))
+    frac = rate - base * 1_000_000
+    u24 = int(hashlib.md5(f"mix:{doc_id}".encode()).hexdigest()[:6], 16)
+    return u24, base + (1 if u24 * 1_000_000 < frac * 16_777_216 else 0)
+
+
+ROWS = (
+    # big source: lots of tokens -> downsampled under tau=0.5
+    [("big", "alpha beta gamma delta " * 12)] * 8
+    # small source: few tokens -> upsampled (rate > 1, base epoch + frac)
+    + [("small", "omega psi")] * 3
+    # mid source with an empty doc mixed in
+    + [("mid", "one two three four five six seven")] * 4
+    + [("mid", "")]
+    # a source with ZERO tokens in total: rate must be exactly 0
+    + [("void", ""), ("void", " ")]
+)
+
+
+def test_mixture_pure_python_replay(spark):
+    df = _frame(spark, ROWS)
+    exp_w = _py_weights(ROWS)
+    got_w = {
+        r.source: (r.n_docs, r.toks, r.pw_micro, r.share_micro, r.rate_micro)
+        for r in mixing.mixture_weights_for(df).collect()
+    }
+    assert got_w == exp_w
+    got_c = {
+        r.doc_id: (r.source, r.rate_micro, r.u24, r.n_copies)
+        for r in mixing.mixture_rebalance_for(df).collect()
+    }
+    assert len(got_c) == len(ROWS)  # EVERY doc emits a row
+    for i, (s, _) in enumerate(ROWS):
+        rate = exp_w[s][4]
+        u24, n = _py_copies(i, rate)
+        assert got_c[i] == (s, rate, u24, n)
+
+
+def test_temperature_upsamples_small_sources(spark):
+    w = {
+        r.source: r
+        for r in mixing.mixture_weights_for(_frame(spark, ROWS)).collect()
+    }
+    # tau=0.5 moves mass toward small sources: expected copies per doc
+    # strictly higher for the token-poorer source
+    assert w["small"].rate_micro > w["mid"].rate_micro > w["big"].rate_micro
+    assert w["big"].rate_micro < 1_000_000 < w["small"].rate_micro
+    # shares still follow mass order (smoothed, not inverted)
+    assert w["big"].share_micro > w["mid"].share_micro > w["small"].share_micro
+    assert w["void"].pw_micro == 0 and w["void"].rate_micro == 0
+
+
+def test_zero_token_source_drops_entirely(spark):
+    rows = {
+        r.doc_id: r
+        for r in mixing.mixture_rebalance_for(_frame(spark, ROWS)).collect()
+    }
+    for i, (s, _) in enumerate(ROWS):
+        if s == "void":
+            assert rows[i].n_copies == 0
+        if s == "small":
+            assert rows[i].n_copies >= 1  # rate > 1: at least one epoch
+
+
+def test_uniform_masses_give_uniform_rates(spark):
+    # equal token mass per source -> shares 1/S and rate exactly 1e6
+    rows = [("s1", "a b c d"), ("s2", "e f g h"), ("s3", "i j k l")]
+    w = mixing.mixture_weights_for(_frame(spark, rows)).collect()
+    assert {r.rate_micro for r in w} == {1_000_000}
+    assert all(abs(r.share_micro - 333_333) <= 1 for r in w)

@@ -608,3 +608,60 @@ def test_rerank_broadcasts_candidates_into_embedding_scan(spark):
     assert f"TakeOrderedAndProject(limit={retrieval.RERANK_TOPK}" in plan
     assert "Not(EqualTo(vec_id,0))" in plan
     assert plan.count("Generate explode") == 1
+
+
+def test_bm25_batch_one_posting_pass_group_limited(spark):
+    """bm25_batch_topk: the WHOLE query batch rides ONE posting pass —
+    a single corpus Generate, the union-of-terms filter pushed below
+    the postings aggregate, the (query_id, term) map and the stats row
+    broadcast in; the per-query top-k is WindowGroupLimit-ed (Partial
+    below the query_id shuffle) so no corpus-scale sort ever runs."""
+    from pdftotext_spark.operators import retrieval
+
+    plan = _plan(retrieval.bm25_batch_topk(spark, SF))
+    assert plan.count("Generate explode") == 1
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "WindowGroupLimit" in plan and "Partial" in plan
+    assert "BroadcastHashJoin" in plan  # the (query_id, term) map
+    # >10 terms: the union filter prints as INSET, pushed below the
+    # postings aggregate (deeper = later in the printed tree)
+    terms = ", ".join(
+        sorted({t for _, ts in retrieval.BM25_BATCH_QUERIES for t in ts})
+    )
+    agg_at = plan.index("partial_count")
+    filt_at = plan.index(f"INSET {terms}")
+    assert filt_at > agg_at
+
+
+def test_mixture_weights_single_corpus_scan(spark):
+    """mixture_weights: ONE corpus FileScan, map-side-combined to
+    #sources rows; the Σ totals are an unpartitioned window over that
+    tiny frame (one SinglePartition exchange of #sources rows) — NOT
+    an agg+crossJoin-back, which re-runs the corpus scan+aggregate
+    lineage (ReusedExchange does not collapse differently-projected
+    subtrees; verified: that form planned TWO FileScans)."""
+    from pdftotext_spark.operators import mixing
+
+    plan = _plan(mixing.mixture_weights(spark, SF))
+    assert plan.count("FileScan parquet") == 1
+    assert plan.count("Exchange hashpartitioning") == 1  # groupBy(source)
+    assert plan.count("Exchange SinglePartition") == 1   # S-row totals
+    assert "partial_count" in plan  # map-side combine before the shuffle
+    assert "SortMergeJoin" not in plan
+
+
+def test_mixture_rebalance_broadcasts_rates(spark):
+    """mixture_rebalance: exactly TWO corpus scans (the stats pass and
+    the apply pass — the fundamental minimum; a window-by-source
+    single-scan would shuffle the corpus into #sources hot
+    partitions), the #sources-row rate frame on the BROADCAST side of
+    the per-doc join, and the md5-Bernoulli copy rule a zero-shuffle
+    projection above it."""
+    from pdftotext_spark.operators import mixing
+
+    plan = _plan(mixing.mixture_rebalance(spark, SF))
+    assert plan.count("FileScan parquet") == 2
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1  # stats groupBy only

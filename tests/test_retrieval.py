@@ -330,3 +330,46 @@ def test_rerank_corpus_fixture_nondegenerate(spark, sf_dir):
     assert len(rows) == retrieval.RERANK_TOPK
     assert len({r.cosine for r in rows}) > 1
     assert all(r.bm25_micro > 0 for r in rows)
+
+
+def test_bm25_batch_matches_single_query_paths(spark):
+    """Each query in the batch must produce EXACTLY the rows the
+    single-query indexed path produces for that query alone (same
+    postings, same k) — the one-pass evaluation changes the scan
+    count, never the math. A query whose terms are all corpus-absent
+    emits no rows (candidate semantics); a term shared by two queries
+    scores identically in both."""
+    texts = [
+        "spark window join spark window",
+        "join join window stream",
+        "stream filter batch filter",
+        "vector hash vector",
+        "plain filler words only here",
+        "window",
+    ]
+    queries = (
+        ("qa", ("spark", "join")),
+        ("qb", ("join", "window")),   # 'join' shared with qa
+        ("qc", ("absentterm",)),      # no postings at all
+    )
+    df = retrieval.bm25_batch_topk_for(_frame(spark, texts), queries=queries, k=3)
+    rows = df.collect()
+    assert not [r for r in rows if r.query_id == "qc"]
+    postings, stats = retrieval.bm25_index_for(_frame(spark, texts))
+    for qid, terms in queries[:2]:
+        single = [
+            (r.doc_id, r.n_terms, r.bm25_micro)
+            for r in retrieval.bm25_topk_indexed_for(
+                postings, stats, terms=terms, k=3
+            ).collect()
+        ]
+        got = [
+            (r.doc_id, r.n_terms, r.bm25_micro)
+            for r in sorted(rows, key=lambda r: r.q_rank)
+            if r.query_id == qid
+        ]
+        assert got == single and 1 <= len(got) <= 3
+    # ranks are contiguous from 1 within each query
+    for qid in ("qa", "qb"):
+        ranks = sorted(r.q_rank for r in rows if r.query_id == qid)
+        assert ranks == list(range(1, len(ranks) + 1))
