@@ -105,6 +105,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_batch_topk": retrieval.bm25_batch_topk,      # one-pass query batch
     "mixture_weights": mixing.mixture_weights,         # temperature mixing plan
     "mixture_rebalance": mixing.mixture_rebalance,     # per-doc copy counts
+    "mixture_pack": mixing.mixture_pack,               # mix→expand→pack
     "hybrid_rrf_topk": retrieval.hybrid_rrf_topk,      # RRF lexical+dense fusion
     "bm25_rerank_cosine": retrieval.bm25_rerank_cosine,  # retrieve-then-rerank
     "duplicated_span_fraction": dedup.duplicated_span_fraction,  # ExactSubstr metric
@@ -312,6 +313,7 @@ _ORACLES: dict[str, str] = {
     "bm25_batch_topk": retrieval.BM25_BATCH_TOPK_SQL,
     "mixture_weights": mixing.MIXTURE_WEIGHTS_SQL,
     "mixture_rebalance": mixing.MIXTURE_REBALANCE_SQL,
+    "mixture_pack": mixing.MIXTURE_PACK_SQL,
     "hybrid_rrf_topk": retrieval.HYBRID_RRF_TOPK_SQL,
     "bm25_rerank_cosine": retrieval.BM25_RERANK_COSINE_SQL,
     "paragraph_dedup": dedup.PARAGRAPH_DEDUP_SQL,
@@ -377,13 +379,15 @@ _DRIVER_GATE_FIRST = [
     # dedicated semantic tests) cycle to r7 under the 50-row cap
     "hybrid_rrf_topk",
     "bm25_rerank_cosine",
-    # seventh r6 session: batch BM25 and the mixture pair are NEW
-    # (first-ever rows); lang_id / quality_score / tfidf_top_terms
-    # (r4-green, untouched, dedicated semantic tests in
-    # test_quality_sketches.py) cycle to r7 under the 50-row cap
+    # seventh r6 session: batch BM25 and the mixture family are NEW
+    # (first-ever rows); lang_id / quality_score / tfidf_top_terms /
+    # repetition_signals (r4-green, untouched, dedicated semantic
+    # tests in test_quality_sketches.py) cycle to r7 under the
+    # 50-row cap
     "bm25_batch_topk",
     "mixture_weights",
     "mixture_rebalance",
+    "mixture_pack",
     "semantic_decontamination",
     "semantic_decontaminate_apply",
     "dedup_incremental_exact",
@@ -424,7 +428,6 @@ _DRIVER_GATE_FIRST = [
     # segment_revenue (r4-green, untouched) cycles to r7 for
     # curation_funnel (new)
     "quality_filter_by_source",
-    "repetition_signals",
     "unigram_logloss",
     "bpe_merges_driver",
     # modified in r6 — refresh their rows

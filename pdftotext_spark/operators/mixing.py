@@ -166,6 +166,81 @@ def mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mixture_rebalance_for(_read(spark, sf_dir, "documents"))
 
 
+def mixture_pack_for(docs: DataFrame) -> DataFrame:
+    """The composed mix→expand→pack step a training-set build actually
+    runs: expand each document into its :func:`mixture_rebalance_for`
+    copies (1-based ``copy_idx``; zero-copy documents vanish), then
+    assign each copy to a fixed-token training pack by its running
+    token offset within its source — the ``pack_sequences`` offset
+    policy (pack = offset // budget, copies in (doc_id, copy_idx)
+    order) applied to the REBALANCED stream, so upsampled sources
+    occupy proportionally more packs.
+
+    Token counts here are the mixture convention (non-empty
+    whitespace tokens — what the rates were computed over), not
+    ``pack_sequences``'s separators+1; one convention per query.
+
+    Output: doc_id, copy_idx, source, n_tokens, start_offset,
+    pack_id.
+
+    100 TB shape: the copy explode multiplies rows by the rate (~1×)
+    before the pack window, and ``n_copies`` is computed in the SAME
+    apply-side scan that feeds the window — still exactly two corpus
+    scans (stats + apply), rates broadcast, then one window per
+    source partition (no global sort; sources are the natural
+    parallel unit of a corpus build, as in ``pack_sequences``)."""
+    from pdftotext_spark.operators.textstats import PACK_BUDGET_TOKENS
+
+    rates = mixture_weights_for(docs).select("source", "rate_micro")
+    d = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "source",
+        F.col("doc_id").cast("string").alias("did"),
+        F.expr(_NTOK_EXPR).cast("long").alias("n_tokens"),
+    )
+    expanded = (
+        d.join(F.broadcast(rates), "source")
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            F.expr(_NCOPIES_SQL).cast("long").alias("n_copies"),
+        )
+        .filter(F.col("n_copies") > 0)
+        # sequence() with start > stop counts DOWN in Spark — the
+        # n_copies > 0 filter above keeps the bounds ordered
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            # n_copies is long, so the sequence elements already are;
+            # a cast would nest the generator in an expression (error)
+            F.explode(F.expr("sequence(1, n_copies)")).alias("copy_idx"),
+        )
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id", "copy_idx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off = F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long")
+    return expanded.select(
+        "doc_id",
+        "copy_idx",
+        "source",
+        "n_tokens",
+        off.alias("start_offset"),
+        # budget is a power of two: double division + truncation is
+        # binary-exact (the pack_sequences cast-truncation note)
+        (off / F.lit(PACK_BUDGET_TOKENS)).cast("long").alias("pack_id"),
+    )
+
+
+def mixture_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered mix→expand→pack composition over ``documents``."""
+    return mixture_pack_for(_read(spark, sf_dir, "documents"))
+
+
 _WEIGHTS_CTES = f"""
 per_src AS (
   SELECT source,
@@ -206,4 +281,45 @@ FROM (
   FROM documents
 ) d
 JOIN r USING (source)
+"""
+
+
+def _pack_budget() -> int:
+    from pdftotext_spark.operators.textstats import PACK_BUDGET_TOKENS
+
+    return PACK_BUDGET_TOKENS
+
+
+MIXTURE_PACK_SQL = f"""
+WITH {_WEIGHTS_CTES},
+r AS (
+  SELECT source, {_RATE_SQL} AS rate_micro FROM w, tot
+),
+copies AS (
+  SELECT d.doc_id, d.source, d.n_tokens,
+         CAST({_NCOPIES_SQL} AS BIGINT) AS n_copies
+  FROM (
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+           CAST(doc_id AS VARCHAR) AS did,
+           CAST({_NTOK_SQL} AS BIGINT) AS n_tokens
+    FROM documents
+  ) d
+  JOIN r USING (source)
+),
+expanded AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(unnest(range(1, n_copies + 1)) AS BIGINT) AS copy_idx
+  FROM copies
+  WHERE n_copies > 0
+)
+SELECT doc_id, copy_idx, source, n_tokens,
+       CAST(coalesce(SUM(n_tokens) OVER (
+         PARTITION BY source ORDER BY doc_id, copy_idx
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         AS start_offset,
+       CAST(coalesce(SUM(n_tokens) OVER (
+         PARTITION BY source ORDER BY doc_id, copy_idx
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         // 256 AS BIGINT) AS pack_id
+FROM expanded
 """

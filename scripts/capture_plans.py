@@ -49,6 +49,7 @@ PICKS = {
     "bm25_batch_topk": "Batch BM25 (r6s7): ONE pruned posting pass for the whole query set (term IN union-of-terms below the postings aggregate), df once per term, the tiny (query_id, term) map broadcast in; per-query top-k via Partial+Final WindowGroupLimit — never a corpus sort",
     "mixture_weights": "Temperature mixing plan (r6s7): ONE corpus scan map-side-combined to #sources rows; the Σ totals are an unpartitioned window over that tiny frame (an agg+crossJoin-back would re-run the corpus lineage — verified: it planned TWO FileScans)",
     "mixture_rebalance": "Per-doc copy counts (r6s7): stats pass + apply pass (two narrow scans — a window-by-source single-scan would shuffle the corpus into #sources hot partitions); the #sources-row rate frame is the BROADCAST side; md5-Bernoulli copy rule is a zero-shuffle map",
+    "mixture_pack": "Mix-expand-pack composition (r6s7): copy counts computed in the SAME apply-side scan that feeds the pack window (still two corpus scans), ONE copy explode, rates broadcast, pack offsets windowed per source — no global sort",
 }
 
 

@@ -121,3 +121,50 @@ def test_uniform_masses_give_uniform_rates(spark):
     w = mixing.mixture_weights_for(_frame(spark, rows)).collect()
     assert {r.rate_micro for r in w} == {1_000_000}
     assert all(abs(r.share_micro - 333_333) <= 1 for r in w)
+
+
+def test_mixture_pack_replay_and_conservation(spark):
+    """mixture_pack == replaying rebalance then offset-packing the
+    expanded (doc_id, copy_idx) stream per source; row count equals
+    Σ n_copies and every copy index 1..n_copies appears exactly
+    once."""
+    df = _frame(spark, ROWS)
+    exp_w = _py_weights(ROWS)
+    # expected expanded stream per source, in (doc_id, copy_idx) order
+    expected = {}
+    per_src_rows: dict[str, list[tuple[int, int, int]]] = {}
+    for i, (s, t) in enumerate(ROWS):
+        ntok = len([w for w in t.lower().split(" ") if w])
+        _, n = _py_copies(i, exp_w[s][4])
+        for c in range(1, n + 1):
+            per_src_rows.setdefault(s, []).append((i, c, ntok))
+    for s, rows in per_src_rows.items():
+        off = 0
+        for i, c, ntok in sorted(rows):
+            expected[(i, c)] = (s, ntok, off, off // 256)
+            off += ntok
+    got = {
+        (r.doc_id, r.copy_idx): (r.source, r.n_tokens, r.start_offset, r.pack_id)
+        for r in mixing.mixture_pack_for(df).collect()
+    }
+    assert got == expected
+    total_copies = sum(
+        r.n_copies for r in mixing.mixture_rebalance_for(df).collect()
+    )
+    assert len(got) == total_copies
+
+
+def test_mixture_pack_upsampled_copies_are_adjacent(spark):
+    """An upsampled doc's copies pack consecutively: copy k+1 starts
+    where copy k ended (the (doc_id, copy_idx) order contract)."""
+    rows = [("tiny", "x y z")] * 2 + [("huge", "a b c d e f g h " * 40)] * 4
+    packed = mixing.mixture_pack_for(_frame(spark, rows)).collect()
+    by_doc = {}
+    for r in packed:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    multi = [v for v in by_doc.values() if len(v) > 1]
+    assert multi  # the tiny source must actually upsample here
+    for copies in multi:
+        copies.sort(key=lambda r: r.copy_idx)
+        for a, b in zip(copies, copies[1:]):
+            assert b.start_offset == a.start_offset + a.n_tokens

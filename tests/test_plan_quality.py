@@ -665,3 +665,17 @@ def test_mixture_rebalance_broadcasts_rates(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert plan.count("Exchange hashpartitioning") == 1  # stats groupBy only
+
+
+def test_mixture_pack_two_scans_one_explode(spark):
+    """mixture_pack: still exactly TWO corpus scans (the copy counts
+    are computed in the SAME apply-side scan that feeds the pack
+    window), ONE copy explode, rates broadcast, and the pack window
+    partitioned by source (no global sort)."""
+    from pdftotext_spark.operators import mixing
+
+    plan = _plan(mixing.mixture_pack(spark, SF))
+    assert plan.count("FileScan parquet") == 2
+    assert plan.count("Generate explode") == 1
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
