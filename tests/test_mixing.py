@@ -168,3 +168,66 @@ def test_mixture_pack_upsampled_copies_are_adjacent(spark):
         copies.sort(key=lambda r: r.copy_idx)
         for a, b in zip(copies, copies[1:]):
             assert b.start_offset == a.start_offset + a.n_tokens
+
+
+def test_streaming_mixture_gate_replays_batch_rule(spark, tmp_path):
+    """Coherence pin for the streaming gate: it applies EXACTLY the
+    batch _NCOPIES_SQL rule with the batch-materialized rates — the
+    pure-Python replay (rates from _py_weights, draw from the
+    conv:turn did string) predicts the survivor set and copy counts;
+    a replayed micro-batch overwrites (never double-appends); an
+    unknown source rates 0 and is dropped."""
+    from pdftotext_spark.streaming.mixing import (
+        mixture_filter_batch,
+        write_mixture_rates,
+    )
+
+    corpus = _frame(spark, ROWS)
+    rates_dir = str(tmp_path / "rates")
+    out = str(tmp_path / "out")
+    write_mixture_rates(corpus, rates_dir)
+
+    stream_rows = [
+        ("c1", 1, "big", "some incoming turn text"),
+        ("c1", 2, "small", "tiny source turn"),
+        ("c2", 1, "small", "another tiny source turn"),
+        ("c2", 2, "mid", "mid source turn"),
+        ("c9", 9, "neverseen", "unknown source must drop"),
+    ] * 4  # enough rows that both outcomes of the Bernoulli appear
+    stream_rows = [
+        (f"{c}{i}", t, s, x)
+        for i, (c, t, s, x) in enumerate(stream_rows)
+    ]
+    batch = spark.createDataFrame(
+        stream_rows, "conv_id string, turn_idx int, role string, text string"
+    )
+    fn = mixture_filter_batch(out, rates_dir)
+    fn(batch, 0)
+    got = {
+        (r.conv_id, r.turn_idx): r.n_copies
+        for r in spark.read.parquet(f"{out}/batch_id=0").collect()
+    }
+
+    exp_w = _py_weights(ROWS)
+    expected = {}
+    for c, t, s, _ in stream_rows:
+        if s not in exp_w:
+            continue
+        did = f"{c}:{t:012d}"
+        rate = exp_w[s][4]
+        base = int(math.floor(rate * 1.0 / 1e6))
+        frac = rate - base * 1_000_000
+        u24 = int(hashlib.md5(f"mix:{did}".encode()).hexdigest()[:6], 16)
+        n = base + (1 if u24 * 1_000_000 < frac * 16_777_216 else 0)
+        if n >= 1:
+            expected[(c, t)] = n
+    assert got == expected
+    assert expected  # survivors exist
+    assert len(expected) < sum(1 for r in stream_rows if r[2] in exp_w)
+    # replay idempotence: same batch_id overwrites
+    fn(batch, 0)
+    again = {
+        (r.conv_id, r.turn_idx): r.n_copies
+        for r in spark.read.parquet(f"{out}/batch_id=0").collect()
+    }
+    assert again == got
