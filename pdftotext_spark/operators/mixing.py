@@ -84,6 +84,11 @@ _NCOPIES_SQL = (
 )
 
 
+# pinned == textstats.PACK_BUDGET_TOKENS by test_mixing (a module-
+# level import would be circular-import bait for a single literal)
+_PACK_BUDGET = 256
+
+
 def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
@@ -189,8 +194,6 @@ def mixture_pack_for(docs: DataFrame) -> DataFrame:
     scans (stats + apply), rates broadcast, then one window per
     source partition (no global sort; sources are the natural
     parallel unit of a corpus build, as in ``pack_sequences``)."""
-    from pdftotext_spark.operators.textstats import PACK_BUDGET_TOKENS
-
     rates = mixture_weights_for(docs).select("source", "rate_micro")
     d = docs.select(
         F.col("doc_id").cast("long").alias("doc_id"),
@@ -232,7 +235,7 @@ def mixture_pack_for(docs: DataFrame) -> DataFrame:
         off.alias("start_offset"),
         # budget is a power of two: double division + truncation is
         # binary-exact (the pack_sequences cast-truncation note)
-        (off / F.lit(PACK_BUDGET_TOKENS)).cast("long").alias("pack_id"),
+        (off / F.lit(_PACK_BUDGET)).cast("long").alias("pack_id"),
     )
 
 
@@ -284,12 +287,6 @@ JOIN r USING (source)
 """
 
 
-def _pack_budget() -> int:
-    from pdftotext_spark.operators.textstats import PACK_BUDGET_TOKENS
-
-    return PACK_BUDGET_TOKENS
-
-
 MIXTURE_PACK_SQL = f"""
 WITH {_WEIGHTS_CTES},
 r AS (
@@ -320,6 +317,6 @@ SELECT doc_id, copy_idx, source, n_tokens,
        CAST(coalesce(SUM(n_tokens) OVER (
          PARTITION BY source ORDER BY doc_id, copy_idx
          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-         // 256 AS BIGINT) AS pack_id
+         // {_PACK_BUDGET} AS BIGINT) AS pack_id
 FROM expanded
 """

@@ -231,3 +231,12 @@ def test_streaming_mixture_gate_replays_batch_rule(spark, tmp_path):
         for r in spark.read.parquet(f"{out}/batch_id=0").collect()
     }
     assert again == got
+
+
+def test_pack_budget_pinned_to_textstats():
+    """mixing._PACK_BUDGET duplicates textstats.PACK_BUDGET_TOKENS to
+    keep the oracle f-string import-cycle-free — this pin is what
+    makes the duplication safe."""
+    from pdftotext_spark.operators.textstats import PACK_BUDGET_TOKENS
+
+    assert mixing._PACK_BUDGET == PACK_BUDGET_TOKENS
