@@ -14,6 +14,16 @@ turns them into per-document integer copy counts:
   fractional part. Every document emits a row (``n_copies`` may be
   0); downstream expansion is a ``sequence()`` explode.
 
+Relationship to ``textstats.mix_weights`` (the r5 report): SAME
+temperature curve (α=0.5; sqrt of the token share and sqrt of the raw
+token mass normalize to the identical distribution — the 1/total
+factors out of the ratio). ``mix_weights`` reports 6dp doubles
+(p_raw / weight / oversample) for humans; THIS module is its
+integer-micro-unit twin, and exists because the apply family's
+md5-Bernoulli copy rule needs exact integers to compare — a 6dp
+double rate would reintroduce cross-engine float compares at the
+keep/drop boundary.
+
 τ is FIXED at 0.5 so the smoothing is ``sqrt()``: IEEE 754 requires
 sqrt to be correctly rounded, so both engines (and the pure-Python
 replay) produce bit-identical doubles — a generic ``power(x, τ)`` has

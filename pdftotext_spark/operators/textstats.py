@@ -2602,7 +2602,10 @@ MIX_TEMP_ALPHA = 0.5
 
 
 def mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Temperature-flattened source sampling weights — the
+    """(Human-readable 6dp report; the integer-micro-unit twin that
+    feeds the rebalance/pack/streaming apply family is
+    ``operators.mixing`` — same α=0.5 curve, see its module
+    docstring.) Temperature-flattened source sampling weights — the
     multilingual mixing rule of mT5 / XLM-R (q_s proportional to
     p_s^alpha with alpha < 1): upsample low-resource sources, damp
     dominant ones. p_s = source s's share of corpus tokens;
