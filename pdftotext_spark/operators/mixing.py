@@ -56,6 +56,9 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pdftotext_spark.operators.sketches import _hex_val_sql
+from pdftotext_spark.operators.textstats import (
+    PACK_BUDGET_TOKENS as _PACK_BUDGET,
+)
 
 MIX_SCALE = 1_000_000
 
@@ -66,13 +69,21 @@ _NTOK_SQL = "len(list_filter(string_split(lower(text), ' '), t -> t <> ''))"
 _PW_SQL = "CAST(round(sqrt(toks * 1e0) * 1000000e0, 0) AS BIGINT)"
 
 # share of the smoothed total (Σ over sources of pw_micro, integer sum
-# — order-free, unlike a float Σ of raw sqrt values)
-_SHARE_SQL = "CAST(round(pw_micro * 1000000e0 / tot_pw, 0) AS BIGINT)"
+# — order-free, unlike a float Σ of raw sqrt values). tot_pw = 0 (an
+# all-empty-token corpus) must be guarded: Spark evaluates the double
+# 0/0 to NaN (→ CAST 0) where DuckDB returns NULL — the one input
+# where the shared expression would NOT be shared.
+_SHARE_SQL = (
+    "CAST(CASE WHEN tot_pw = 0 THEN 0 ELSE "
+    "round(pw_micro * 1000000e0 / tot_pw, 0) END AS BIGINT)"
+)
 
 # expected copies per document of the source: the source's target
 # token share times the total token budget, spread over its own
 # tokens — share * tot_toks / toks. A zero-token source has nothing
 # to upsample (and the division would diverge cross-engine): rate 0.
+# (toks = 0 implies pw_micro = 0, so the guard also covers the
+# tot_pw = 0 all-empty corpus: every source rates 0.)
 _RATE_SQL = (
     "CAST(CASE WHEN toks = 0 THEN 0 ELSE "
     "round((pw_micro * 1e0 / tot_pw) * (tot_toks * 1e0 / toks) "
@@ -92,11 +103,6 @@ _NCOPIES_SQL = (
     f"{_BASE_SQL} + CASE WHEN ({_U24_SQL}) * 1000000 "
     f"< ({_FRAC_SQL}) * 16777216 THEN 1 ELSE 0 END"
 )
-
-
-# pinned == textstats.PACK_BUDGET_TOKENS by test_mixing (a module-
-# level import would be circular-import bait for a single literal)
-_PACK_BUDGET = 256
 
 
 def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:

@@ -335,27 +335,11 @@ def _lex_pool(docs: DataFrame) -> DataFrame:
 
 def _dense_pool(emb: DataFrame) -> DataFrame:
     """Top-:data:`RRF_POOL` cosine neighbours of the fixed query
-    vector with 1-based rank; same broadcast-single-query-row shape as
-    :func:`~pdftotext_spark.operators.similarity.cosine_topk` (scales
-    to any table size), cosine rounded to 4dp BEFORE ranking so the
-    rank order is the cross-engine-stable one."""
-    q = emb.filter(F.col("vec_id") == _sim.QUERY_VEC_ID).select(
-        F.col("embedding").alias("q_embedding")
-    )
-    joined = emb.filter(F.col("vec_id") != _sim.QUERY_VEC_ID).join(
-        F.broadcast(q)
-    )
-    cos = _sim._dot(F.col("embedding"), F.col("q_embedding")) / (
-        _sim._norm(F.col("embedding")) * _sim._norm(F.col("q_embedding"))
-    )
-    pool = (
-        joined.select(
-            F.col("vec_id").cast("long").alias("doc_id"),
-            F.round(cos, 4).alias("cosine"),
-        )
-        .orderBy(F.desc("cosine"), F.asc("doc_id"))
-        .limit(RRF_POOL)
-    )
+    vector with 1-based rank — the shared
+    :func:`~pdftotext_spark.operators.similarity.cosine_scan_for`
+    broadcast-single-query-row scan (4dp round before ranking) plus
+    the rank window over the already-bounded pool."""
+    pool = _sim.cosine_scan_for(emb, RRF_POOL, id_col="doc_id")
     w = Window.orderBy(F.desc("cosine"), F.asc("doc_id"))
     return pool.select(
         "doc_id", "cosine", F.row_number().over(w).alias("cos_r")
@@ -491,13 +475,25 @@ LIMIT {BM25_TOPK}
 
 _QTERMS_SQL = ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
 
-BM25_TOPK_INDEXED_SQL = f"""
-WITH toks AS (
+
+def _postings_ctes(
+    stats_name: str = "stats", exclude_query_doc: bool = False
+) -> str:
+    """The toks/stats/postings DuckDB CTE trio every indexed-BM25
+    oracle starts from — ONE source for the tokenizer and the posting
+    layout, so a fix reaches all of them (they used to be triplicated
+    verbatim). ``exclude_query_doc`` drops the hybrid family's query
+    row; ``stats_name`` lets a composite oracle avoid CTE-name
+    collisions."""
+    where = (
+        f" WHERE doc_id <> {_sim.QUERY_VEC_ID}" if exclude_query_doc else ""
+    )
+    return f"""toks AS (
   SELECT CAST(doc_id AS BIGINT) AS doc_id,
          list_filter(string_split(lower(text), ' '), t -> t <> '') AS a
-  FROM documents
+  FROM documents{where}
 ),
-stats AS (
+{stats_name} AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
          CAST(SUM(len(a)) AS BIGINT) AS sum_dl
   FROM toks
@@ -511,7 +507,11 @@ postings AS (
     FROM toks
   )
   GROUP BY term, doc_id
-),
+)"""
+
+
+BM25_TOPK_INDEXED_SQL = f"""
+WITH {_postings_ctes()},
 qp AS (
   SELECT *, CAST(COUNT(*) OVER (PARTITION BY term) AS BIGINT) AS df
   FROM postings WHERE term IN ({_QTERMS_SQL})
@@ -530,47 +530,15 @@ LIMIT {BM25_TOPK}
 """
 
 
-def _cos_sql(e_emb: str, q_emb: str) -> str:
-    """DuckDB 4dp cosine between two list columns — the same
-    sequential list_sum-over-list_zip order :func:`similarity._dot`
-    evaluates JVM-side (parity proven by cosine_topk)."""
-    dot = (
-        f"list_sum(list_transform(list_zip({e_emb}, {q_emb}), "
-        f"x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
-    )
-    nrm = (
-        "sqrt(list_sum(list_transform({v}, "
-        "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
-    )
-    return (
-        f"ROUND({dot} / ({nrm.format(v=e_emb)} * {nrm.format(v=q_emb)}), 4)"
-    )
+# the ONE dialect cosine spelling lives in similarity.cos4_sql
+_cos_sql = _sim.cos4_sql
 
 
 # lexical pool CTEs (query-doc row excluded; mirrors _lex_pool):
 # rank-then-QUALIFY here == orderBy().limit() then row_number() on the
 # Spark side — same deterministic total order.
 _LEX_POOL_CTES = f"""
-toks AS (
-  SELECT CAST(doc_id AS BIGINT) AS doc_id,
-         list_filter(string_split(lower(text), ' '), t -> t <> '') AS a
-  FROM documents WHERE doc_id <> {_sim.QUERY_VEC_ID}
-),
-lstats AS (
-  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
-         CAST(SUM(len(a)) AS BIGINT) AS sum_dl
-  FROM toks
-),
-postings AS (
-  SELECT term, doc_id,
-         CAST(COUNT(*) AS BIGINT) AS tf,
-         CAST(MIN(dl) AS BIGINT) AS dl
-  FROM (
-    SELECT doc_id, CAST(len(a) AS BIGINT) AS dl, unnest(a) AS term
-    FROM toks
-  )
-  GROUP BY term, doc_id
-),
+{_postings_ctes(stats_name="lstats", exclude_query_doc=True)},
 qp AS (
   SELECT *, CAST(COUNT(*) OVER (PARTITION BY term) AS BIGINT) AS df
   FROM postings WHERE term IN ({_QTERMS_SQL})
@@ -651,26 +619,7 @@ _BATCH_VALUES_SQL = ", ".join(
 )
 
 BM25_BATCH_TOPK_SQL = f"""
-WITH toks AS (
-  SELECT CAST(doc_id AS BIGINT) AS doc_id,
-         list_filter(string_split(lower(text), ' '), t -> t <> '') AS a
-  FROM documents
-),
-stats AS (
-  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
-         CAST(SUM(len(a)) AS BIGINT) AS sum_dl
-  FROM toks
-),
-postings AS (
-  SELECT term, doc_id,
-         CAST(COUNT(*) AS BIGINT) AS tf,
-         CAST(MIN(dl) AS BIGINT) AS dl
-  FROM (
-    SELECT doc_id, CAST(len(a) AS BIGINT) AS dl, unnest(a) AS term
-    FROM toks
-  )
-  GROUP BY term, doc_id
-),
+WITH {_postings_ctes()},
 fp AS (
   SELECT *, CAST(COUNT(*) OVER (PARTITION BY term) AS BIGINT) AS df
   FROM postings WHERE term IN ({_BATCH_TERMS_SQL})

@@ -57,13 +57,18 @@ def _norm(a: Column) -> Column:
     )
 
 
-def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-k nearest neighbours of vec_id=0 by cosine similarity.
-
-    The query vector joins in as a broadcast single row (no driver
-    collect → the plan scales to any table size); top-k plans as
-    TakeOrderedAndProject."""
-    emb = _read(spark, sf_dir, "embeddings")
+def cosine_scan_for(
+    emb: DataFrame, k: int, id_col: str = "vec_id"
+) -> DataFrame:
+    """Top-``k`` cosine neighbours of the fixed query vector
+    (``vec_id`` = :data:`QUERY_VEC_ID`, its own row excluded) over an
+    arbitrary ``(vec_id, embedding)`` frame — the broadcast-single-
+    query-row scan shared by :func:`cosine_topk` and the retrieval
+    module's dense pool (one source for the shape; they used to be
+    duplicated). The query vector joins in as a broadcast single row
+    (no driver collect → scales to any table size); top-k plans as
+    TakeOrderedAndProject; cosine is 4dp-rounded BEFORE ranking so
+    the order is the cross-engine-stable one."""
     q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
         F.col("embedding").alias("q_embedding")
     )
@@ -73,23 +78,41 @@ def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         joined.select(
-            F.col("vec_id").cast("long").alias("vec_id"),
+            F.col("vec_id").cast("long").alias(id_col),
             F.round(cos, 4).alias("cosine"),
         )
-        .orderBy(F.desc("cosine"), F.asc("vec_id"))
-        .limit(TOP_K)
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k nearest neighbours of vec_id=0 by cosine similarity."""
+    return cosine_scan_for(_read(spark, sf_dir, "embeddings"), TOP_K)
+
+
+def cos4_sql(e_emb: str, q_emb: str) -> str:
+    """DuckDB 4dp cosine between two list columns — the same
+    sequential list_sum-over-list_zip order :func:`_dot` evaluates
+    JVM-side (the ONE dialect spelling of the cosine discipline; the
+    retrieval oracles reuse it)."""
+    dot = (
+        f"list_sum(list_transform(list_zip({e_emb}, {q_emb}), "
+        f"x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+    )
+    nrm = (
+        "sqrt(list_sum(list_transform({v}, "
+        "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    )
+    return (
+        f"ROUND({dot} / ({nrm.format(v=e_emb)} * {nrm.format(v=q_emb)}), 4)"
     )
 
 
 COSINE_TOPK_SQL = f"""
 WITH q AS (SELECT embedding AS q_embedding FROM embeddings WHERE vec_id = {QUERY_VEC_ID})
 SELECT CAST(e.vec_id AS BIGINT) AS vec_id,
-       ROUND(
-         list_sum(list_transform(list_zip(e.embedding, q.q_embedding),
-                                 x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
-         / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-            * sqrt(list_sum(list_transform(q.q_embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
-         4) AS cosine
+       {cos4_sql("e.embedding", "q.q_embedding")} AS cosine
 FROM embeddings e, q
 WHERE e.vec_id <> {QUERY_VEC_ID}
 ORDER BY cosine DESC, vec_id ASC

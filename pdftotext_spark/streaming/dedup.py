@@ -11,8 +11,21 @@ dedup (run the batch ``dedup_exact`` downstream for the global pass).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+def replay_key() -> Column:
+    """The replay-stable per-turn identity string every streaming
+    gate keys md5 draws and min-key tiebreaks on:
+    ``conv_id:turn_idx`` with the turn zero-padded to 12 digits so
+    lexicographic order == numeric order. ONE definition — the
+    near-dup filter's survivor policy and the mixture gate's
+    Bernoulli draw both use it; a divergent padding or separator at
+    either site would silently de-correlate replays."""
+    return F.concat_ws(
+        ":", F.col("conv_id"), F.format_string("%012d", "turn_idx")
+    )
 
 
 def dedup_stream(
@@ -89,8 +102,7 @@ def neardup_filter_batch(output_dir: str, store_dir: str):
                 raise
             store_losers = bands.select(*keys).limit(0)
         # (b) in-batch: min sortable key per band bucket survives
-        kstr = F.concat_ws(":", F.col("conv_id"), F.format_string("%012d", "turn_idx"))
-        kb = bands.withColumn("k", kstr)
+        kb = bands.withColumn("k", replay_key())
         a, b = kb.alias("a"), kb.alias("b")
         batch_losers = (
             a.join(

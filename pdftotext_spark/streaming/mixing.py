@@ -65,14 +65,13 @@ def mixture_filter_batch(
         spark = batch.sparkSession
         if batch.isEmpty():
             return
+        from pdftotext_spark.streaming.dedup import replay_key
+
         rates = spark.read.parquet(rates_dir).select(
             F.col("source").alias(source_col), "rate_micro"
         )
-        did = F.concat_ws(
-            ":", F.col("conv_id"), F.format_string("%012d", "turn_idx")
-        )
         gated = (
-            batch.withColumn("did", did)
+            batch.withColumn("did", replay_key())
             .join(F.broadcast(rates), source_col, "left")
             # absent from the plan -> rate 0 -> dropped (the plan is
             # the admission list)

@@ -233,10 +233,26 @@ def test_streaming_mixture_gate_replays_batch_rule(spark, tmp_path):
     assert again == got
 
 
-def test_pack_budget_pinned_to_textstats():
-    """mixing._PACK_BUDGET duplicates textstats.PACK_BUDGET_TOKENS to
-    keep the oracle f-string import-cycle-free — this pin is what
-    makes the duplication safe."""
-    from pdftotext_spark.operators.textstats import PACK_BUDGET_TOKENS
+def test_all_empty_corpus_no_nan_divergence(spark):
+    """tot_pw = 0 (every doc tokenizes empty) must yield all-zero
+    shares/rates identically in all three engines — Spark evaluates
+    the unguarded double 0/0 to NaN→0 where DuckDB returns NULL, so
+    the guard in _SHARE_SQL is what keeps the expression shared."""
+    import duckdb
 
-    assert mixing._PACK_BUDGET == PACK_BUDGET_TOKENS
+    rows = [("a", ""), ("a", " "), ("b", "")]
+    w = mixing.mixture_weights_for(_frame(spark, rows)).collect()
+    assert [(r.source, r.pw_micro, r.share_micro, r.rate_micro) for r in w] == [
+        ("a", 0, 0, 0),
+        ("b", 0, 0, 0),
+    ]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        "(0, 'a', ''), (1, 'a', ' '), (2, 'b', '')) t(doc_id, source, text)"
+    )
+    got = con.execute(mixing.MIXTURE_WEIGHTS_SQL).fetchall()
+    assert [(r[0], r[3], r[4], r[5]) for r in got] == [
+        ("a", 0, 0, 0),
+        ("b", 0, 0, 0),
+    ]
