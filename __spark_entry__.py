@@ -22,6 +22,7 @@ from pdftotext_spark.operators import (  # noqa: E402
     extraction_queries,
     mixing,
     prose,
+    quality_lr,
     relational,
     retrieval,
     similarity,
@@ -106,6 +107,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mixture_weights": mixing.mixture_weights,         # temperature mixing plan
     "mixture_rebalance": mixing.mixture_rebalance,     # per-doc copy counts
     "mixture_pack": mixing.mixture_pack,               # mix→expand→pack
+    "quality_lr_train": quality_lr.quality_lr_train,   # in-Spark LR trainer
+    "quality_lr_scores": quality_lr.quality_lr_scores, # learned quality score
     "hybrid_rrf_topk": retrieval.hybrid_rrf_topk,      # RRF lexical+dense fusion
     "bm25_rerank_cosine": retrieval.bm25_rerank_cosine,  # retrieve-then-rerank
     "duplicated_span_fraction": dedup.duplicated_span_fraction,  # ExactSubstr metric
@@ -314,6 +317,8 @@ _ORACLES: dict[str, str] = {
     "mixture_weights": mixing.MIXTURE_WEIGHTS_SQL,
     "mixture_rebalance": mixing.MIXTURE_REBALANCE_SQL,
     "mixture_pack": mixing.MIXTURE_PACK_SQL,
+    "quality_lr_train": quality_lr.QUALITY_LR_TRAIN_SQL,
+    "quality_lr_scores": quality_lr.QUALITY_LR_SCORES_SQL,
     "hybrid_rrf_topk": retrieval.HYBRID_RRF_TOPK_SQL,
     "bm25_rerank_cosine": retrieval.BM25_RERANK_COSINE_SQL,
     "paragraph_dedup": dedup.PARAGRAPH_DEDUP_SQL,
@@ -388,6 +393,12 @@ _DRIVER_GATE_FIRST = [
     "mixture_weights",
     "mixture_rebalance",
     "mixture_pack",
+    # quality_lr pair NEW (first-ever rows); quality_filter_by_source
+    # / unigram_logloss (r4-green, untouched, dedicated tests in
+    # test_quality_sketches.py) cycle to r7 — this empties the list's
+    # r4 tail entirely
+    "quality_lr_train",
+    "quality_lr_scores",
     "semantic_decontamination",
     "semantic_decontaminate_apply",
     "dedup_incremental_exact",
@@ -427,8 +438,6 @@ _DRIVER_GATE_FIRST = [
     # ngram_decontaminate_apply (new)
     # segment_revenue (r4-green, untouched) cycles to r7 for
     # curation_funnel (new)
-    "quality_filter_by_source",
-    "unigram_logloss",
     "bpe_merges_driver",
     # modified in r6 — refresh their rows
     "winnowing_shared_pairs",

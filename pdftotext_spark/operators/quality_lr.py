@@ -1,0 +1,327 @@
+"""In-Spark trained linear quality classifier (logistic regression).
+
+The FineWeb-Edu / fastText-classifier shape of corpus curation: train
+a cheap linear model to score documents by "quality", then rank or
+gate on the score. Here the training task is fully self-contained and
+deterministic — distinguish the prose rendering of a document
+(:func:`pdftotext_spark.operators.prose.prose_frame`: multi-line,
+punctuated, stopword-bearing) from its raw form — so both engines and
+a pure-Python replay train the IDENTICAL model from first principles
+(no external labels, no model files).
+
+Training is :data:`LR_ROUNDS` rounds of full-batch gradient descent,
+unrolled in-plan exactly like the BPE merge chain and Lloyd-KMeans
+(textstats._bpe_chain): the feature table is materialized ONCE, each
+round is one map-side-combined aggregate producing the 6-component
+gradient, and the weight update is a broadcast-scalar projection.
+
+Determinism discipline (the unigram_logloss order-proof rules):
+- features are INTEGER micro-units derived from integer counts; the
+  per-dialect part is only the count extraction (split vs
+  string_split etc.), every arithmetic step after that is ONE shared
+  SQL string evaluated verbatim by both engines;
+- weights live as integer micro-units and are rounded half-up after
+  every update, so cross-round drift cannot accumulate;
+- the gradient Σ over rows adds INTEGER per-row contributions (each
+  row's (y − σ(z))·x rounded to micro) — addition order can't perturb
+  the sum. σ's exp() carries the same accepted 1-ulp cross-engine
+  risk class as the BM25 ln(); the per-row micro round shields it.
+
+100 TB shape: one corpus scan builds the (slim, 8-column) feature
+frame, materialized once; each round then aggregates THAT frame to a
+single row (map-side partial aggregation; the Lloyd/BPE
+broadcast-scalar pattern) — no round ever re-reads the corpus.
+Scoring is a zero-shuffle projection of the feature frame against the
+broadcast final weights.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pdftotext_spark.operators import prose as _prose
+from pdftotext_spark.operators.materialize import materialize
+
+LR_ROUNDS = 8
+LR_RATE = "4e0"  # full-batch step size, baked as a shared literal
+LR_STOPWORDS = ("the", "and", "of", "to", "a", "in")
+
+# ---- per-dialect integer count extraction ------------------------
+# Spark-side count expressions over a `text` column. replace/chr are
+# shared syntax; tokenization and the global regex are per-dialect.
+_COUNTS_EXPR = {
+    "n_chars": "length(text)",
+    "nl_cnt": "length(text) - length(replace(text, chr(10), ''))",
+    "dot_cnt": "length(text) - length(replace(text, '.', ''))",
+    "up_cnt": "length(regexp_replace(text, '[^A-Z]', ''))",
+    "n_tok": "size(filter(split(text, ' '), x -> x <> ''))",
+    "stop_cnt": (
+        "size(filter(split(lower(text), ' '), x -> x IN "
+        f"({', '.join(repr(w) for w in LR_STOPWORDS)})))"
+    ),
+    "sum_wl": (
+        "aggregate(transform(filter(split(text, ' '), x -> x <> ''), "
+        "x -> length(x)), 0, (acc, v) -> acc + v)"
+    ),
+}
+_COUNTS_SQL = {
+    "n_chars": "length(text)",
+    "nl_cnt": "length(text) - length(replace(text, chr(10), ''))",
+    "dot_cnt": "length(text) - length(replace(text, '.', ''))",
+    "up_cnt": "length(regexp_replace(text, '[^A-Z]', '', 'g'))",
+    "n_tok": "len(list_filter(string_split(text, ' '), x -> x <> ''))",
+    "stop_cnt": (
+        "len(list_filter(string_split(lower(text), ' '), x -> x IN "
+        f"({', '.join(repr(w) for w in LR_STOPWORDS)})))"
+    ),
+    "sum_wl": (
+        "coalesce(list_sum(list_transform(list_filter("
+        "string_split(text, ' '), x -> x <> ''), x -> len(x))), 0)"
+    ),
+}
+
+# ---- shared feature-micro expressions over the count columns -----
+# Each feature is scaled into [0, 1] micro-units with FIXED constants
+# (a data-dependent normalization would add a stats pass and another
+# source of cross-engine drift).
+_FEAT_SQL = {
+    "f1m": "CAST(round(least(nl_cnt, 20) * 1e0 / 20e0 * 1000000e0, 0) AS BIGINT)",
+    "f2m": (
+        "CAST(round(least(dot_cnt * 1e0 / greatest(n_tok, 1), 1e0) "
+        "* 1000000e0, 0) AS BIGINT)"
+    ),
+    "f3m": (
+        "CAST(round(stop_cnt * 1e0 / greatest(n_tok, 1) "
+        "* 1000000e0, 0) AS BIGINT)"
+    ),
+    "f4m": (
+        "CAST(round(least(sum_wl * 1e0 / greatest(n_tok, 1) / 10e0, 1e0) "
+        "* 1000000e0, 0) AS BIGINT)"
+    ),
+    "f5m": (
+        "CAST(round(least(up_cnt * 1e0 / greatest(n_chars, 1) * 10e0, 1e0) "
+        "* 1000000e0, 0) AS BIGINT)"
+    ),
+}
+_FEATS = ("f1m", "f2m", "f3m", "f4m", "f5m")
+
+# z from integer micro weights w0m..w5m and micro features: every
+# literal in e0 double form, fixed operation order
+_Z_SQL = (
+    "((w0m * 1e0 + (w1m * 1e0 * f1m + w2m * 1e0 * f2m + w3m * 1e0 * f3m"
+    " + w4m * 1e0 * f4m + w5m * 1e0 * f5m) / 1000000e0) / 1000000e0)"
+)
+_SIGMA_SQL = f"(1e0 / (1e0 + exp(-{_Z_SQL})))"
+
+
+def _grad_sql(k: int) -> str:
+    """Per-row micro gradient contribution for weight k (0 = bias):
+    (y − σ(z)) · x_k, with x_0 ≡ 1 (in micro units)."""
+    xk = "1000000e0" if k == 0 else f"f{k}m"
+    return (
+        f"CAST(round((label * 1e0 - {_SIGMA_SQL}) * {xk}, 0) AS BIGINT)"
+    )
+
+
+def _update_sql(k: int) -> str:
+    """New micro weight k from the integer gradient sum and n."""
+    return (
+        f"CAST(w{k}m + round({LR_RATE} * (g{k} * 1e0 / n) / 1000000e0 "
+        f"* 1000000e0, 0) AS BIGINT)"
+    )
+
+
+def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+def lr_features_for(docs: DataFrame) -> DataFrame:
+    """The training table: every document twice — raw (label 0,
+    ex_id = 2·doc_id) and prose-rendered (label 1, ex_id =
+    2·doc_id + 1) — reduced to the five micro-unit features. One
+    corpus scan per rendering, materialized once for the round
+    chain."""
+    raw = docs.select(
+        (F.col("doc_id").cast("long") * 2).alias("ex_id"),
+        F.lit(0).cast("long").alias("label"),
+        "text",
+    )
+    pro = _prose.prose_frame(docs).select(
+        (F.col("doc_id").cast("long") * 2 + 1).alias("ex_id"),
+        F.lit(1).cast("long").alias("label"),
+        "text",
+    )
+    both = raw.unionByName(pro)
+    counts = both.select(
+        "ex_id",
+        "label",
+        *[
+            F.expr(e).cast("long").alias(c)
+            for c, e in _COUNTS_EXPR.items()
+        ],
+    )
+    return counts.select(
+        "ex_id",
+        "label",
+        *[F.expr(_FEAT_SQL[f]).alias(f) for f in _FEATS],
+    )
+
+
+def _lr_chain(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Shared trainer: returns ``(weights_by_round, feats)`` where
+    ``weights_by_round`` is one row per round 0..LR_ROUNDS (round 0 =
+    the zero init) and ``feats`` is the materialized feature table."""
+    feats = materialize(
+        lr_features_for(_read(spark, sf_dir, "documents"))
+    )
+    n = F.count("*").cast("long").alias("n")
+    w = spark.createDataFrame(
+        [tuple([0] * 6)],
+        "w0m long, w1m long, w2m long, w3m long, w4m long, w5m long",
+    )
+    rows = [
+        w.select(F.lit(0).cast("long").alias("round"), "*")
+    ]
+    for rnd in range(1, LR_ROUNDS + 1):
+        g = (
+            feats.join(F.broadcast(w))
+            .select(
+                *[
+                    F.expr(_grad_sql(k)).alias(f"gc{k}")
+                    for k in range(6)
+                ]
+            )
+            .agg(
+                n,
+                *[
+                    F.sum(f"gc{k}").cast("long").alias(f"g{k}")
+                    for k in range(6)
+                ],
+            )
+        )
+        w = materialize(
+            g.join(F.broadcast(w)).select(
+                *[
+                    F.expr(_update_sql(k)).alias(f"w{k}m")
+                    for k in range(6)
+                ]
+            )
+        )
+        rows.append(
+            w.select(F.lit(rnd).cast("long").alias("round"), "*")
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out, feats
+
+
+def quality_lr_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered trainer: weight trajectory (round, w0m..w5m in
+    integer micro-units), round 0 = init. Ordered by round."""
+    wts, _ = _lr_chain(spark, sf_dir)
+    return wts.orderBy("round")
+
+
+def quality_lr_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered scorer: every training example with its final-round
+    sigmoid score (micro), hard prediction at 0.5, and correctness —
+    the per-document quality score a curation run would gate on."""
+    wts, feats = _lr_chain(spark, sf_dir)
+    final = wts.filter(F.col("round") == LR_ROUNDS).drop("round")
+    score = F.expr(
+        f"CAST(round({_SIGMA_SQL} * 1000000e0, 0) AS BIGINT)"
+    )
+    return feats.join(F.broadcast(final)).select(
+        "ex_id",
+        "label",
+        score.alias("score_micro"),
+        (score >= 500000).alias("predicted_clean"),
+        ((score >= 500000) == (F.col("label") == 1)).alias("correct"),
+    )
+
+
+# ---------------------------------------------------------- oracles
+
+
+def _feats_ctes() -> str:
+    counts = ",\n         ".join(
+        f"CAST({e} AS BIGINT) AS {c}" for c, e in _COUNTS_SQL.items()
+    )
+    fm = ",\n       ".join(f"{_FEAT_SQL[f]} AS {f}" for f in _FEATS)
+    return f"""prose_docs AS ({_prose.PROSE_DOCS_SQL}),
+pool AS (
+  SELECT CAST(doc_id AS BIGINT) * 2 AS ex_id,
+         CAST(0 AS BIGINT) AS label, text
+  FROM documents
+  UNION ALL
+  SELECT CAST(doc_id AS BIGINT) * 2 + 1 AS ex_id,
+         CAST(1 AS BIGINT) AS label, text
+  FROM prose_docs
+),
+counts AS (
+  SELECT ex_id, label,
+         {counts}
+  FROM pool
+),
+feats AS MATERIALIZED (
+  SELECT ex_id, label,
+       {fm}
+  FROM counts
+)"""
+
+
+def _round_ctes(rounds: int = LR_ROUNDS) -> str:
+    parts = [
+        "w0 AS (SELECT "
+        + ", ".join(f"CAST(0 AS BIGINT) AS w{k}m" for k in range(6))
+        + ")"
+    ]
+    for r in range(1, rounds + 1):
+        gsel = ", ".join(
+            f"CAST(SUM({_grad_sql(k)}) AS BIGINT) AS g{k}"
+            for k in range(6)
+        )
+        usel = ", ".join(
+            f"{_update_sql(k)} AS w{k}m" for k in range(6)
+        )
+        parts.append(
+            f"""g{r} AS MATERIALIZED (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, {gsel}
+  FROM feats, w{r - 1}
+),
+w{r} AS MATERIALIZED (
+  SELECT {usel} FROM g{r}, w{r - 1}
+)"""
+        )
+    return ",\n".join(parts)
+
+
+def _train_union(rounds: int = LR_ROUNDS) -> str:
+    return "\nUNION ALL\n".join(
+        f"SELECT CAST({r} AS BIGINT) AS round, * FROM w{r}"
+        for r in range(rounds + 1)
+    )
+
+
+QUALITY_LR_TRAIN_SQL = f"""
+WITH {_feats_ctes()},
+{_round_ctes()}
+SELECT * FROM ({_train_union()})
+ORDER BY round
+"""
+
+QUALITY_LR_SCORES_SQL = f"""
+WITH {_feats_ctes()},
+{_round_ctes()}
+SELECT ex_id, label,
+       CAST(round({_SIGMA_SQL} * 1000000e0, 0) AS BIGINT) AS score_micro,
+       CAST(round({_SIGMA_SQL} * 1000000e0, 0) AS BIGINT) >= 500000
+         AS predicted_clean,
+       (CAST(round({_SIGMA_SQL} * 1000000e0, 0) AS BIGINT) >= 500000)
+         = (label = 1) AS correct
+FROM feats, w{LR_ROUNDS}
+"""

@@ -679,3 +679,21 @@ def test_mixture_pack_two_scans_one_explode(spark):
     assert plan.count("Generate explode") == 1
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_quality_lr_corpus_never_rescanned(spark):
+    """quality_lr: the corpus is scanned only inside the one feats
+    materialization job — the final scores plan reads ONLY the two
+    materialized ExistingRDDs (feature table + final weights row),
+    joins them broadcast-scalar, and projects zero-shuffle; the train
+    plan is the union of the 9 materialized 1-row weight frames (the
+    BPE/Lloyd unrolled-round shape)."""
+    from pdftotext_spark.operators import quality_lr
+
+    plan = _plan(quality_lr.quality_lr_scores(spark, SF))
+    assert plan.count("FileScan parquet") == 0
+    assert plan.count("Scan ExistingRDD") == 2
+    assert "SortMergeJoin" not in plan
+    plan = _plan(quality_lr.quality_lr_train(spark, SF))
+    assert plan.count("FileScan parquet") == 0
+    assert "SortMergeJoin" not in plan and "Union" in plan
