@@ -109,6 +109,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mixture_pack": mixing.mixture_pack,               # mix→expand→pack
     "quality_lr_train": quality_lr.quality_lr_train,   # in-Spark LR trainer
     "quality_lr_scores": quality_lr.quality_lr_scores, # learned quality score
+    "quality_lr_auc": quality_lr.quality_lr_auc,       # rank AUC of the model
     "hybrid_rrf_topk": retrieval.hybrid_rrf_topk,      # RRF lexical+dense fusion
     "bm25_rerank_cosine": retrieval.bm25_rerank_cosine,  # retrieve-then-rerank
     "duplicated_span_fraction": dedup.duplicated_span_fraction,  # ExactSubstr metric
@@ -319,6 +320,7 @@ _ORACLES: dict[str, str] = {
     "mixture_pack": mixing.MIXTURE_PACK_SQL,
     "quality_lr_train": quality_lr.QUALITY_LR_TRAIN_SQL,
     "quality_lr_scores": quality_lr.QUALITY_LR_SCORES_SQL,
+    "quality_lr_auc": quality_lr.QUALITY_LR_AUC_SQL,
     "hybrid_rrf_topk": retrieval.HYBRID_RRF_TOPK_SQL,
     "bm25_rerank_cosine": retrieval.BM25_RERANK_COSINE_SQL,
     "paragraph_dedup": dedup.PARAGRAPH_DEDUP_SQL,
@@ -396,7 +398,10 @@ _DRIVER_GATE_FIRST = [
     # quality_lr pair NEW (first-ever rows); quality_filter_by_source
     # / unigram_logloss (r4-green, untouched, dedicated tests in
     # test_quality_sketches.py) cycle to r7 — this empties the list's
-    # r4 tail entirely
+    # r4 tail entirely. quality_lr_auc (also new) is NOT front-loaded:
+    # the 50 slots are all new/r6-modified rows now; it derives from
+    # quality_lr_scores (whose row IS recorded), has the local oracle
+    # mirror + replay tests, and front-loads in r7.
     "quality_lr_train",
     "quality_lr_scores",
     "semantic_decontamination",

@@ -325,3 +325,79 @@ SELECT ex_id, label,
          = (label = 1) AS correct
 FROM feats, w{LR_ROUNDS}
 """
+
+
+def quality_lr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-based AUC (Mann-Whitney) of the learned scores against
+    the construction labels — the evaluation a classifier-gated
+    curation run reports next to its threshold. Midranks handle
+    integer-score ties exactly: doubled midrank 2·r_mid = 2·min_rank
+    + (ties − 1) stays integer, so the Σ is order-free and the single
+    division happens once at the end (micro-rounded).
+
+    Output: one row (n_pos, n_neg, auc_micro).
+
+    100 TB shape: the scored frame (already materialized by the
+    chain) feeds one rank window over score_micro — a single global
+    sort of slim (score, label) rows — then one aggregate."""
+    return auc_for(
+        quality_lr_scores(spark, sf_dir).select("label", "score_micro")
+    )
+
+
+def auc_for(scored: DataFrame) -> DataFrame:
+    """Core of :func:`quality_lr_auc` over an arbitrary
+    ``(label, score_micro)`` frame — the constructed-input surface the
+    midrank/tie tests drive."""
+    from pyspark.sql import Window
+
+    w_rank = Window.orderBy("score_micro")
+    ties = Window.partitionBy("score_micro")
+    r2 = (
+        2 * F.rank().over(w_rank)
+        + F.count("*").over(ties)
+        - 1
+    ).cast("long")
+    ranked = scored.select("label", r2.alias("r2"))
+    agg = ranked.agg(
+        F.sum((F.col("label") == 1).cast("long")).cast("long").alias("n_pos"),
+        F.sum((F.col("label") == 0).cast("long")).cast("long").alias("n_neg"),
+        F.sum(F.when(F.col("label") == 1, F.col("r2")).otherwise(0))
+        .cast("long")
+        .alias("r2_pos"),
+    )
+    auc = (
+        "CAST(round((r2_pos * 1e0 / 2e0 - n_pos * 1e0 * (n_pos + 1e0) / 2e0)"
+        " / (n_pos * 1e0 * n_neg) * 1000000e0, 0) AS BIGINT)"
+    )
+    return agg.select(
+        "n_pos", "n_neg", F.expr(auc).alias("auc_micro")
+    )
+
+
+QUALITY_LR_AUC_SQL = f"""
+WITH {_feats_ctes()},
+{_round_ctes()},
+scored AS (
+  SELECT label,
+         CAST(round({_SIGMA_SQL} * 1000000e0, 0) AS BIGINT) AS score_micro
+  FROM feats, w{LR_ROUNDS}
+),
+ranked AS (
+  SELECT label,
+         CAST(2 * rank() OVER (ORDER BY score_micro)
+              + COUNT(*) OVER (PARTITION BY score_micro) - 1
+              AS BIGINT) AS r2
+  FROM scored
+),
+agg AS (
+  SELECT CAST(SUM(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+         CAST(SUM(CASE WHEN label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg,
+         CAST(SUM(CASE WHEN label = 1 THEN r2 ELSE 0 END) AS BIGINT) AS r2_pos
+  FROM ranked
+)
+SELECT n_pos, n_neg,
+       CAST(round((r2_pos * 1e0 / 2e0 - n_pos * 1e0 * (n_pos + 1e0) / 2e0)
+            / (n_pos * 1e0 * n_neg) * 1000000e0, 0) AS BIGINT) AS auc_micro
+FROM agg
+"""

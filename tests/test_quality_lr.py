@@ -139,3 +139,24 @@ def test_lr_learns_the_separating_features(spark):
     assert acc >= 0.95
     uniq = {r.score_micro for r in scores}
     assert len(uniq) > 100  # continuous score, not a binary echo
+
+
+def test_auc_midranks_and_replay(spark):
+    """auc_for: midrank tie handling is exact — a constructed frame
+    with ties reproduces the hand-computed Mann-Whitney AUC — and the
+    fixture AUC separates perfectly (every prose score above every
+    raw score)."""
+    from pyspark.sql import Row
+
+    # scores: pos {30, 20, 20}, neg {20, 10}
+    # doubled midranks over sorted [10,20,20,20,30]: 10->2; the three
+    # 20s share (2*2 + 3 - 1) = 6; 30 -> 10
+    # sum pos r2 = 6 + 6 + 10 = 22; AUC = (11 - 6) / 6 = 0.833333
+    rows = [Row(label=1, score_micro=30), Row(label=1, score_micro=20),
+            Row(label=1, score_micro=20), Row(label=0, score_micro=20),
+            Row(label=0, score_micro=10)]
+    got = quality_lr.auc_for(spark.createDataFrame(rows)).collect()[0]
+    assert (got.n_pos, got.n_neg, got.auc_micro) == (3, 2, 833333)
+    fix = quality_lr.quality_lr_auc(spark, SF).collect()[0]
+    assert (fix.n_pos, fix.n_neg) == (500, 500)
+    assert fix.auc_micro == 1_000_000  # perfect separation, pinned
