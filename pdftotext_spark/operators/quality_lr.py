@@ -65,10 +65,11 @@ _COUNTS_EXPR = {
         "x -> length(x)), 0, (acc, v) -> acc + v)"
     ),
 }
+# only the genuinely per-dialect entries diverge; the shared strings
+# come from ONE source (the shingle keep-rule lesson: shared
+# expressions stay shared verbatim or the twins drift)
 _COUNTS_SQL = {
-    "n_chars": "length(text)",
-    "nl_cnt": "length(text) - length(replace(text, chr(10), ''))",
-    "dot_cnt": "length(text) - length(replace(text, '.', ''))",
+    **{k: _COUNTS_EXPR[k] for k in ("n_chars", "nl_cnt", "dot_cnt")},
     "up_cnt": "length(regexp_replace(text, '[^A-Z]', '', 'g'))",
     "n_tok": "len(list_filter(string_split(text, ' '), x -> x <> ''))",
     "stop_cnt": (
@@ -335,11 +336,15 @@ def quality_lr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     + (ties − 1) stays integer, so the Σ is order-free and the single
     division happens once at the end (micro-rounded).
 
-    Output: one row (n_pos, n_neg, auc_micro).
+    Output: one row (n_pos, n_neg, r2_pos, auc_micro). ``r2_pos``
+    (the raw doubled positive rank sum) is emitted deliberately: on a
+    perfectly-separated corpus ``auc_micro`` saturates at exactly
+    1e6, where a whole class of ranking bugs would stay invisible to
+    the oracle gate — r2_pos depends on every individual rank and
+    does not saturate. ``auc_micro`` is NULL when either class is
+    empty (AUC is undefined; an explicit CASE, not a silent 0/0).
 
-    100 TB shape: the scored frame (already materialized by the
-    chain) feeds one rank window over score_micro — a single global
-    sort of slim (score, label) rows — then one aggregate."""
+    100 TB shape: see :func:`auc_for`."""
     return auc_for(
         quality_lr_scores(spark, sf_dir).select("label", "score_micro")
     )
@@ -348,30 +353,44 @@ def quality_lr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
 def auc_for(scored: DataFrame) -> DataFrame:
     """Core of :func:`quality_lr_auc` over an arbitrary
     ``(label, score_micro)`` frame — the constructed-input surface the
-    midrank/tie tests drive."""
+    midrank/tie tests drive.
+
+    The rank math runs on the DISTINCT-SCORE frame, never the row
+    frame: scores are integer micro-units in [0, 1e6], so the frame
+    the prefix-sum window sorts is bounded at 1,000,001 rows at ANY
+    corpus size. A rank window straight over the rows would funnel
+    the whole corpus through one Exchange SinglePartition task — the
+    first version did exactly that (review r6s7); the groupBy form is
+    one map-side-combined shuffle plus a bounded-constant window.
+    Per distinct score: 2·r_mid = 2·min_rank + cnt − 1 with
+    min_rank = 1 + Σ cnt over strictly-lower scores."""
     from pyspark.sql import Window
 
-    w_rank = Window.orderBy("score_micro")
-    ties = Window.partitionBy("score_micro")
+    per_score = scored.groupBy("score_micro").agg(
+        F.count("*").cast("long").alias("cnt"),
+        F.sum((F.col("label") == 1).cast("long")).cast("long").alias("pos"),
+    )
+    w_lower = (
+        Window.orderBy("score_micro")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
     r2 = (
-        2 * F.rank().over(w_rank)
-        + F.count("*").over(ties)
+        2 * (1 + F.coalesce(F.sum("cnt").over(w_lower), F.lit(0)))
+        + F.col("cnt")
         - 1
     ).cast("long")
-    ranked = scored.select("label", r2.alias("r2"))
-    agg = ranked.agg(
-        F.sum((F.col("label") == 1).cast("long")).cast("long").alias("n_pos"),
-        F.sum((F.col("label") == 0).cast("long")).cast("long").alias("n_neg"),
-        F.sum(F.when(F.col("label") == 1, F.col("r2")).otherwise(0))
-        .cast("long")
-        .alias("r2_pos"),
+    agg = per_score.select("cnt", "pos", r2.alias("r2")).agg(
+        F.sum("pos").cast("long").alias("n_pos"),
+        F.sum(F.col("cnt") - F.col("pos")).cast("long").alias("n_neg"),
+        F.sum(F.col("pos") * F.col("r2")).cast("long").alias("r2_pos"),
     )
     auc = (
-        "CAST(round((r2_pos * 1e0 / 2e0 - n_pos * 1e0 * (n_pos + 1e0) / 2e0)"
-        " / (n_pos * 1e0 * n_neg) * 1000000e0, 0) AS BIGINT)"
+        "CAST(CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL ELSE "
+        "round((r2_pos * 1e0 / 2e0 - n_pos * 1e0 * (n_pos + 1e0) / 2e0)"
+        " / (n_pos * 1e0 * n_neg) * 1000000e0, 0) END AS BIGINT)"
     )
     return agg.select(
-        "n_pos", "n_neg", F.expr(auc).alias("auc_micro")
+        "n_pos", "n_neg", "r2_pos", F.expr(auc).alias("auc_micro")
     )
 
 
@@ -383,21 +402,30 @@ scored AS (
          CAST(round({_SIGMA_SQL} * 1000000e0, 0) AS BIGINT) AS score_micro
   FROM feats, w{LR_ROUNDS}
 ),
-ranked AS (
-  SELECT label,
-         CAST(2 * rank() OVER (ORDER BY score_micro)
-              + COUNT(*) OVER (PARTITION BY score_micro) - 1
-              AS BIGINT) AS r2
+per_score AS (
+  SELECT score_micro,
+         CAST(COUNT(*) AS BIGINT) AS cnt,
+         CAST(SUM(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS pos
   FROM scored
+  GROUP BY score_micro
+),
+ranked AS (
+  SELECT cnt, pos,
+         CAST(2 * (1 + coalesce(SUM(cnt) OVER (ORDER BY score_micro
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))
+              + cnt - 1 AS BIGINT) AS r2
+  FROM per_score
 ),
 agg AS (
-  SELECT CAST(SUM(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
-         CAST(SUM(CASE WHEN label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg,
-         CAST(SUM(CASE WHEN label = 1 THEN r2 ELSE 0 END) AS BIGINT) AS r2_pos
+  SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
+         CAST(SUM(cnt - pos) AS BIGINT) AS n_neg,
+         CAST(SUM(pos * r2) AS BIGINT) AS r2_pos
   FROM ranked
 )
-SELECT n_pos, n_neg,
-       CAST(round((r2_pos * 1e0 / 2e0 - n_pos * 1e0 * (n_pos + 1e0) / 2e0)
-            / (n_pos * 1e0 * n_neg) * 1000000e0, 0) AS BIGINT) AS auc_micro
+SELECT n_pos, n_neg, r2_pos,
+       CAST(CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL ELSE
+            round((r2_pos * 1e0 / 2e0 - n_pos * 1e0 * (n_pos + 1e0) / 2e0)
+            / (n_pos * 1e0 * n_neg) * 1000000e0, 0) END AS BIGINT)
+         AS auc_micro
 FROM agg
 """

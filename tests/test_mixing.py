@@ -23,9 +23,16 @@ def _frame(spark, rows):
 
 
 def _rh(x: float) -> int:
-    """SQL round(x, 0) for non-negative x — half-up (Python's round()
-    is banker's)."""
-    return int(math.floor(x + 0.5))
+    """SQL round(x, 0) half-up on the double's EXACT binary value
+    (floor(x + 0.5) differs on the 0.49999999999999994 class;
+    Decimal matches Spark HALF_UP and DuckDB)."""
+    import decimal
+
+    return int(
+        decimal.Decimal(x).quantize(
+            decimal.Decimal(1), rounding=decimal.ROUND_HALF_UP
+        )
+    )
 
 
 def _py_weights(rows):

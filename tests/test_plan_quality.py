@@ -697,3 +697,23 @@ def test_quality_lr_corpus_never_rescanned(spark):
     plan = _plan(quality_lr.quality_lr_train(spark, SF))
     assert plan.count("FileScan parquet") == 0
     assert "SortMergeJoin" not in plan and "Union" in plan
+
+
+def test_auc_windows_bounded_distinct_score_frame(spark):
+    """auc_for: the prefix-sum rank window sorts the DISTINCT-SCORE
+    frame (<= 1,000,001 rows at any corpus size — scores are micro
+    ints in [0, 1e6]), never the row frame; the SinglePartition
+    exchange must sit ABOVE the per-score aggregate, so the corpus
+    only ever flows through the map-side-combined groupBy."""
+    from pyspark.sql import Row
+
+    from pdftotext_spark.operators import quality_lr
+
+    scored = spark.createDataFrame(
+        [Row(label=i % 2, score_micro=i % 7) for i in range(100)]
+    )
+    plan = _plan(quality_lr.auc_for(scored))
+    agg_at = plan.index("partial_count")  # per-score map-side combine
+    sp_at = plan.index("Exchange SinglePartition")
+    assert sp_at < agg_at  # window input is the aggregated frame
+    assert "SortMergeJoin" not in plan

@@ -18,9 +18,18 @@ SF = "/root/testdata/sf0.001"
 
 
 def _rh(x: float) -> int:
-    """SQL round(x, 0) half-up (away from zero) — matches Spark
-    HALF_UP and DuckDB for both signs."""
-    return int(math.floor(x + 0.5)) if x >= 0 else -int(math.floor(-x + 0.5))
+    """SQL round(x, 0) half-away-from-zero on the double's EXACT
+    binary value — floor(x + 0.5) silently differs on the
+    0.49999999999999994 class (x + 0.5 rounds up to 1.0 in binary);
+    Decimal sees the true value, matching Spark's BigDecimal HALF_UP
+    and DuckDB."""
+    import decimal
+
+    return int(
+        decimal.Decimal(x).quantize(
+            decimal.Decimal(1), rounding=decimal.ROUND_HALF_UP
+        )
+    )
 
 
 def _py_counts(text: str) -> dict:
@@ -156,7 +165,18 @@ def test_auc_midranks_and_replay(spark):
             Row(label=1, score_micro=20), Row(label=0, score_micro=20),
             Row(label=0, score_micro=10)]
     got = quality_lr.auc_for(spark.createDataFrame(rows)).collect()[0]
-    assert (got.n_pos, got.n_neg, got.auc_micro) == (3, 2, 833333)
+    assert (got.n_pos, got.n_neg, got.r2_pos, got.auc_micro) == (
+        3, 2, 22, 833333
+    )
+    # single-class input: AUC undefined -> explicit NULL, counts kept
+    one = quality_lr.auc_for(
+        spark.createDataFrame([Row(label=1, score_micro=7)] * 3)
+    ).collect()[0]
+    assert (one.n_pos, one.n_neg, one.auc_micro) == (3, 0, None)
     fix = quality_lr.quality_lr_auc(spark, SF).collect()[0]
     assert (fix.n_pos, fix.n_neg) == (500, 500)
     assert fix.auc_micro == 1_000_000  # perfect separation, pinned
+    # r2_pos depends on every individual rank (does NOT saturate):
+    # with perfect separation positives hold ranks 501..1000 tie-free
+    # here, so 2*sum(501..1000) = 750500*2
+    assert fix.r2_pos > 0 and fix.r2_pos == 2 * sum(range(501, 1001))

@@ -982,9 +982,15 @@ def test_trigram_logloss_python_replay(spark, tmp_path):
     )
 
     def micro(p: float) -> int:
-        # HALF_UP like Spark's F.round / DuckDB ROUND (p <= 1 so the
-        # scaled loss is non-negative)
-        return int(math.floor(-math.log2(p) * 1_000_000 + 0.5))
+        # HALF_UP like Spark's F.round / DuckDB ROUND, on the exact
+        # binary double (floor(x+0.5) misrounds the .4999…94 class)
+        import decimal
+
+        return int(
+            decimal.Decimal(-math.log2(p) * 1_000_000).quantize(
+                decimal.Decimal(1), rounding=decimal.ROUND_HALF_UP
+            )
+        )
 
     L3, L2, L1 = (
         textstats.TRIGRAM_L3,
@@ -1091,7 +1097,14 @@ def test_zipf_fit_python_replay(spark, tmp_path):
     S = textstats.ZIPF_SCALE
 
     def ival(v: float) -> int:
-        return int(math.floor(v * S + 0.5))  # HALF_UP, values >= 0
+        import decimal
+
+        # HALF_UP on the exact binary double, as Spark/DuckDB round()
+        return int(
+            decimal.Decimal(v * S).quantize(
+                decimal.Decimal(1), rounding=decimal.ROUND_HALF_UP
+            )
+        )
 
     xs = [ival(math.log(r + 1)) for r in range(len(ranked))]
     ys = [ival(math.log(c)) for _, c in ranked]

@@ -6,6 +6,19 @@ must satisfy. The DuckDB value twin runs in test_oracle_parity."""
 
 import math
 
+
+def _dec_rh(x: float) -> int:
+    """SQL round(x, 0) half-away-from-zero on the exact binary double
+    (floor(x + 0.5) differs on the 0.49999999999999994 class)."""
+    import decimal
+
+    return int(
+        decimal.Decimal(x).quantize(
+            decimal.Decimal(1), rounding=decimal.ROUND_HALF_UP
+        )
+    )
+
+
 import pytest
 from pyspark.sql import Row
 
@@ -40,7 +53,7 @@ def _py_bm25(texts):
                     1.0 + (n_docs - df[t] + 0.5) / (df[t] + 0.5)
                 )
                 norm = tf + 1.2 * (0.25 + 0.75 * (dl * 1.0 * n_docs) / sum_dl)
-                score += int(math.floor(idf * (tf * 2.2) / norm * 1e6 + 0.5))
+                score += _dec_rh(idf * (tf * 2.2) / norm * 1e6)
         out.append((i, dl, score))
     out.sort(key=lambda r: (-r[2], r[0]))
     return out[: retrieval.BM25_TOPK]
@@ -188,8 +201,12 @@ def _py_cos(a, b):
     for y in b:
         nb += float(y) * float(y)
     c = dot / (math.sqrt(na) * math.sqrt(nb))
-    return math.floor(c * 1e4 + 0.5) / 1e4 if c >= 0 else -(
-        math.floor(-c * 1e4 + 0.5) / 1e4
+    import decimal
+
+    return float(
+        decimal.Decimal(c).quantize(
+            decimal.Decimal("0.0001"), rounding=decimal.ROUND_HALF_UP
+        )
     )
 
 
@@ -215,7 +232,7 @@ def _py_hybrid(texts, vecs):
             if tf > 0:
                 idf = math.log(1.0 + (n_docs - df[t] + 0.5) / (df[t] + 0.5))
                 norm = tf + 1.2 * (0.25 + 0.75 * (dl * 1.0 * n_docs) / sum_dl)
-                s += int(math.floor(idf * (tf * 2.2) / norm * 1e6 + 0.5))
+                s += _dec_rh(idf * (tf * 2.2) / norm * 1e6)
         if s > 0:
             lex_scores[i] = s
     lex_order = sorted(lex_scores, key=lambda i: (-lex_scores[i], i))
