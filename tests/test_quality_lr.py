@@ -180,3 +180,59 @@ def test_auc_midranks_and_replay(spark):
     # with perfect separation positives hold ranks 501..1000 tie-free
     # here, so 2*sum(501..1000) = 750500*2
     assert fix.r2_pos > 0 and fix.r2_pos == 2 * sum(range(501, 1001))
+
+
+def test_streaming_gate_scores_equal_batch_scorer(spark, tmp_path):
+    """Coherence pin for the streaming LR gate: a turn scored at
+    ingest equals the batch scorer's score for the same text under
+    the same weights — the gate composes the IDENTICAL count/feature/
+    sigmoid expressions. Prose-rendered turns pass the 0.5 gate, raw
+    turns fail it (the training separation carries over); replayed
+    micro-batches overwrite."""
+    from pyspark.sql import Row
+
+    from pdftotext_spark.streaming.quality_lr import (
+        LR_GATE_THRESHOLD,
+        lr_filter_batch,
+        write_lr_weights,
+    )
+
+    wdir = str(tmp_path / "weights")
+    out = str(tmp_path / "out")
+    write_lr_weights(spark, SF, wdir)
+    w = spark.read.parquet(wdir).collect()[0]
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(20)
+    raw = [(f"c{r.doc_id}", 0, r.text) for r in docs.collect()]
+    pro = [
+        (f"p{r.doc_id}", 1, r.text)
+        for r in prose.prose_frame(docs).collect()
+    ]
+    batch = spark.createDataFrame(
+        raw + pro, "conv_id string, turn_idx int, text string"
+    )
+    fn = lr_filter_batch(out, wdir)
+    fn(batch, 0)
+    got = {
+        (r.conv_id, r.turn_idx): r.score_micro
+        for r in spark.read.parquet(f"{out}/batch_id=0").collect()
+    }
+    # replay the score in pure Python with the materialized weights
+    wv = [w.w0m, w.w1m, w.w2m, w.w3m, w.w4m, w.w5m]
+    survivors = {}
+    for c, t, text in raw + pro:
+        f = _py_feats(_py_counts(text))
+        z = (
+            wv[0] * 1.0
+            + sum(wv[k + 1] * 1.0 * f[k] for k in range(5)) / 1e6
+        ) / 1e6
+        score = _rh(1.0 / (1.0 + math.exp(-z)) * 1e6)
+        if score >= LR_GATE_THRESHOLD:
+            survivors[(c, t)] = score
+    assert got == survivors
+    # the separation carries over: every prose turn kept, no raw turn
+    assert all(c.startswith("p") for c, _ in got)
+    assert sum(1 for c, _ in got if c.startswith("p")) == len(pro)
+    fn(batch, 0)  # replay: overwrite, not append
+    again = spark.read.parquet(f"{out}/batch_id=0").count()
+    assert again == len(got)
