@@ -110,6 +110,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_lr_train": quality_lr.quality_lr_train,   # in-Spark LR trainer
     "quality_lr_scores": quality_lr.quality_lr_scores, # learned quality score
     "quality_lr_auc": quality_lr.quality_lr_auc,       # rank AUC of the model
+    "cosine_batch_topk": similarity.cosine_batch_topk,  # batched dense retrieval
     "hybrid_rrf_topk": retrieval.hybrid_rrf_topk,      # RRF lexical+dense fusion
     "bm25_rerank_cosine": retrieval.bm25_rerank_cosine,  # retrieve-then-rerank
     "duplicated_span_fraction": dedup.duplicated_span_fraction,  # ExactSubstr metric
@@ -321,6 +322,7 @@ _ORACLES: dict[str, str] = {
     "quality_lr_train": quality_lr.QUALITY_LR_TRAIN_SQL,
     "quality_lr_scores": quality_lr.QUALITY_LR_SCORES_SQL,
     "quality_lr_auc": quality_lr.QUALITY_LR_AUC_SQL,
+    "cosine_batch_topk": similarity.COSINE_BATCH_TOPK_SQL,
     "hybrid_rrf_topk": retrieval.HYBRID_RRF_TOPK_SQL,
     "bm25_rerank_cosine": retrieval.BM25_RERANK_COSINE_SQL,
     "paragraph_dedup": dedup.PARAGRAPH_DEDUP_SQL,

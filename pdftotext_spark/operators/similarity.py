@@ -91,6 +91,63 @@ def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_scan_for(_read(spark, sf_dir, "embeddings"), TOP_K)
 
 
+# fixed benchmark query set for the batched scan (vec_ids present at
+# every sf; each query's own row is excluded from its result)
+BATCH_QUERY_VEC_IDS = (0, 1, 2, 3)
+COSINE_BATCH_TOPK = 5
+
+
+def cosine_batch_topk_for(
+    emb,
+    query_ids: tuple[int, ...] = BATCH_QUERY_VEC_IDS,
+    k: int = COSINE_BATCH_TOPK,
+):
+    """Batched dense retrieval: top-``k`` cosine neighbours for a SET
+    of query vectors in ONE corpus scan — the dense twin of
+    ``retrieval.bm25_batch_topk``. Per (query, doc) pair the 4dp
+    cosine is identical to :func:`cosine_scan_for` run on that query
+    alone (pinned by test).
+
+    Output: query_id, vec_id, cosine, q_rank (1-based), ordered by
+    (query_id, q_rank).
+
+    100 TB shape: the Q-row query frame broadcasts into a single
+    corpus scan (Q cosines per row — corpus-side I/O independent of
+    Q, the batch amortization); the per-query top-k window is
+    WindowGroupLimit-ed (Partial below the query_id shuffle), so only
+    ~Q·k rows per task ever shuffle — never the corpus."""
+    from pyspark.sql import Window
+
+    q = emb.filter(F.col("vec_id").isin(*query_ids)).select(
+        F.col("vec_id").cast("long").alias("query_id"),
+        F.col("embedding").alias("q_embedding"),
+    )
+    joined = emb.join(F.broadcast(q)).filter(
+        F.col("vec_id").cast("long") != F.col("query_id")
+    )
+    cos = _dot(F.col("embedding"), F.col("q_embedding")) / (
+        _norm(F.col("embedding")) * _norm(F.col("q_embedding"))
+    )
+    scored = joined.select(
+        "query_id",
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.round(cos, 4).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("vec_id")
+    )
+    return (
+        scored.withColumn("q_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("q_rank") <= k)
+        .orderBy("query_id", "q_rank")
+    )
+
+
+def cosine_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered batched dense retrieval over ``embeddings``."""
+    return cosine_batch_topk_for(_read(spark, sf_dir, "embeddings"))
+
+
 def cos4_sql(e_emb: str, q_emb: str) -> str:
     """DuckDB 4dp cosine between two list columns — the same
     sequential list_sum-over-list_zip order :func:`_dot` evaluates
@@ -117,6 +174,33 @@ FROM embeddings e, q
 WHERE e.vec_id <> {QUERY_VEC_ID}
 ORDER BY cosine DESC, vec_id ASC
 LIMIT {TOP_K}
+"""
+
+
+_BATCH_QIDS_SQL = ", ".join(str(i) for i in BATCH_QUERY_VEC_IDS)
+
+COSINE_BATCH_TOPK_SQL = f"""
+WITH q AS (
+  SELECT CAST(vec_id AS BIGINT) AS query_id, embedding AS q_embedding
+  FROM embeddings WHERE vec_id IN ({_BATCH_QIDS_SQL})
+),
+scored AS (
+  SELECT q.query_id,
+         CAST(e.vec_id AS BIGINT) AS vec_id,
+         {cos4_sql("e.embedding", "q.q_embedding")} AS cosine
+  FROM embeddings e, q
+  WHERE CAST(e.vec_id AS BIGINT) <> q.query_id
+),
+ranked AS (
+  SELECT *,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY cosine DESC, vec_id) AS BIGINT) AS q_rank
+  FROM scored
+  QUALIFY q_rank <= {COSINE_BATCH_TOPK}
+)
+SELECT query_id, vec_id, cosine, q_rank
+FROM ranked
+ORDER BY query_id, q_rank
 """
 
 

@@ -717,3 +717,17 @@ def test_auc_windows_bounded_distinct_score_frame(spark):
     sp_at = plan.index("Exchange SinglePartition")
     assert sp_at < agg_at  # window input is the aggregated frame
     assert "SortMergeJoin" not in plan
+
+
+def test_cosine_batch_single_scan_group_limited(spark):
+    """cosine_batch_topk: the Q-row query frame broadcasts into ONE
+    embeddings scan (corpus I/O independent of Q); the per-query
+    top-k is WindowGroupLimit-ed with a Partial pass below the
+    query_id shuffle, so only ~Q·k rows per task ever shuffle."""
+    from pdftotext_spark.operators import similarity
+
+    plan = _plan(similarity.cosine_batch_topk(spark, SF))
+    assert plan.count("FileScan parquet") == 2  # corpus + tiny query side
+    assert "WindowGroupLimit" in plan and "Partial" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastExchange" in plan

@@ -114,3 +114,38 @@ def test_incremental_srp_registered_nonzero(spark):
         == similarity.INCREMENTAL_VEC_REM
         for r in rows
     )
+
+
+def test_cosine_batch_matches_single_query_scans(spark):
+    """cosine_batch_topk: each query's rows equal cosine_scan_for run
+    on that query alone over a corpus that keeps the other query rows
+    as candidates — batching changes the scan count, never the math.
+    Ranks are contiguous from 1 per query."""
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    batch = similarity.cosine_batch_topk(spark, sf).collect()
+    assert {r.query_id for r in batch} == set(similarity.BATCH_QUERY_VEC_IDS)
+    for qid in similarity.BATCH_QUERY_VEC_IDS:
+        # rebase the single-query helper onto qid by swapping ids:
+        # cosine_scan_for pins the query to QUERY_VEC_ID, so relabel
+        # qid <-> QUERY_VEC_ID (cosines are id-independent)
+        swap = emb.withColumn(
+            "vec_id",
+            F.when(F.col("vec_id") == qid, similarity.QUERY_VEC_ID)
+            .when(F.col("vec_id") == similarity.QUERY_VEC_ID, qid)
+            .otherwise(F.col("vec_id")),
+        )
+        single = {
+            (qid if r.vec_id == similarity.QUERY_VEC_ID else r.vec_id): r.cosine
+            for r in similarity.cosine_scan_for(
+                swap, similarity.COSINE_BATCH_TOPK
+            ).collect()
+        }
+        got = {
+            r.vec_id: r.cosine for r in batch if r.query_id == qid
+        }
+        assert got == single
+        ranks = sorted(r.q_rank for r in batch if r.query_id == qid)
+        assert ranks == list(range(1, similarity.COSINE_BATCH_TOPK + 1))
