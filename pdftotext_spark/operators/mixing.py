@@ -336,3 +336,97 @@ SELECT doc_id, copy_idx, source, n_tokens,
          // {_PACK_BUDGET} AS BIGINT) AS pack_id
 FROM expanded
 """
+
+
+def pack_manifest_for(docs: DataFrame) -> DataFrame:
+    """The per-pack manifest a training data loader consumes: for
+    every (source, pack_id) of :func:`mixture_pack_for`, the ordered
+    entry list (``doc_id:copy_idx`` pairs) and each entry's start
+    offset WITHIN the pack, as comma-joined strings (strings, not
+    arrays, so the cross-engine value gate compares scalar text —
+    and a manifest row is a text line anyway).
+
+    Output: source, pack_id, n_entries, pack_tokens, entries,
+    offsets.
+
+    100 TB shape: one groupBy over the expanded stream; per-group
+    state is bounded by the pack budget (a pack holds at most
+    _PACK_BUDGET single-token entries), so the collect_list can
+    never blow up a task — the bound is the design, not luck."""
+    packed = mixture_pack_for(docs)
+    entry = F.struct(
+        F.col("doc_id"), F.col("copy_idx"), F.col("start_offset"),
+        F.col("n_tokens"),
+    )
+    g = packed.groupBy("source", "pack_id").agg(
+        F.count("*").cast("long").alias("n_entries"),
+        F.sum("n_tokens").cast("long").alias("pack_tokens"),
+        F.sort_array(F.collect_list(entry)).alias("es"),
+    )
+    return g.select(
+        "source",
+        "pack_id",
+        "n_entries",
+        "pack_tokens",
+        F.expr(
+            "array_join(transform(es, "
+            "x -> concat(x.doc_id, ':', x.copy_idx)), ',')"
+        ).alias("entries"),
+        F.expr(
+            f"array_join(transform(es, "
+            f"x -> CAST(x.start_offset - pack_id * {_PACK_BUDGET} "
+            f"AS STRING)), ',')"
+        ).alias("offsets"),
+    )
+
+
+def pack_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered per-pack manifest over ``documents``."""
+    return pack_manifest_for(_read(spark, sf_dir, "documents"))
+
+
+PACK_MANIFEST_SQL = f"""
+WITH {_WEIGHTS_CTES},
+r AS (
+  SELECT source, {_RATE_SQL} AS rate_micro FROM w, tot
+),
+copies AS (
+  SELECT d.doc_id, d.source, d.n_tokens,
+         CAST({_NCOPIES_SQL} AS BIGINT) AS n_copies
+  FROM (
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+           CAST(doc_id AS VARCHAR) AS did,
+           CAST({_NTOK_SQL} AS BIGINT) AS n_tokens
+    FROM documents
+  ) d
+  JOIN r USING (source)
+),
+expanded AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(unnest(range(1, n_copies + 1)) AS BIGINT) AS copy_idx
+  FROM copies
+  WHERE n_copies > 0
+),
+packed AS (
+  SELECT doc_id, copy_idx, source, n_tokens,
+         CAST(coalesce(SUM(n_tokens) OVER (
+           PARTITION BY source ORDER BY doc_id, copy_idx
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS start_offset,
+         CAST(coalesce(SUM(n_tokens) OVER (
+           PARTITION BY source ORDER BY doc_id, copy_idx
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           // {_PACK_BUDGET} AS BIGINT) AS pack_id
+  FROM expanded
+)
+SELECT source, pack_id,
+       CAST(COUNT(*) AS BIGINT) AS n_entries,
+       CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens,
+       COALESCE(array_to_string(list(doc_id || ':' || copy_idx
+         ORDER BY doc_id, copy_idx), ','), '') AS entries,
+       COALESCE(array_to_string(list(
+         CAST(start_offset - pack_id * {_PACK_BUDGET} AS VARCHAR)
+         ORDER BY doc_id, copy_idx), ','), '') AS offsets
+FROM packed
+GROUP BY source, pack_id
+"""

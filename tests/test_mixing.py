@@ -263,3 +263,31 @@ def test_all_empty_corpus_no_nan_divergence(spark):
         ("a", 0, 0, 0),
         ("b", 0, 0, 0),
     ]
+
+def test_pack_manifest_consistent_with_mixture_pack(spark):
+    """pack_manifest rows re-derive exactly from mixture_pack: entry
+    count and token sums per pack match, entries are ordered by
+    (doc_id, copy_idx), and within-pack offsets rebase the global
+    start offsets by pack_id * budget."""
+    from pdftotext_spark.operators.mixing import _PACK_BUDGET
+
+    df = _frame(spark, ROWS)
+    packed = {}
+    for r in mixing.mixture_pack_for(df).collect():
+        packed.setdefault((r.source, r.pack_id), []).append(r)
+    got = {
+        (r.source, r.pack_id): r
+        for r in mixing.pack_manifest_for(df).collect()
+    }
+    assert set(got) == set(packed)
+    for key, rows in packed.items():
+        rows.sort(key=lambda r: (r.doc_id, r.copy_idx))
+        m = got[key]
+        assert m.n_entries == len(rows)
+        assert m.pack_tokens == sum(r.n_tokens for r in rows)
+        assert m.entries == ",".join(
+            f"{r.doc_id}:{r.copy_idx}" for r in rows
+        )
+        assert m.offsets == ",".join(
+            str(r.start_offset - key[1] * _PACK_BUDGET) for r in rows
+        )
