@@ -303,9 +303,11 @@ JOIN r USING (source)
 """
 
 
-MIXTURE_PACK_SQL = f"""
-WITH {_WEIGHTS_CTES},
-r AS (
+# rate-join → copy-expand → offset/pack window CTE chain shared by
+# BOTH pack oracles — one source or the mixture_pack and
+# pack_manifest twins drift apart (the _WEIGHTS_CTES rule applied to
+# the pack pipeline)
+_PACK_CTES = f"""r AS (
   SELECT source, {_RATE_SQL} AS rate_micro FROM w, tot
 ),
 copies AS (
@@ -324,17 +326,25 @@ expanded AS (
          CAST(unnest(range(1, n_copies + 1)) AS BIGINT) AS copy_idx
   FROM copies
   WHERE n_copies > 0
-)
-SELECT doc_id, copy_idx, source, n_tokens,
-       CAST(coalesce(SUM(n_tokens) OVER (
-         PARTITION BY source ORDER BY doc_id, copy_idx
-         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
-         AS start_offset,
-       CAST(coalesce(SUM(n_tokens) OVER (
-         PARTITION BY source ORDER BY doc_id, copy_idx
-         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-         // {_PACK_BUDGET} AS BIGINT) AS pack_id
-FROM expanded
+),
+packed AS (
+  SELECT doc_id, copy_idx, source, n_tokens,
+         CAST(coalesce(SUM(n_tokens) OVER (
+           PARTITION BY source ORDER BY doc_id, copy_idx
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS start_offset,
+         CAST(coalesce(SUM(n_tokens) OVER (
+           PARTITION BY source ORDER BY doc_id, copy_idx
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           // {_PACK_BUDGET} AS BIGINT) AS pack_id
+  FROM expanded
+)"""
+
+MIXTURE_PACK_SQL = f"""
+WITH {_WEIGHTS_CTES},
+{_PACK_CTES}
+SELECT doc_id, copy_idx, source, n_tokens, start_offset, pack_id
+FROM packed
 """
 
 
@@ -349,11 +359,17 @@ def pack_manifest_for(docs: DataFrame) -> DataFrame:
     Output: source, pack_id, n_entries, pack_tokens, entries,
     offsets.
 
-    100 TB shape: one groupBy over the expanded stream; per-group
-    state is bounded by the pack budget (a pack holds at most
-    _PACK_BUDGET single-token entries), so the collect_list can
-    never blow up a task — the bound is the design, not luck."""
-    packed = mixture_pack_for(docs)
+    Zero-token entries are EXCLUDED: a loader has nothing to read
+    from them, and — decisive for the bound below — they never
+    advance the pack offset, so an empty-doc-heavy source could put
+    unboundedly many of them into one pack (review r6s7).
+
+    100 TB shape: one groupBy over the (token-bearing) expanded
+    stream; with every entry >= 1 token, per-group state is bounded
+    by the pack budget (a pack holds at most _PACK_BUDGET entries),
+    so the collect_list can never blow up a task — the bound is the
+    design, not luck."""
+    packed = mixture_pack_for(docs).filter(F.col("n_tokens") > 0)
     entry = F.struct(
         F.col("doc_id"), F.col("copy_idx"), F.col("start_offset"),
         F.col("n_tokens"),
@@ -387,38 +403,7 @@ def pack_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PACK_MANIFEST_SQL = f"""
 WITH {_WEIGHTS_CTES},
-r AS (
-  SELECT source, {_RATE_SQL} AS rate_micro FROM w, tot
-),
-copies AS (
-  SELECT d.doc_id, d.source, d.n_tokens,
-         CAST({_NCOPIES_SQL} AS BIGINT) AS n_copies
-  FROM (
-    SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
-           CAST(doc_id AS VARCHAR) AS did,
-           CAST({_NTOK_SQL} AS BIGINT) AS n_tokens
-    FROM documents
-  ) d
-  JOIN r USING (source)
-),
-expanded AS (
-  SELECT doc_id, source, n_tokens,
-         CAST(unnest(range(1, n_copies + 1)) AS BIGINT) AS copy_idx
-  FROM copies
-  WHERE n_copies > 0
-),
-packed AS (
-  SELECT doc_id, copy_idx, source, n_tokens,
-         CAST(coalesce(SUM(n_tokens) OVER (
-           PARTITION BY source ORDER BY doc_id, copy_idx
-           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
-           AS start_offset,
-         CAST(coalesce(SUM(n_tokens) OVER (
-           PARTITION BY source ORDER BY doc_id, copy_idx
-           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-           // {_PACK_BUDGET} AS BIGINT) AS pack_id
-  FROM expanded
-)
+{_PACK_CTES}
 SELECT source, pack_id,
        CAST(COUNT(*) AS BIGINT) AS n_entries,
        CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens,
@@ -428,5 +413,6 @@ SELECT source, pack_id,
          CAST(start_offset - pack_id * {_PACK_BUDGET} AS VARCHAR)
          ORDER BY doc_id, copy_idx), ','), '') AS offsets
 FROM packed
+WHERE n_tokens > 0
 GROUP BY source, pack_id
 """

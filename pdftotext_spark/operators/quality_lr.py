@@ -137,6 +137,21 @@ def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 
+def features_over(df: DataFrame) -> DataFrame:
+    """Append the five micro-unit feature columns to ``df`` (which
+    must carry ``text``) — the ONE counts→features composition both
+    the batch trainer and the streaming gate run (single-source
+    helper discipline)."""
+    counts = df.select(
+        "*",
+        *[F.expr(e).cast("long").alias(c) for c, e in _COUNTS_EXPR.items()],
+    )
+    return counts.select(
+        *df.columns,
+        *[F.expr(_FEAT_SQL[f]).alias(f) for f in _FEATS],
+    )
+
+
 def lr_features_for(docs: DataFrame) -> DataFrame:
     """The training table: every document twice — raw (label 0,
     ex_id = 2·doc_id) and prose-rendered (label 1, ex_id =
@@ -154,19 +169,7 @@ def lr_features_for(docs: DataFrame) -> DataFrame:
         "text",
     )
     both = raw.unionByName(pro)
-    counts = both.select(
-        "ex_id",
-        "label",
-        *[
-            F.expr(e).cast("long").alias(c)
-            for c, e in _COUNTS_EXPR.items()
-        ],
-    )
-    return counts.select(
-        "ex_id",
-        "label",
-        *[F.expr(_FEAT_SQL[f]).alias(f) for f in _FEATS],
-    )
+    return features_over(both).drop("text")
 
 
 def _lr_chain(

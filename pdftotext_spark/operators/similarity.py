@@ -116,8 +116,6 @@ def cosine_batch_topk_for(
     Q, the batch amortization); the per-query top-k window is
     WindowGroupLimit-ed (Partial below the query_id shuffle), so only
     ~Q·k rows per task ever shuffle — never the corpus."""
-    from pyspark.sql import Window
-
     q = emb.filter(F.col("vec_id").isin(*query_ids)).select(
         F.col("vec_id").cast("long").alias("query_id"),
         F.col("embedding").alias("q_embedding"),

@@ -28,11 +28,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from pdftotext_spark.operators.quality_lr import (
-    _COUNTS_EXPR,
-    _FEAT_SQL,
-    _FEATS,
     _SIGMA_SQL,
     _lr_chain,
+    features_over,
     LR_ROUNDS,
 )
 
@@ -63,16 +61,6 @@ def lr_score_expr() -> F.Column:
     )
 
 
-def lr_features_cols() -> list[F.Column]:
-    """Feature columns over a ``text`` column — the batch pipeline's
-    count + micro-feature expressions composed per row."""
-    counts = {c: F.expr(e).cast("long") for c, e in _COUNTS_EXPR.items()}
-    # nest the counts as a struct-free projection: build each feature
-    # expression over inline count aliases via a two-step select in
-    # the caller; here we return the count columns
-    return [counts[c].alias(c) for c in _COUNTS_EXPR]
-
-
 def lr_filter_batch(output_dir: str, weights_dir: str):
     """``foreachBatch`` body for the streaming quality gate: score
     every turn with the batch-trained model, keep turns at or above
@@ -85,12 +73,10 @@ def lr_filter_batch(output_dir: str, weights_dir: str):
         if batch.isEmpty():
             return
         w = spark.read.parquet(weights_dir)
-        feats = batch.select(
-            "*", *lr_features_cols()
-        ).select(
-            *batch.columns,
-            *[F.expr(_FEAT_SQL[f]).alias(f) for f in _FEATS],
-        )
+        # NULL text would score NULL and vanish from BOTH sides of
+        # the threshold — make the policy explicit, as the sibling
+        # gates do (streaming/sketches.py): null-text turns drop here
+        feats = features_over(batch.filter(F.col("text").isNotNull()))
         scored = feats.join(F.broadcast(w)).withColumn(
             "score_micro", lr_score_expr()
         )

@@ -273,8 +273,13 @@ def test_pack_manifest_consistent_with_mixture_pack(spark):
 
     df = _frame(spark, ROWS)
     packed = {}
+    zero_rows = 0
     for r in mixing.mixture_pack_for(df).collect():
+        if r.n_tokens == 0:
+            zero_rows += 1  # excluded from the manifest (unbounded-
+            continue        # pack hazard; nothing for a loader to read)
         packed.setdefault((r.source, r.pack_id), []).append(r)
+    assert zero_rows > 0  # the fixture must exercise the exclusion
     got = {
         (r.source, r.pack_id): r
         for r in mixing.pack_manifest_for(df).collect()

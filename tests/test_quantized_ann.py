@@ -137,8 +137,10 @@ def test_cosine_batch_matches_single_query_scans(spark):
             .when(F.col("vec_id") == similarity.QUERY_VEC_ID, qid)
             .otherwise(F.col("vec_id")),
         )
+        # map swapped labels back: the label qid is ORIGINAL vec 0 (a
+        # cross-query candidate); the query's own row never appears
         single = {
-            (qid if r.vec_id == similarity.QUERY_VEC_ID else r.vec_id): r.cosine
+            (similarity.QUERY_VEC_ID if r.vec_id == qid else r.vec_id): r.cosine
             for r in similarity.cosine_scan_for(
                 swap, similarity.COSINE_BATCH_TOPK
             ).collect()
