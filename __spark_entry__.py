@@ -108,6 +108,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mixture_rebalance": mixing.mixture_rebalance,     # per-doc copy counts
     "mixture_pack": mixing.mixture_pack,               # mix→expand→pack
     "pack_manifest": mixing.pack_manifest,             # per-pack loader manifest
+    "mixture_incremental": mixing.mixture_incremental,  # plan shift per batch
     "quality_lr_train": quality_lr.quality_lr_train,   # in-Spark LR trainer
     "quality_lr_scores": quality_lr.quality_lr_scores, # learned quality score
     "quality_lr_auc": quality_lr.quality_lr_auc,       # rank AUC of the model
@@ -321,6 +322,7 @@ _ORACLES: dict[str, str] = {
     "mixture_rebalance": mixing.MIXTURE_REBALANCE_SQL,
     "mixture_pack": mixing.MIXTURE_PACK_SQL,
     "pack_manifest": mixing.PACK_MANIFEST_SQL,
+    "mixture_incremental": mixing.MIXTURE_INCREMENTAL_SQL,
     "quality_lr_train": quality_lr.QUALITY_LR_TRAIN_SQL,
     "quality_lr_scores": quality_lr.QUALITY_LR_SCORES_SQL,
     "quality_lr_auc": quality_lr.QUALITY_LR_AUC_SQL,

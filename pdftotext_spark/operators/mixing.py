@@ -84,11 +84,24 @@ _SHARE_SQL = (
 # to upsample (and the division would diverge cross-engine): rate 0.
 # (toks = 0 implies pw_micro = 0, so the guard also covers the
 # tot_pw = 0 all-empty corpus: every source rates 0.)
-_RATE_SQL = (
-    "CAST(CASE WHEN toks = 0 THEN 0 ELSE "
-    "round((pw_micro * 1e0 / tot_pw) * (tot_toks * 1e0 / toks) "
-    "* 1000000e0, 0) END AS BIGINT)"
-)
+def _rate_sql_for(
+    tot_pw: str = "tot_pw",
+    tot_toks: str = "tot_toks",
+    pw: str = "pw_micro",
+    toks: str = "toks",
+) -> str:
+    """The rate expression parameterized on its four column names —
+    the incremental report evaluates it twice on one frame (corpus-
+    only and merged columns); the defaults keep every existing use
+    byte-identical. One builder, zero string surgery."""
+    return (
+        f"CAST(CASE WHEN {toks} = 0 THEN 0 ELSE "
+        f"round(({pw} * 1e0 / {tot_pw}) * ({tot_toks} * 1e0 / {toks}) "
+        "* 1000000e0, 0) END AS BIGINT)"
+    )
+
+
+_RATE_SQL = _rate_sql_for()
 
 # floor() over doubles is exact for rate values < 2^52 micro-units
 _BASE_SQL = "CAST(floor(rate_micro * 1e0 / 1000000e0) AS BIGINT)"
@@ -415,4 +428,151 @@ SELECT source, pack_id,
 FROM packed
 WHERE n_tokens > 0
 GROUP BY source, pack_id
+"""
+
+
+# ----------------------------------------------- incremental mixture
+
+# the dedup_incremental_* split convention (operators/dedup.py):
+# corpus = source < SPLIT, incoming = source >= SPLIT (lexicographic;
+# the fixture has no snapshot column). Token counts are ADDITIVE, so
+# the mixing plan is incrementally maintainable from a persisted
+# per-source counts table — the sum-merge algebra of the sketch
+# family (lineage-bound: replaying a batch must not double-count).
+MIX_INCREMENTAL_SPLIT = "src5"
+
+
+def mixture_incremental_for(docs: DataFrame) -> DataFrame:
+    """The mixing-plan shift report a data-ops run checks before
+    re-materializing the stream gate's rates table after a batch
+    lands: per source, the corpus/incoming token masses and the
+    expected-copies rate BEFORE (corpus-only plan; a source absent
+    from it rates 0 — the plan is the admission list) and AFTER
+    (merged counts — pinned equal to :func:`mixture_weights_for`
+    over the union by test) plus the delta.
+
+    Output: source, is_incoming, n_docs, toks_corpus, toks_incoming,
+    rate_before_micro, rate_after_micro, rate_delta_micro.
+
+    100 TB shape: ONE corpus scan map-side-combined to #sources rows
+    (the split flag is a per-source predicate, so corpus/incoming
+    masses are conditional sums in the same aggregate); both plans'
+    totals are unpartitioned windows over that tiny frame. In
+    production the counts table is persisted and the scan is the
+    increment only — counts merge by addition."""
+    per_src = (
+        docs.select(
+            "source",
+            F.expr(_NTOK_EXPR).cast("long").alias("ntok"),
+            (F.col("source") >= MIX_INCREMENTAL_SPLIT).alias("inc"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.max("inc").alias("is_incoming"),
+            F.sum(F.when(~F.col("inc"), F.col("ntok")).otherwise(0))
+            .cast("long")
+            .alias("toks_corpus"),
+            F.sum(F.when(F.col("inc"), F.col("ntok")).otherwise(0))
+            .cast("long")
+            .alias("toks_incoming"),
+        )
+        .withColumn(
+            "toks", (F.col("toks_corpus") + F.col("toks_incoming")).cast("long")
+        )
+        .withColumn("pw_micro", F.expr(_PW_SQL))
+        # the before-plan weight: sqrt of the CORPUS-only mass
+        .withColumn(
+            "pw_b",
+            F.expr(
+                "CAST(round(sqrt(toks_corpus * 1e0) * 1000000e0, 0) AS BIGINT)"
+            ),
+        )
+    )
+    wtot = Window.partitionBy()
+    with_tots = (
+        per_src.withColumn(
+            "tot_pw", F.sum("pw_micro").over(wtot).cast("long")
+        )
+        .withColumn("tot_toks", F.sum("toks").over(wtot).cast("long"))
+        .withColumn("tot_pw_b", F.sum("pw_b").over(wtot).cast("long"))
+        .withColumn(
+            "tot_toks_b", F.sum("toks_corpus").over(wtot).cast("long")
+        )
+    )
+    rate_after = F.expr(_rate_sql_for())
+    rate_before = F.expr(
+        # the before-plan rates over corpus-only columns; an incoming
+        # (plan-absent) source rates 0 by the admission-list policy
+        "CASE WHEN is_incoming THEN CAST(0 AS BIGINT) ELSE "
+        + _rate_sql_for("tot_pw_b", "tot_toks_b", pw="pw_b", toks="toks_corpus")
+        + " END"
+    )
+    return (
+        with_tots.select(
+            "source",
+            "is_incoming",
+            "n_docs",
+            "toks_corpus",
+            "toks_incoming",
+            rate_before.alias("rate_before_micro"),
+            rate_after.alias("rate_after_micro"),
+        )
+        .withColumn(
+            "rate_delta_micro",
+            (F.col("rate_after_micro") - F.col("rate_before_micro")).cast(
+                "long"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+def mixture_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered incremental mixing-plan report over ``documents``."""
+    return mixture_incremental_for(_read(spark, sf_dir, "documents"))
+
+
+MIXTURE_INCREMENTAL_SQL = f"""
+WITH per_src AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         source >= '{MIX_INCREMENTAL_SPLIT}' AS is_incoming,
+         CAST(SUM(CASE WHEN source < '{MIX_INCREMENTAL_SPLIT}'
+              THEN {_NTOK_SQL} ELSE 0 END) AS BIGINT) AS toks_corpus,
+         CAST(SUM(CASE WHEN source >= '{MIX_INCREMENTAL_SPLIT}'
+              THEN {_NTOK_SQL} ELSE 0 END) AS BIGINT) AS toks_incoming
+  FROM documents
+  GROUP BY source
+),
+w AS (
+  SELECT *, CAST(toks_corpus + toks_incoming AS BIGINT) AS toks
+  FROM per_src
+),
+pw AS (
+  SELECT *,
+         {_PW_SQL} AS pw_micro,
+         CAST(round(sqrt(toks_corpus * 1e0) * 1000000e0, 0) AS BIGINT)
+           AS pw_b
+  FROM w
+),
+tots AS (
+  SELECT *,
+         CAST(SUM(pw_micro) OVER () AS BIGINT) AS tot_pw,
+         CAST(SUM(toks) OVER () AS BIGINT) AS tot_toks,
+         CAST(SUM(pw_b) OVER () AS BIGINT) AS tot_pw_b,
+         CAST(SUM(toks_corpus) OVER () AS BIGINT) AS tot_toks_b
+  FROM pw
+)
+SELECT source, is_incoming, n_docs, toks_corpus, toks_incoming,
+       CAST(CASE WHEN is_incoming THEN 0 ELSE
+         {_rate_sql_for("tot_pw_b", "tot_toks_b", pw="pw_b", toks="toks_corpus")}
+         END AS BIGINT) AS rate_before_micro,
+       {_rate_sql_for()} AS rate_after_micro,
+       CAST({_rate_sql_for()}
+         - CASE WHEN is_incoming THEN 0 ELSE
+           {_rate_sql_for("tot_pw_b", "tot_toks_b", pw="pw_b", toks="toks_corpus")}
+           END AS BIGINT) AS rate_delta_micro
+FROM tots
+ORDER BY source
 """

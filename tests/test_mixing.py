@@ -296,3 +296,46 @@ def test_pack_manifest_consistent_with_mixture_pack(spark):
         assert m.offsets == ",".join(
             str(r.start_offset - key[1] * _PACK_BUDGET) for r in rows
         )
+
+def test_mixture_incremental_merge_and_admission(spark):
+    """mixture_incremental: rate_after equals the full-plan
+    mixture_weights rates exactly (the additive count merge is
+    lossless); rate_before equals mixture_weights computed over the
+    corpus split alone for corpus sources and 0 for plan-absent
+    incoming sources (the admission-list policy); deltas reconcile."""
+    rows = (
+        [("alpha", "one two three four " * 5)] * 4      # corpus (< 'src5'... no:
+        + [("beta", "five six " * 3)] * 3               # use the real split rule
+        + [("srcnew", "seven eight nine ten eleven")] * 2
+        + [("srznew", "twelve")] * 1
+    )
+    # split is lexicographic vs MIX_INCREMENTAL_SPLIT: alpha/beta are
+    # corpus, srcnew/srznew are incoming
+    from pdftotext_spark.operators.mixing import MIX_INCREMENTAL_SPLIT
+
+    assert all(
+        (s < MIX_INCREMENTAL_SPLIT) == (s in ("alpha", "beta"))
+        for s, _ in rows
+    )
+    df = _frame(spark, rows)
+    inc = {
+        r.source: r for r in mixing.mixture_incremental_for(df).collect()
+    }
+    full = {
+        r.source: r.rate_micro
+        for r in mixing.mixture_weights_for(df).collect()
+    }
+    corpus_only = {
+        r.source: r.rate_micro
+        for r in mixing.mixture_weights_for(
+            _frame(spark, [x for x in rows if x[0] < MIX_INCREMENTAL_SPLIT])
+        ).collect()
+    }
+    for s, r in inc.items():
+        assert r.rate_after_micro == full[s]
+        expect_before = 0 if r.is_incoming else corpus_only[s]
+        assert r.rate_before_micro == expect_before
+        assert r.rate_delta_micro == r.rate_after_micro - r.rate_before_micro
+    assert {s for s, r in inc.items() if r.is_incoming} == {
+        "srcnew", "srznew"
+    }
