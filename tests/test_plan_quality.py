@@ -731,3 +731,16 @@ def test_cosine_batch_single_scan_group_limited(spark):
     assert "WindowGroupLimit" in plan and "Partial" in plan
     assert "SortMergeJoin" not in plan
     assert "BroadcastExchange" in plan
+
+
+def test_mixture_incremental_single_scan(spark):
+    """mixture_incremental: ONE corpus FileScan (the corpus/incoming
+    split masses are conditional sums inside the same per-source
+    aggregate), both plans' totals as windows over the #sources frame
+    — no join, no second scan."""
+    from pdftotext_spark.operators import mixing
+
+    plan = _plan(mixing.mixture_incremental(spark, SF))
+    assert plan.count("FileScan parquet") == 1
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
