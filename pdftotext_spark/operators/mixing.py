@@ -65,8 +65,15 @@ MIX_SCALE = 1_000_000
 _NTOK_EXPR = "size(filter(split(lower(text), ' '), t -> t <> ''))"
 _NTOK_SQL = "len(list_filter(string_split(lower(text), ' '), t -> t <> ''))"
 
-# temperature-smoothed mass: sqrt(token_mass) in micro-units (τ=0.5)
-_PW_SQL = "CAST(round(sqrt(toks * 1e0) * 1000000e0, 0) AS BIGINT)"
+def _pw_sql_for(toks: str = "toks") -> str:
+    """Temperature-smoothed mass sqrt(token_mass) in micro-units
+    (τ=0.5), parameterized on the mass column — the incremental
+    report evaluates it on both the merged and the corpus-only
+    masses; one builder, zero copy-pasted spellings."""
+    return f"CAST(round(sqrt({toks} * 1e0) * 1000000e0, 0) AS BIGINT)"
+
+
+_PW_SQL = _pw_sql_for()
 
 # share of the smoothed total (Σ over sources of pw_micro, integer sum
 # — order-free, unlike a float Σ of raw sqrt values). tot_pw = 0 (an
@@ -433,13 +440,17 @@ GROUP BY source, pack_id
 
 # ----------------------------------------------- incremental mixture
 
-# the dedup_incremental_* split convention (operators/dedup.py):
-# corpus = source < SPLIT, incoming = source >= SPLIT (lexicographic;
-# the fixture has no snapshot column). Token counts are ADDITIVE, so
-# the mixing plan is incrementally maintainable from a persisted
-# per-source counts table — the sum-merge algebra of the sketch
-# family (lineage-bound: replaying a batch must not double-count).
-MIX_INCREMENTAL_SPLIT = "src5"
+# the dedup_incremental_* split convention — IMPORTED, not
+# re-declared, so the two incremental families can never disagree on
+# which sources are corpus vs incoming. corpus = source < SPLIT,
+# incoming = source >= SPLIT (lexicographic; the fixture has no
+# snapshot column). Token counts are ADDITIVE, so the mixing plan is
+# incrementally maintainable from a persisted per-source counts table
+# — the sum-merge algebra of the sketch family (lineage-bound:
+# replaying a batch must not double-count).
+from pdftotext_spark.operators.dedup import (  # noqa: E402
+    INCREMENTAL_SPLIT as MIX_INCREMENTAL_SPLIT,
+)
 
 
 def mixture_incremental_for(docs: DataFrame) -> DataFrame:
@@ -482,12 +493,7 @@ def mixture_incremental_for(docs: DataFrame) -> DataFrame:
         )
         .withColumn("pw_micro", F.expr(_PW_SQL))
         # the before-plan weight: sqrt of the CORPUS-only mass
-        .withColumn(
-            "pw_b",
-            F.expr(
-                "CAST(round(sqrt(toks_corpus * 1e0) * 1000000e0, 0) AS BIGINT)"
-            ),
-        )
+        .withColumn("pw_b", F.expr(_pw_sql_for("toks_corpus")))
     )
     wtot = Window.partitionBy()
     with_tots = (
@@ -552,8 +558,7 @@ w AS (
 pw AS (
   SELECT *,
          {_PW_SQL} AS pw_micro,
-         CAST(round(sqrt(toks_corpus * 1e0) * 1000000e0, 0) AS BIGINT)
-           AS pw_b
+         {_pw_sql_for("toks_corpus")} AS pw_b
   FROM w
 ),
 tots AS (

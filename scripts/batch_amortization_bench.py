@@ -32,9 +32,15 @@ _TERMS = (
 
 
 def _lex_queries(q: int):
-    per = max(1, len(_TERMS) // q)
+    """Q queries of EXACTLY 3 terms each (cycling the vocabulary):
+    per-query work must stay constant as Q grows, or a flat batch
+    curve is guaranteed by construction instead of measured (review
+    r6s7 — the first version split a FIXED 16 terms across Q)."""
     return tuple(
-        (f"q{i}", tuple(_TERMS[i * per : i * per + per] or _TERMS[:1]))
+        (
+            f"q{i}",
+            tuple(_TERMS[(3 * i + j) % len(_TERMS)] for j in range(3)),
+        )
         for i in range(q)
     )
 
@@ -62,8 +68,6 @@ def main() -> None:
     print("|---|---|---|---|---|")
     for q in (1, 4, 8, 16):
         queries = _lex_queries(q)
-        # warm both shapes once
-        retrieval.bm25_batch_topk_for(docs, queries=queries).count()
 
         def run_batch():
             retrieval.bm25_batch_topk_for(docs, queries=queries).count()
@@ -75,21 +79,29 @@ def main() -> None:
                     postings, stats, terms=terms
                 ).count()
 
+        # warm BOTH shapes (an unwarmed side pays first-run planning
+        # and read-cache cost, inflating its column)
+        run_batch()
+        run_singles()
         b = timed(run_batch)
         s = timed(run_singles)
 
         vec_ids = tuple(range(q))
-        similarity.cosine_batch_topk_for(emb, query_ids=vec_ids).count()
 
         def run_dbatch():
             similarity.cosine_batch_topk_for(emb, query_ids=vec_ids).count()
 
         def run_dsingles():
-            for _ in vec_ids:
-                similarity.cosine_scan_for(
-                    emb, similarity.COSINE_BATCH_TOPK
+            # one single-query JOB per qid (the batch machinery with
+            # Q=1 — the query-id-faithful baseline; cosine_scan_for
+            # pins vec 0 and cannot express queries 1..Q-1)
+            for qid in vec_ids:
+                similarity.cosine_batch_topk_for(
+                    emb, query_ids=(qid,)
                 ).count()
 
+        run_dbatch()
+        run_dsingles()
         db = timed(run_dbatch)
         ds = timed(run_dsingles)
         print(f"| {q} | {b:.2f} | {s:.2f} | {db:.2f} | {ds:.2f} |")

@@ -304,8 +304,8 @@ def test_mixture_incremental_merge_and_admission(spark):
     corpus split alone for corpus sources and 0 for plan-absent
     incoming sources (the admission-list policy); deltas reconcile."""
     rows = (
-        [("alpha", "one two three four " * 5)] * 4      # corpus (< 'src5'... no:
-        + [("beta", "five six " * 3)] * 3               # use the real split rule
+        [("alpha", "one two three four " * 5)] * 4
+        + [("beta", "five six " * 3)] * 3
         + [("srcnew", "seven eight nine ten eleven")] * 2
         + [("srznew", "twelve")] * 1
     )
