@@ -744,3 +744,35 @@ def test_mixture_incremental_single_scan(spark):
     assert plan.count("FileScan parquet") == 1
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Join" not in plan
+
+
+def test_curation_funnel_single_pass(spark):
+    """curation_funnel (r7 rewrite): per-doc stage flags in ONE pass +
+    a single cumulative-AND aggregate — NOT a union of seven chained
+    semi/anti-join counts whose detector subtrees re-plan per branch
+    (Spark shares no lineage across union branches).  Corpus scans:
+    flags base (1) + quality_vote panels (5) + exact digests (1) +
+    LSH shingles (1) + decontamination (2) = 10, each detector
+    exactly once."""
+    from pdftotext_spark.operators import curation
+
+    plan = _plan(curation.curation_funnel(spark, SF))
+    assert "Union" not in plan
+    assert plan.count("Scan parquet") <= 10
+
+
+def test_perplexity_rank_window_is_tie_bounded(spark):
+    """perplexity_buckets (r7 rewrite): the corpus-sized row_number
+    window partitions by (pred_lang, logloss_bits) — never by
+    pred_lang alone, which under one dominant language is a
+    single-task sort of most of the corpus; the per-language offsets
+    come from running sums over the tiny logloss histogram."""
+    from pdftotext_spark.operators import textstats
+
+    plan = _plan(textstats.perplexity_buckets(spark, SF))
+    rn_lines = [
+        ln for ln in plan.splitlines() if "row_number()" in ln
+    ]
+    assert rn_lines, "rank window missing"
+    for ln in rn_lines:
+        assert "logloss_bits" in ln.split("windowspecdefinition", 1)[1]
