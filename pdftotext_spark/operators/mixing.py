@@ -48,6 +48,19 @@ this repo never broadcasts). A single-scan alternative — a window
 partitioned by source — would shuffle the WHOLE corpus into #sources
 hot partitions (catastrophic skew at 20 sources × 100 TB); the extra
 narrow scan is the right trade.
+
+Skew assumption on the copy explode (ADVICE r6): ``n_copies`` has no
+epoch cap, so a near-empty source in a huge mixed corpus gets
+``rate_micro ~ (total_tokens/source_tokens)^(1-τ)``-scaled copies —
+potentially millions per document — and ``explode(sequence(1, n))``
+amplifies rows unboundedly. Reference temperature-mixing schemes
+clamp this (The Pile caps epochs-per-subset); a deployment over
+adversarially unbalanced sources must add the same clamp to
+``_RATE_SQL`` (mirrored in its oracle — a Spark-only clamp would
+break parity the first time it bites). Left uncapped here because
+the contract corpus is balanced by construction (source shares
+within ~2x) and the cap constant would be dead policy the gate never
+exercises.
 """
 
 from __future__ import annotations

@@ -366,7 +366,16 @@ def auc_for(scored: DataFrame) -> DataFrame:
     first version did exactly that (review r6s7); the groupBy form is
     one map-side-combined shuffle plus a bounded-constant window.
     Per distinct score: 2·r_mid = 2·min_rank + cnt − 1 with
-    min_rank = 1 + Σ cnt over strictly-lower scores."""
+    min_rank = 1 + Σ cnt over strictly-lower scores.
+
+    Row-count ceiling (ADVICE r6): ``r2_pos`` = Σ pos·(2·r_mid) grows
+    ~n_pos·n_rows, so past ~1e9–1e10 rows it exceeds BIGINT — where
+    Spark's non-ANSI long sum wraps silently while DuckDB's
+    HUGEINT→BIGINT cast errors, a divergent failure mode. At that
+    scale emit r2_pos as DECIMAL(38,0)/double (and accept the doc'd
+    precision change), or run AUC on a stratified sample; the
+    bounded-distinct-score claim above covers the window, not this
+    sum's width."""
     from pyspark.sql import Window
 
     per_score = scored.groupBy("score_micro").agg(

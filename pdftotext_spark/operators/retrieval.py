@@ -257,8 +257,12 @@ def bm25_batch_topk_for(
     corpus); a mega-batch would range-partition on query_id."""
     postings, stats = bm25_index_for(docs)
     spark = docs.sparkSession
+    # dedup terms per query: a duplicated term in one query's tuple
+    # would double-count its contribution and inflate n_terms,
+    # silently diverging from the single-query path's isin() semantics
+    # (ADVICE r6); order-preserving so the map stays deterministic
     qmap = spark.createDataFrame(
-        [(qid, t) for qid, terms in queries for t in terms],
+        [(qid, t) for qid, terms in queries for t in dict.fromkeys(terms)],
         "query_id string, term string",
     )
     all_terms = sorted({t for _, terms in queries for t in terms})

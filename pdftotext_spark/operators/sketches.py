@@ -160,25 +160,46 @@ HLL_M = 64  # 2^6 registers
 HLL_ALPHA = 0.709  # bias constant for m = 64
 
 
+def _hll_rho(items: DataFrame, col: str, keep_item: bool = False) -> DataFrame:
+    """Per-item ``(idx, rho[, item])`` HLL assignment for the string
+    column ``col`` — the single-source hash/rank rule behind
+    :func:`hll_registers` and the fused exact+estimate pass of
+    :func:`hll_distinct` (``keep_item=True`` carries the value through
+    for a per-register COUNT DISTINCT)."""
+    idx = f"({_hex_val_sql(f'md5({col})', 1, 2)} % {HLL_M})"
+    w = _hex_val_sql(f"md5({col})", 9, 8)  # 32-bit sample for the rank
+    first = [
+        F.expr(idx).cast("int").alias("idx"),
+        F.expr(w).cast("long").alias("w"),
+    ]
+    if keep_item:
+        first.append(F.col(col).alias("item"))
+    # rho = leading zeros of the 32-bit w, + 1  =  33 - bit_length(w)
+    rho = F.expr(
+        "CASE WHEN w = 0 THEN 33 "
+        "ELSE 33 - length(conv(CAST(w AS STRING), 10, 2)) END"
+    ).cast("int").alias("rho")
+    keep = ["idx", rho] + (["item"] if keep_item else [])
+    return items.select(*first).select(*keep)
+
+
 def hll_registers(items: DataFrame, col: str) -> DataFrame:
     """Per-register max-rank table ``(idx, maxrho)`` for the string
     column ``col`` — the mergeable HLL state (max-merge is commutative,
     associative, AND idempotent, which is what makes the streaming
     variant replay-safe). Duplicate items are harmless (max)."""
-    idx = f"({_hex_val_sql(f'md5({col})', 1, 2)} % {HLL_M})"
-    w = _hex_val_sql(f"md5({col})", 9, 8)  # 32-bit sample for the rank
-    assigned = items.select(
-        F.expr(idx).cast("int").alias("idx"),
-        F.expr(w).cast("long").alias("w"),
-    ).select(
-        "idx",
-        # rho = leading zeros of the 32-bit w, + 1  =  33 - bit_length(w)
-        F.expr(
-            "CASE WHEN w = 0 THEN 33 "
-            "ELSE 33 - length(conv(CAST(w AS STRING), 10, 2)) END"
-        ).cast("int").alias("rho"),
+    return _hll_rho(items, col).groupBy("idx").agg(
+        F.max("rho").alias("maxrho")
     )
-    return assigned.groupBy("idx").agg(F.max("rho").alias("maxrho"))
+
+
+def _hll_est_expr() -> str:
+    """Raw-HLL estimate over a summary row with ``sum_obs`` /
+    ``registers_hit`` — ONE string shared by both consumers below."""
+    return (
+        f"round(CAST({HLL_ALPHA} AS DOUBLE) * {HLL_M * HLL_M} "
+        f"/ (sum_obs + ({HLL_M} - registers_hit)), 4)"
+    )
 
 
 def hll_estimate_from_registers(regs: DataFrame) -> DataFrame:
@@ -192,14 +213,10 @@ def hll_estimate_from_registers(regs: DataFrame) -> DataFrame:
             )
         ).alias("sum_obs"),
     )
-    est = (
-        f"round(CAST({HLL_ALPHA} AS DOUBLE) * {HLL_M * HLL_M} "
-        f"/ (sum_obs + ({HLL_M} - registers_hit)), 4)"
-    )
     return summary.select(
         F.lit(HLL_M).cast("long").alias("m"),
         "registers_hit",
-        F.expr(est).cast("double").alias("est_distinct"),
+        F.expr(_hll_est_expr()).cast("double").alias("est_distinct"),
     )
 
 
@@ -215,16 +232,44 @@ def hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale you run only the register path. Raw estimate only (no
     small-range correction: ln() is not bit-portable across engines;
     at shingle cardinalities the raw regime is the operative one).
+
+    r7 fusion: estimate and exact twin share ONE shingle scan — per
+    register, ``max(rho)`` and ``COUNT(DISTINCT sh)`` come from the
+    same groupBy(idx) (every distinct shingle maps to exactly one
+    register, so Σ per-register distinct counts == the global
+    distinct count), instead of two independent explode+md5 passes.
     """
     from pdftotext_spark.operators import dedup
 
     docs = _read(spark, sf_dir, "documents")
     # duplicate-insensitive (register max), so skip the distinct shuffle
     sh = dedup._shingles(docs, distinct=False).select("sh")
-    estimate = hll_estimate_from_registers(hll_registers(sh, "sh"))
-    exact = sh.agg(F.countDistinct("sh").cast("long").alias("exact_distinct"))
-    return estimate.crossJoin(F.broadcast(exact)).select(
-        "m", "registers_hit", "est_distinct", "exact_distinct"
+    # manual two-level distinct: groupBy (idx, item) first — NOT
+    # countDistinct inside the register agg, whose Expand rewrite
+    # doubles every exploded row before the partial aggregate; the
+    # (idx, item) partial agg instead dedups map-side. max over
+    # per-item maxes == max over all rows (same rho per item).
+    per_pair = _hll_rho(sh, "sh", keep_item=True).groupBy(
+        "idx", "item"
+    ).agg(F.max("rho").alias("rho"))
+    per_reg = per_pair.groupBy("idx").agg(
+        F.max("rho").alias("maxrho"),
+        F.count("*").cast("long").alias("nd"),
+    )
+    summary = per_reg.agg(
+        F.count("*").cast("long").alias("registers_hit"),
+        F.sum(
+            F.expr(
+                "CAST(1 AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), maxrho) AS DOUBLE)"
+            )
+        ).alias("sum_obs"),
+        F.sum("nd").cast("long").alias("exact_distinct"),
+    )
+    return summary.select(
+        F.lit(HLL_M).cast("long").alias("m"),
+        "registers_hit",
+        F.expr(_hll_est_expr()).cast("double").alias("est_distinct"),
+        "exact_distinct",
     )
 
 
