@@ -352,118 +352,66 @@ _ORACLES: dict[str, str] = {
 # in CORRECTNESS_r04.json.  COVERAGE.md records which round checked
 # what.
 _DRIVER_GATE_FIRST = [
-    # r6 rotation: first the 4 queries NEW this round (first-ever
-    # rows: incremental dedup pair, quantized ANN, training order),
-    # then the queries with no r5 driver row (the relational /
-    # textstats / sketch tail that fell past the ~50-row cap in r5,
-    # plus the new bpe_merges_driver), then the 9 queries MODIFIED in
-    # r6 (winnowing single-scan rewrite, ExactSubstr count-window
-    # rewrite, BPE materialized-CTE oracles, semdedup low-eps warning,
-    # source_overlap_matrix AQE joins, bigram_logloss zero-token
-    # rows). 15 + 26 + 9 = 50 = the observed driver cap; to make room,
-    # cube_activity / pivot_daily_by_type / retention_cohorts /
-    # funnel_conversion / daily_activity / distinct_users_by_type /
-    # json_props_stats / kmeans_ivf_topk / pack_sequences /
-    # stratified_sample / median_value_by_type / doc_fingerprint /
-    # rolling_value_7d / cumulative_chars / regional_revenue
-    # (r4-green, untouched since) cycle to r7 with everything else
-    # left out (r5-green, untouched).
-    # fourth r6 session: the prose-frame family + BM25 are NEW (need
-    # first-ever rows); to stay under the 50-row cap, six r4-green
-    # untouched queries with dedicated semantic tests cycle to r7:
-    # asof_join_events / range_join_tiers (temporal suite),
-    # lang_id_confusion, token_count_by_source, doc_length_profile,
-    # heavy_hitters_exact
-    "quality_vote_prose",
-    "curation_pipeline_unanimous",
-    "boilerplate_lines",
-    "strip_boilerplate_lines",
-    "paragraph_dedup_newline",
-    "bm25_topk",
-    # fifth r6 session: bm25_topk_indexed and the semantic
-    # decontamination pair are NEW (first-ever rows);
-    # fragment_sort_topk / token_cms / value_quantile_sketch
-    # (r4-green, untouched, each with dedicated semantic tests and —
-    # for the sketches — continuously-exercised streaming twins)
-    # cycle to r7 to stay under the 50-row cap
-    "bm25_topk_indexed",
-    # sixth r6 session: the hybrid-retrieval pair is NEW (first-ever
-    # rows); chunk_documents / bpe_token_profile (r4-green, untouched,
-    # dedicated semantic tests) cycle to r7 under the 50-row cap
-    "hybrid_rrf_topk",
-    "bm25_rerank_cosine",
-    # seventh r6 session: batch BM25 and the mixture family are NEW
-    # (first-ever rows); lang_id / quality_score / tfidf_top_terms /
-    # repetition_signals (r4-green, untouched, dedicated semantic
-    # tests in test_quality_sketches.py) cycle to r7 under the
-    # 50-row cap
-    "bm25_batch_topk",
-    "mixture_weights",
-    "mixture_rebalance",
-    "mixture_pack",
-    # quality_lr pair NEW (first-ever rows); quality_filter_by_source
-    # / unigram_logloss (r4-green, untouched, dedicated tests in
-    # test_quality_sketches.py) cycle to r7 — this empties the list's
-    # r4 tail entirely. quality_lr_auc (also new) is NOT front-loaded:
-    # the 50 slots are all new/r6-modified rows now; it derives from
-    # quality_lr_scores (whose row IS recorded), has the local oracle
-    # mirror + replay tests, and front-loads in r7.
-    "quality_lr_train",
-    "quality_lr_scores",
-    "semantic_decontamination",
-    "semantic_decontaminate_apply",
-    "dedup_incremental_exact",
-    "dedup_incremental_minhash",
-    "dedup_incremental_minhash_verified",
-    "gopher_quality",
-    "gopher_repetition",
-    "c4_quality",
-    "fineweb_quality",
-    "encoding_quality",
-    "text_normalize",
-    "strip_repeated_lines",
-    "curation_pipeline_panels",
-    "ngram_decontamination",
-    "ngram_decontaminate_apply",
+    # r7 rotation (VERDICT r6 "Next round" #1, exact list): first the
+    # 4 queries that have NEVER seen a driver row (registered after
+    # the r6 gate ran; mirror-green on the local all-137 DuckDB
+    # sweep), then the 4 queries MODIFIED in r7 (curation_funnel
+    # single-pass rewrite, perplexity_buckets skew-safe rank,
+    # hll_distinct one-scan fusion, bm25_batch_topk qmap dedup — all
+    # outputs pinned identical, rows refreshed anyway), then the 40
+    # queries whose newest driver row is r4.  4 + 4 + 40 = 48, inside
+    # the observed ~50-row cap with 2 slots spare; everything left out
+    # is r5/r6-green and untouched this round.
+    "quality_lr_auc",
+    "cosine_batch_topk",
+    "pack_manifest",
+    "mixture_incremental",
     "curation_funnel",
-    "quality_vote",
-    "trigram_logloss",
-    "zipf_fit",
     "perplexity_buckets",
-    "ann_topk_quantized",
-    "training_order",
-    "top_duplicated_spans",
-    "dedup_incremental_srp",
-    "incremental_pipeline",
-    # containment_capture / search_offsets / regex_normalize /
-    # topn_per_key (r4-green, untouched, heavily test-covered
-    # extraction-relational queries) cycle to r7 to make room for the
-    # four queries NEW in the third r6 session (fineweb_quality,
-    # encoding_quality, text_normalize, strip_repeated_lines) under
-    # the 50-row cap
-    # parts_by_brand (r4-green, untouched) cycles to r7 for
-    # ngram_decontamination (new)
-    # vocab_richness (r4-green, untouched) cycles to r7 for
-    # curation_pipeline_panels (new)
-    # pricing_summary (r4-green, untouched) cycles to r7 for
-    # ngram_decontaminate_apply (new)
-    # segment_revenue (r4-green, untouched) cycles to r7 for
-    # curation_funnel (new)
-    "bpe_merges_driver",
-    # modified in r6 — refresh their rows
-    "winnowing_shared_pairs",
-    "duplicated_span_fraction",
-    "strip_duplicated_spans",
-    "bpe_learn_merges",
-    "bpe_apply_stats",
-    "bpe_doc_tokens",
-    "bigram_logloss",
-    # new in r6 (first-ever rows) — semdedup (warning-only change) and
-    # source_overlap_matrix (join-hint-only change) rotate out to make
-    # room; both r5-green with values untouched
-    "paragraph_dedup",
-    "paragraph_dedup_apply",
+    "hll_distinct",
+    "bm25_batch_topk",
+    "asof_join_events",
+    "bpe_token_profile",
+    "chunk_documents",
+    "containment_capture",
+    "cube_activity",
+    "cumulative_chars",
+    "daily_activity",
+    "distinct_users_by_type",
+    "doc_fingerprint",
+    "doc_length_profile",
+    "fragment_sort_topk",
+    "funnel_conversion",
+    "heavy_hitters_exact",
+    "json_props_stats",
+    "kmeans_ivf_topk",
+    "lang_id",
+    "lang_id_confusion",
+    "median_value_by_type",
+    "pack_sequences",
+    "parts_by_brand",
+    "pivot_daily_by_type",
+    "pricing_summary",
+    "quality_filter_by_source",
+    "quality_score",
+    "range_join_tiers",
+    "regex_normalize",
+    "regional_revenue",
+    "repetition_signals",
+    "retention_cohorts",
+    "rolling_value_7d",
+    "search_offsets",
+    "segment_revenue",
+    "stratified_sample",
+    "tfidf_top_terms",
+    "token_cms",
+    "token_count_by_source",
+    "topn_per_key",
+    "unigram_logloss",
+    "value_quantile_sketch",
+    "vocab_richness",
 ]
+
 
 _QUERIES = {
     name: _QUERIES[name]
