@@ -47,7 +47,26 @@ TRANSCRIPT_COLUMNS = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
 
 
 def session_confs() -> dict[str, str]:
-    """Recommended session configuration for the extraction job."""
+    """Recommended session configuration for the extraction job.
+
+    Scale-dependent values are env-parameterized with local defaults
+    (r7, guide §2.2/§9 discipline): the driver's bench stays
+    comparable on ``local[32]``, while a cluster deployment overrides
+    without code edits —
+
+    - ``SPARK_GRAFT_SHUFFLE_PARTITIONS`` (default 32): on a cluster
+      size so post-shuffle partitions land in the 100 MB–1 GB band
+      (e.g. ~2–3x total executor cores as a floor) and let AQE
+      coalescing shrink small stages; 32 is NOT a magic constant, it
+      is the local core count.
+    - ``SPARK_GRAFT_MAX_PARTITION_BYTES`` (default 1m): extraction
+      burns ~1 CPU-sec per scanned MB — far above scan cost — so
+      splits sized to ~seconds-of-CPU keep every core fed; pure-scan
+      relational work on a cluster wants the IO-optimal 128m–1g
+      instead.
+    """
+    import os
+
     return {
         "spark.sql.session.timeZone": "UTC",
         "spark.sql.adaptive.enabled": "true",
@@ -64,8 +83,12 @@ def session_confs() -> dict[str, str]:
         # on the 100k-turn fixture: 1m splits 42k turns/s vs 20k at 16m
         # (BENCH/BASELINE.md). On a real cluster, size this to
         # ~seconds-of-CPU per split for the same reason.
-        "spark.sql.files.maxPartitionBytes": "1m",
-        "spark.sql.shuffle.partitions": "32",
+        "spark.sql.files.maxPartitionBytes": os.environ.get(
+            "SPARK_GRAFT_MAX_PARTITION_BYTES", "1m"
+        ),
+        "spark.sql.shuffle.partitions": os.environ.get(
+            "SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"
+        ),
         # reliable-checkpoint hygiene (ADVICE r4): every materialize()
         # under a configured checkpoint dir writes a permanent rdd-*
         # directory; with this on, the ContextCleaner deletes a
