@@ -355,13 +355,14 @@ _DRIVER_GATE_FIRST = [
     # r7 rotation (VERDICT r6 "Next round" #1, exact list): first the
     # 4 queries that have NEVER seen a driver row (registered after
     # the r6 gate ran; mirror-green on the local all-137 DuckDB
-    # sweep), then the 4 queries MODIFIED in r7 (curation_funnel
+    # sweep), then the 5 queries MODIFIED in r7 (curation_funnel
     # single-pass rewrite, perplexity_buckets skew-safe rank,
-    # hll_distinct one-scan fusion, bm25_batch_topk qmap dedup — all
-    # outputs pinned identical, rows refreshed anyway), then the 40
-    # queries whose newest driver row is r4.  4 + 4 + 40 = 48, inside
-    # the observed ~50-row cap with 2 slots spare; everything left out
-    # is r5/r6-green and untouched this round.
+    # hll_distinct one-scan fusion, bm25_batch_topk qmap dedup,
+    # quality_vote_prose materialized prose frame — all outputs
+    # pinned identical, rows refreshed anyway), then the 40 queries
+    # whose newest driver row is r4.  4 + 5 + 40 = 49, inside the
+    # observed ~50-row cap with 1 slot spare; everything left out is
+    # r5/r6-green and untouched this round.
     "quality_lr_auc",
     "cosine_batch_topk",
     "pack_manifest",
@@ -370,6 +371,7 @@ _DRIVER_GATE_FIRST = [
     "perplexity_buckets",
     "hll_distinct",
     "bm25_batch_topk",
+    "quality_vote_prose",
     "asof_join_events",
     "bpe_token_profile",
     "chunk_documents",

@@ -164,11 +164,18 @@ def quality_vote_prose(spark: SparkSession, sf_dir: str) -> DataFrame:
     Gopher word-count and C4 sentence-count rules (measured at
     sf0.01: 358/500 keep_all — non-degenerate in both directions).
 
-    100 TB shape: the prose map fuses into each panel's scan; the
-    composition is quality_vote's own plan (five narrow scans, one
-    repetition shuffle, slim doc_id joins)."""
+    100 TB shape: the composition is quality_vote's own plan (five
+    narrow scans, one repetition shuffle, slim doc_id joins) over the
+    prose frame materialized ONCE (r7): the vote fans the frame into
+    FIVE panel consumers, so the pipelined map would re-run the
+    sentence regexp per panel (the two-consumer lineage rule, times
+    five — measured: best 2.57→2.31 s and spread 2.6–4.8→2.3–3.0 s at
+    sf0.1). Single-consumer users of :func:`prose_frame` (the
+    boilerplate miners) keep the zero-shuffle pipelined form."""
     return curation.quality_vote_for(
-        prose_frame(_read(spark, sf_dir, "documents"))
+        prose_frame(_read(spark, sf_dir, "documents")).transform(
+            materialize
+        )
     )
 
 
